@@ -1,0 +1,66 @@
+"""Dtype policy: fp32 parity mode vs bf16 fast mode.
+
+The reference runs everything in float32 on CUDA.  On TPU the MXU's
+native fast path is bfloat16 with float32 accumulation, so the framework
+threads an explicit :class:`Policy` through every model:
+
+* ``parity``  — float32 compute and params: bit-consistent public entry
+  points (BASELINE.json north-star) and golden tests.
+* ``fast``    — bfloat16 compute, float32 params/accumulation: the
+  production extraction/training path.
+
+Matmuls always request ``preferred_element_type=float32`` (via the module
+implementations) so accumulation precision does not depend on the policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+__all__ = ["Policy", "PARITY", "FAST", "get_policy"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    """Precision policy threaded through models and engines."""
+
+    name: str
+    param_dtype: jnp.dtype
+    compute_dtype: jnp.dtype
+    output_dtype: jnp.dtype
+
+    def cast_input(self, x):
+        return jnp.asarray(x, self.compute_dtype)
+
+    def cast_output(self, x):
+        return jnp.asarray(x, self.output_dtype)
+
+
+PARITY = Policy(
+    name="parity",
+    param_dtype=jnp.float32,
+    compute_dtype=jnp.float32,
+    output_dtype=jnp.float32,
+)
+
+FAST = Policy(
+    name="fast",
+    param_dtype=jnp.float32,
+    compute_dtype=jnp.bfloat16,
+    output_dtype=jnp.float32,
+)
+
+_POLICIES = {"parity": PARITY, "fast": FAST, "fp32": PARITY, "bf16": FAST}
+
+
+def get_policy(name: str | Policy) -> Policy:
+    if isinstance(name, Policy):
+        return name
+    try:
+        return _POLICIES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown precision policy {name!r}; choose from {sorted(_POLICIES)}"
+        ) from None
