@@ -11,7 +11,6 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -25,6 +24,11 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 import jax  # noqa: E402
+
+# NOTE: this image's sitecustomize force-registers the tunneled TPU
+# ("axon") platform and overrides the JAX_PLATFORMS env var, so the env
+# var alone does NOT select CPU.  jax.config.update after import does.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

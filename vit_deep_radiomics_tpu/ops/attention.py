@@ -1,0 +1,264 @@
+"""Attention kernels: XLA reference + Pallas flash attention.
+
+The reference pipeline's FLOP hot spot is the frozen ViT image-encoder
+forward (/root/reference/src/tfds_dense_descriptor.py:110-139, hidden
+inside external ``segment_anything`` / DINOv2 CUDA kernels).  Here it is
+first-class:
+
+* :func:`attention_reference` — plain XLA einsum attention with optional
+  additive bias and key-padding mask.  Differentiable; used by the small
+  trainable downstream classifiers and as the parity oracle.
+* :func:`flash_attention` — Pallas TPU kernel, online-softmax tiling so
+  the (Sq, Sk) score matrix never hits HBM.  Supports
+
+  - **decomposed relative-position bias** à la SAM: instead of a dense
+    (Sq, Sk) bias it takes ``bias_h (…, Sq, Kh)`` and ``bias_w (…, Sq,
+    Kw)`` with ``Sk = Kh·Kw`` and reconstructs bias tiles on the fly
+    (block_k is kept a multiple of Kw so a key tile covers whole rows of
+    the key grid),
+  - **key-padding masks** via per-sequence ``kv_len`` so padded token
+    buckets work under static shapes.
+
+The frozen backbone only needs the forward, so no custom VJP yet; the
+trainable classifiers use the XLA path which XLA differentiates.
+
+Shapes follow (B, H, S, D) with head dim last; fp32 accumulation always
+(``preferred_element_type``), inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["attention_reference", "flash_attention"]
+
+_NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    kv_len: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Plain XLA attention. q,k,v: (B, H, Sq|Sk, D); bias broadcastable to
+    (B, H, Sq, Sk); kv_len: (B,) valid key counts."""
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if kv_len is not None:
+        kidx = jnp.arange(k.shape[2])
+        mask = kidx[None, None, None, :] < kv_len[:, None, None, None]
+        s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+# --------------------------------------------------------------------------
+# Pallas flash attention
+# --------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, bias_h_ref, bias_w_ref, kv_len_ref, o_ref,
+    *, block_k: int, kv_rows_per_block: int, scale: float,
+    has_bias: bool, has_kv_len: bool,
+):
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    bq, d = q.shape
+    sk = k_ref.shape[1]
+    num_kb = sk // block_k
+
+    if has_kv_len:
+        kv_len = kv_len_ref[pl.program_id(0), 0]
+
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    if has_bias:
+        rows = kv_rows_per_block
+        bias_w = bias_w_ref[0].astype(jnp.float32)  # (bq, kw)
+        bias_h = bias_h_ref[0].astype(jnp.float32)  # (bq, kh)
+        kw = bias_w.shape[-1]
+        kh = bias_h.shape[-1]
+        # bias_w repeats over every key-grid row of the tile: build the
+        # (bq, block_k) tiling once with a lane-dim concat.
+        bias_w_tiled = jnp.concatenate([bias_w] * rows, axis=1)
+        # expansion matrix E[(r), (c)] = 1 iff c // kw == r, so
+        # (bq, rows) @ E broadcasts each row-bias across its kw keys.
+        e_rows = lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
+        e_cols = lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+        expand = (e_cols // kw == e_rows).astype(jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k0 = pl.multiple_of(j * block_k, block_k)
+        kblk = k_ref[0, pl.ds(k0, block_k), :].astype(jnp.float32)
+        vblk = v_ref[0, pl.ds(k0, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32)  # (bq, bk)
+        if has_bias:
+            # Select this tile's key-grid rows from bias_h with a one-hot
+            # matmul (Mosaic cannot dynamically slice the lane dim), then
+            # expand each row across its kw keys with a second tiny matmul.
+            row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+            col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+            sel = (row_ids == j * rows + col_ids).astype(jnp.float32)
+            bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
+            bh = jnp.dot(bh, expand, preferred_element_type=jnp.float32)
+            s = s + bh + bias_w_tiled
+        if has_kv_len:
+            kidx = j * block_k + lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(kidx < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, vblk, preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    m, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    safe_l = jnp.where(l > 0, l, 1.0)
+    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias_h: jax.Array | None = None,
+    bias_w: jax.Array | None = None,
+    kv_len: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention over (B, H, S, D) with online softmax.
+
+    Args:
+        q, k, v: (B, H, Sq, D) / (B, H, Sk, D).  Sq must be divisible by
+            block_q and Sk by block_k (callers pad; kv_len masks pads).
+        bias_h: optional (B, H, Sq, Kh) decomposed rel-pos term for the
+            key-grid rows; requires ``bias_w`` and ``Sk == Kh*Kw``.
+        bias_w: optional (B, H, Sq, Kw) term for the key-grid columns.
+        kv_len: optional (B,) int32 valid key counts (padding mask).
+        scale: softmax scale, default 1/sqrt(D).
+        interpret: run in Pallas interpreter mode (CPU tests).
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scale = (d ** -0.5) if scale is None else scale
+    has_bias = bias_h is not None
+    has_kv_len = kv_len is not None
+    if has_bias != (bias_w is not None):
+        raise ValueError("bias_h and bias_w must be given together")
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(
+            f"seq lens ({sq}, {sk}) must divide blocks ({block_q}, {block_k})"
+        )
+
+    kv_rows_per_block = 0
+    if has_bias:
+        kh, kw = bias_h.shape[-1], bias_w.shape[-1]
+        if kh * kw != sk:
+            raise ValueError(f"Kh*Kw = {kh}*{kw} != Sk = {sk}")
+        if block_k % kw:
+            # keep key tiles aligned to whole key-grid rows
+            block_k = kw * max(1, block_k // kw) if block_k > kw else kw
+            if sk % block_k:
+                block_k = kw
+        kv_rows_per_block = block_k // kw
+
+    bh_flat = b * h
+    qf = q.reshape(bh_flat, sq, d)
+    kf = k.reshape(bh_flat, sk, d)
+    vf = v.reshape(bh_flat, sk, d)
+
+    grid = (bh_flat, sq // block_q)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+    ]
+    args = [qf, kf, vf]
+
+    if has_bias:
+        bias_h_f = bias_h.reshape(bh_flat, sq, kh)
+        bias_w_f = bias_w.reshape(bh_flat, sq, kw)
+        in_specs += [
+            pl.BlockSpec((1, block_q, kh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, kw), lambda i, j: (i, j, 0)),
+        ]
+        args += [bias_h_f, bias_w_f]
+    if has_kv_len:
+        # (BH, 1) scalar-per-sequence in SMEM with (1, 1) blocks — the
+        # canonical SMEM scalar pattern (2D, one per grid row).
+        kv_len_f = jnp.repeat(kv_len.astype(jnp.int32), h).reshape(bh_flat, 1)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [kv_len_f]
+
+    kernel = functools.partial(
+        _flash_kernel,
+        block_k=block_k,
+        kv_rows_per_block=kv_rows_per_block,
+        scale=scale,
+        has_bias=has_bias,
+        has_kv_len=has_kv_len,
+    )
+
+    # pallas kernels take a fixed arg list: splice missing optional refs
+    def wrapped(*refs):
+        it = iter(refs)
+        q_ref = next(it)
+        k_ref = next(it)
+        v_ref = next(it)
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        o_ref = next(it)
+        kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, o_ref)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh_flat, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh_flat * sq * sk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=bh_flat * sq * sk,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, h, sq, d)
