@@ -72,6 +72,28 @@ class TestFlashAttention:
         ref = attention_reference(q, k, v, bias=dense_bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_kv_grid_static_mask(self, rng):
+        # padded 16x16 key grid, valid 14x14 (SAM windowed-attention shape)
+        b, h, d, kh, kw = 1, 2, 32, 16, 16
+        sq, sk = 256, kh * kw
+        q, k, v = (_rand(rng, b, h, s, d) for s in (sq, sk, sk))
+        bias_h = _rand(rng, b, h, sq, kh)
+        bias_w = _rand(rng, b, h, sq, kw)
+        out = flash_attention(
+            q, k, v, bias_h=bias_h, bias_w=bias_w, kv_grid=(14, 14),
+            block_q=128, block_k=128, interpret=INTERPRET,
+        )
+        dense_bias = (
+            bias_h[..., :, None] + bias_w[..., None, :]
+        ).reshape(b, h, sq, sk)
+        ky, kx = np.divmod(np.arange(sk), kw)
+        valid = (ky < 14) & (kx < 14)
+        dense_bias = jnp.where(
+            jnp.asarray(valid)[None, None, None, :], dense_bias, -1e30
+        )
+        ref = attention_reference(q, k, v, bias=dense_bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
     def test_bf16_inputs(self, rng):
         b, h, s, d = 1, 2, 256, 64
         q, k, v = (

@@ -1,0 +1,223 @@
+"""Weight converters: torch ``.pth`` checkpoints → Flax param pytrees.
+
+The reference loads frozen backbone weights via external registries
+(``sam_model_registry['vit_b'](model_path)`` at
+/root/reference/src/tfds_dense_descriptor.py:104; ``torch.hub`` DINOv2 at
+:87).  Here raw ``state_dict`` tensors are mapped directly onto the
+:class:`~.vit.ViTDense` parameter tree, so MedSAM/DINOv2 checkpoints work
+without segment_anything/torch.hub — both the original SAM naming
+(``image_encoder.blocks.N...``, what ``medsam_vit_b.pth`` contains) and
+the HuggingFace ``transformers`` naming (``vision_encoder.layers.N...``,
+used for golden-parity tests) are supported.
+
+Layout notes (torch → ours):
+* patch-embed conv (out, in, kh, kw) → (kh·kw·in, out) matmul kernel,
+* linear weights (out, in) → (in, out),
+* SAM neck convs: 1×1 → (in, out) matmul; 3×3 → HWIO,
+* DINOv2 separate q/k/v projections → fused (c, 3c) qkv kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from .vit import ViTDenseConfig
+
+__all__ = [
+    "load_torch_state_dict",
+    "sam_params_from_torch",
+    "dinov2_params_from_torch",
+]
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Read a ``.pth`` checkpoint into numpy arrays (CPU, no grad)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return {k: v.detach().numpy() for k, v in state.items()}
+
+
+def _strip_prefix(state: Mapping[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Normalise SAM checkpoints: drop the encoder prefix, keep encoder keys."""
+    for prefix in ("image_encoder.", "vision_encoder."):
+        if any(k.startswith(prefix) for k in state):
+            return {
+                k[len(prefix):]: v for k, v in state.items()
+                if k.startswith(prefix)
+            }
+    return dict(state)
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _patch_kernel(w: np.ndarray) -> np.ndarray:
+    # (out, in, kh, kw) -> (kh, kw, in, out) -> (kh*kw*in, out)
+    out_c = w.shape[0]
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0)).reshape(-1, out_c)
+
+
+def sam_params_from_torch(
+    state: Mapping[str, np.ndarray], cfg: ViTDenseConfig
+) -> dict:
+    """SAM/MedSAM image-encoder state dict → ViTDense params."""
+    s = _strip_prefix(state)
+
+    def pick(*names):
+        for n in names:
+            if n in s:
+                return s[n]
+        raise KeyError(f"none of {names} in checkpoint")
+
+    params: dict = {
+        "patch_embed": {
+            "kernel": _patch_kernel(
+                pick("patch_embed.proj.weight",
+                     "patch_embed.projection.weight")
+            ),
+            "bias": pick("patch_embed.proj.bias",
+                         "patch_embed.projection.bias"),
+        },
+        "pos_embed": pick("pos_embed"),
+    }
+
+    for i in range(cfg.depth):
+        for base in (f"blocks.{i}", f"layers.{i}"):
+            if f"{base}.attn.qkv.weight" in s:
+                break
+        ln1w = pick(f"{base}.norm1.weight", f"{base}.layer_norm1.weight")
+        ln1b = pick(f"{base}.norm1.bias", f"{base}.layer_norm1.bias")
+        ln2w = pick(f"{base}.norm2.weight", f"{base}.layer_norm2.weight")
+        ln2b = pick(f"{base}.norm2.bias", f"{base}.layer_norm2.bias")
+        block = {
+            "norm1": {"scale": ln1w, "bias": ln1b},
+            "norm2": {"scale": ln2w, "bias": ln2b},
+            "attn": {
+                "qkv_kernel": _linear(s[f"{base}.attn.qkv.weight"]),
+                "qkv_bias": s[f"{base}.attn.qkv.bias"],
+                "proj_kernel": _linear(s[f"{base}.attn.proj.weight"]),
+                "proj_bias": s[f"{base}.attn.proj.bias"],
+            },
+            "mlp": {
+                "w1": _linear(s[f"{base}.mlp.lin1.weight"]),
+                "b1": s[f"{base}.mlp.lin1.bias"],
+                "w2": _linear(s[f"{base}.mlp.lin2.weight"]),
+                "b2": s[f"{base}.mlp.lin2.bias"],
+            },
+        }
+        if cfg.use_rel_pos:
+            block["attn"]["rel_pos_h"] = s[f"{base}.attn.rel_pos_h"]
+            block["attn"]["rel_pos_w"] = s[f"{base}.attn.rel_pos_w"]
+        params[f"block_{i}"] = block
+
+    if cfg.neck_channels:
+        conv1 = pick("neck.0.weight", "neck.conv1.weight")
+        conv2 = pick("neck.2.weight", "neck.conv2.weight")
+        params["neck"] = {
+            "conv1_kernel": np.ascontiguousarray(
+                conv1.reshape(conv1.shape[0], conv1.shape[1]).T
+            ),
+            "conv2_kernel": np.ascontiguousarray(conv2.transpose(2, 3, 1, 0)),
+            "ln1": {
+                "scale": pick("neck.1.weight", "neck.layer_norm1.weight"),
+                "bias": pick("neck.1.bias", "neck.layer_norm1.bias"),
+            },
+            "ln2": {
+                "scale": pick("neck.3.weight", "neck.layer_norm2.weight"),
+                "bias": pick("neck.3.bias", "neck.layer_norm2.bias"),
+            },
+        }
+    return params
+
+
+def dinov2_params_from_torch(
+    state: Mapping[str, np.ndarray], cfg: ViTDenseConfig
+) -> dict:
+    """DINOv2 state dict → ViTDense params.
+
+    Accepts torch.hub naming (``blocks.N.attn.qkv...``) and transformers
+    naming (``encoder.layer.N.attention.attention.query...``).
+    """
+    s = dict(state)
+    hf = any(k.startswith("encoder.layer.") for k in s)
+
+    if hf:
+        patch_w = s["embeddings.patch_embeddings.projection.weight"]
+        patch_b = s["embeddings.patch_embeddings.projection.bias"]
+        cls_token = s["embeddings.cls_token"]
+        pos = s["embeddings.position_embeddings"]
+    else:
+        patch_w = s["patch_embed.proj.weight"]
+        patch_b = s["patch_embed.proj.bias"]
+        cls_token = s["cls_token"]
+        pos = s["pos_embed"]
+
+    params: dict = {
+        "patch_embed": {"kernel": _patch_kernel(patch_w), "bias": patch_b},
+        "cls_token": cls_token.reshape(1, 1, -1),
+        "pos_embed": pos,
+    }
+
+    for i in range(cfg.depth):
+        if hf:
+            base = f"encoder.layer.{i}"
+            qw = _linear(s[f"{base}.attention.attention.query.weight"])
+            kw = _linear(s[f"{base}.attention.attention.key.weight"])
+            vw = _linear(s[f"{base}.attention.attention.value.weight"])
+            qkv_kernel = np.concatenate([qw, kw, vw], axis=1)
+            qkv_bias = np.concatenate([
+                s[f"{base}.attention.attention.query.bias"],
+                s[f"{base}.attention.attention.key.bias"],
+                s[f"{base}.attention.attention.value.bias"],
+            ])
+            proj_w = _linear(s[f"{base}.attention.output.dense.weight"])
+            proj_b = s[f"{base}.attention.output.dense.bias"]
+            mlp1_w, mlp1_b = s[f"{base}.mlp.fc1.weight"], s[f"{base}.mlp.fc1.bias"]
+            mlp2_w, mlp2_b = s[f"{base}.mlp.fc2.weight"], s[f"{base}.mlp.fc2.bias"]
+            ls1 = s[f"{base}.layer_scale1.lambda1"]
+            ls2 = s[f"{base}.layer_scale2.lambda1"]
+            n1w, n1b = s[f"{base}.norm1.weight"], s[f"{base}.norm1.bias"]
+            n2w, n2b = s[f"{base}.norm2.weight"], s[f"{base}.norm2.bias"]
+        else:
+            base = f"blocks.{i}"
+            qkv_kernel = _linear(s[f"{base}.attn.qkv.weight"])
+            qkv_bias = s[f"{base}.attn.qkv.bias"]
+            proj_w = _linear(s[f"{base}.attn.proj.weight"])
+            proj_b = s[f"{base}.attn.proj.bias"]
+            mlp1_w, mlp1_b = s[f"{base}.mlp.fc1.weight"], s[f"{base}.mlp.fc1.bias"]
+            mlp2_w, mlp2_b = s[f"{base}.mlp.fc2.weight"], s[f"{base}.mlp.fc2.bias"]
+            ls1 = s[f"{base}.ls1.gamma"]
+            ls2 = s[f"{base}.ls2.gamma"]
+            n1w, n1b = s[f"{base}.norm1.weight"], s[f"{base}.norm1.bias"]
+            n2w, n2b = s[f"{base}.norm2.weight"], s[f"{base}.norm2.bias"]
+
+        params[f"block_{i}"] = {
+            "norm1": {"scale": n1w, "bias": n1b},
+            "norm2": {"scale": n2w, "bias": n2b},
+            "attn": {
+                "qkv_kernel": qkv_kernel,
+                "qkv_bias": qkv_bias,
+                "proj_kernel": proj_w,
+                "proj_bias": proj_b,
+            },
+            "mlp": {
+                "w1": _linear(mlp1_w), "b1": mlp1_b,
+                "w2": _linear(mlp2_w), "b2": mlp2_b,
+            },
+            "ls1": ls1,
+            "ls2": ls2,
+        }
+
+    if hf:
+        params["norm"] = {
+            "scale": s["layernorm.weight"], "bias": s["layernorm.bias"],
+        }
+    else:
+        params["norm"] = {"scale": s["norm.weight"], "bias": s["norm.bias"]}
+    return params

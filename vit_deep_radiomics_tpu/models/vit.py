@@ -1,0 +1,542 @@
+"""Dense-descriptor ViT backbones: SAM/MedSAM ViT-B/16 and DINOv2 ViT-*/14.
+
+The reference extracts frozen-ViT dense descriptors through external
+libraries (``sam_model_registry['vit_b']`` at
+/root/reference/src/tfds_dense_descriptor.py:104 → ``model.image_encoder``
+at :123, and torch.hub DINOv2 at :87 → ``model.patch_embed`` at :128).
+Here the backbones are first-class Flax modules designed for TPU:
+
+* NHWC layout throughout (TPU-native conv layout); the patch embedding is
+  a pure reshape+matmul so it lands on the MXU without a conv lowering,
+* windowed attention runs every 14×14 window padded to a 16×16 token grid
+  through the Pallas flash kernel (static ``kv_grid`` masking), global
+  layers run 4096-token flash attention with decomposed relative-position
+  bias reconstructed inside the kernel,
+* precision is governed by :class:`~..core.precision.Policy`: ``parity``
+  (fp32, HIGHEST matmul precision) reproduces the reference encoder
+  bit-for-bit given converted weights; ``fast`` (bf16) is the production
+  path,
+* everything is shape-static and jit/pjit friendly; batch dim shards over
+  the ``data`` mesh axis.
+
+Architecture specs follow the published SAM image encoder (ViT-B/16,
+1024² input, window 14, global attention at layers {2,5,8,11}, decomposed
+rel-pos, 256-channel conv neck) and DINOv2 (ViT-{S,B,L,G}/14, CLS token,
+LayerScale).  Weight converters from ``.pth`` checkpoints live in
+:mod:`vit_deep_radiomics_tpu.models.convert`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.precision import FAST, Policy, get_policy
+from ..ops.attention import attention_reference, flash_attention
+
+__all__ = ["ViTDenseConfig", "ViTDense", "SAM_VIT_B", "DINOV2_CONFIGS"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTDenseConfig:
+    """Static architecture config for a dense-descriptor ViT."""
+
+    name: str
+    image_size: int
+    patch_size: int
+    width: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    window_size: int = 0               # 0 = all-global attention
+    global_indexes: Sequence[int] = ()
+    use_rel_pos: bool = False          # SAM decomposed relative positions
+    neck_channels: int = 0             # SAM conv neck output dim (0 = none)
+    use_cls_token: bool = False        # DINOv2
+    layerscale_init: float = 0.0       # DINOv2 LayerScale (0 = disabled)
+    ln_eps: float = 1e-6
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.num_heads
+
+    @property
+    def feature_dim(self) -> int:
+        """Channel count of the dense descriptor this backbone emits."""
+        return self.neck_channels or self.width
+
+
+# MedSAM image encoder: SAM ViT-B/16 @1024 with 256-ch neck
+# (capability target of tfds_dense_descriptor.py:93-107, 123).
+SAM_VIT_B = ViTDenseConfig(
+    name="sam_vit_b",
+    image_size=1024,
+    patch_size=16,
+    width=768,
+    depth=12,
+    num_heads=12,
+    mlp_ratio=4.0,
+    window_size=14,
+    global_indexes=(2, 5, 8, 11),
+    use_rel_pos=True,
+    neck_channels=256,
+)
+
+# DINOv2 family (tfds_dense_descriptor.py:80-86); default image size 518
+# (37×37 patches), the reference resizes to 896 for its patch-embed-only
+# dense mode (:44).
+def _dinov2(name, width, depth, heads, image_size=518):
+    return ViTDenseConfig(
+        name=name,
+        image_size=image_size,
+        patch_size=14,
+        width=width,
+        depth=depth,
+        num_heads=heads,
+        use_cls_token=True,
+        layerscale_init=1e-5,
+    )
+
+
+DINOV2_CONFIGS = {
+    "dinov2_vits14": _dinov2("dinov2_vits14", 384, 12, 6),
+    "dinov2_vitb14": _dinov2("dinov2_vitb14", 768, 12, 12),
+    "dinov2_vitl14": _dinov2("dinov2_vitl14", 1024, 24, 16),
+    "dinov2_vitg14": _dinov2("dinov2_vitg14", 1536, 40, 24),
+}
+
+
+# --------------------------------------------------------------------------
+# building blocks
+# --------------------------------------------------------------------------
+
+
+class PatchEmbed(nn.Module):
+    """Patch embedding as reshape + matmul (MXU-direct, no conv lowering).
+
+    Equivalent to a stride-p pxp conv; weight layout (p*p*in, width) with
+    (kh, kw, cin) flattening order — see convert.py for the torch mapping.
+    """
+
+    cfg: ViTDenseConfig
+    policy: Policy
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, H, W, 3)
+        p = self.cfg.patch_size
+        b, hh, ww, cin = x.shape
+        hp, wp = hh // p, ww // p
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p * p * cin, self.cfg.width),
+            self.policy.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.cfg.width,),
+            self.policy.param_dtype,
+        )
+        x = x.reshape(b, hp, p, wp, p, cin).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, hp, wp, p * p * cin)
+        x = jnp.dot(
+            x.astype(self.policy.compute_dtype),
+            kernel.astype(self.policy.compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) + bias.astype(jnp.float32)
+        return x.astype(self.policy.compute_dtype)  # (B, hp, wp, width)
+
+
+def _rel_pos_table(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
+    """Gather the (q_size, k_size, D) table from a (2·max-1, D) parameter.
+
+    Equal q/k sizes only (all our uses); entry [qi, ki] = rel_pos[qi - ki
+    + k_size - 1] per the SAM decomposed rel-pos spec.
+    """
+    qi = jnp.arange(q_size)[:, None]
+    ki = jnp.arange(k_size)[None, :]
+    return rel_pos[qi - ki + k_size - 1]  # (q, k, D)
+
+
+class WindowedAttention(nn.Module):
+    """Multi-head attention over a (B, H, W, C) token grid.
+
+    Runs the Pallas flash kernel with decomposed rel-pos bias; the token
+    grid is zero-padded to TPU-friendly sizes and masked with the kernel's
+    static ``kv_grid``.  ``use_flash=False`` falls back to the XLA oracle
+    (used on CPU and in parity tests).
+    """
+
+    cfg: ViTDenseConfig
+    policy: Policy
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        b, h, w, c = x.shape
+        nh, hd = cfg.num_heads, cfg.head_dim
+        dtype = self.policy.compute_dtype
+
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.lecun_normal(), (c, 3 * c),
+            self.policy.param_dtype,
+        )
+        qkv_bias = self.param(
+            "qkv_bias", nn.initializers.zeros, (3 * c,),
+            self.policy.param_dtype,
+        )
+        proj_kernel = self.param(
+            "proj_kernel", nn.initializers.lecun_normal(), (c, c),
+            self.policy.param_dtype,
+        )
+        proj_bias = self.param(
+            "proj_bias", nn.initializers.zeros, (c,), self.policy.param_dtype
+        )
+
+        qkv = jnp.dot(
+            x.reshape(b, h * w, c).astype(dtype),
+            qkv_kernel.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ) + qkv_bias.astype(jnp.float32)
+        qkv = qkv.astype(dtype).reshape(b, h * w, 3, nh, hd)
+        q, k, v = (
+            qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+        )  # each (b, nh, hw, hd)
+
+        if cfg.use_rel_pos:
+            rel_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * h - 1, hd),
+                self.policy.param_dtype,
+            )
+            rel_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * w - 1, hd),
+                self.policy.param_dtype,
+            )
+            rh = _rel_pos_table(rel_h.astype(jnp.float32), h, h)  # (h, h, hd)
+            rw = _rel_pos_table(rel_w.astype(jnp.float32), w, w)
+            qg = q.reshape(b, nh, h, w, hd).astype(jnp.float32)
+            # bias_h[b,n,(qy,qx),ky] = q · Rh[qy, ky] — from the UNSCALED q
+            # (the softmax scale applies to the QK scores only, per the
+            # SAM decomposed-rel-pos spec).
+            bias_h = jnp.einsum("bnyxd,ykd->bnyxk", qg, rh)
+            bias_w = jnp.einsum("bnyxd,xkd->bnyxk", qg, rw)
+            bias_h = bias_h.reshape(b, nh, h * w, h)
+            bias_w = bias_w.reshape(b, nh, h * w, w)
+        else:
+            bias_h = bias_w = None
+
+        if self.use_flash:
+            out = self._flash(q, k, v, bias_h, bias_w, h, w)
+        else:
+            if bias_h is not None:
+                dense = (
+                    bias_h[..., :, None] + bias_w[..., None, :]
+                ).reshape(b, nh, h * w, h * w)
+            else:
+                dense = None
+            out = attention_reference(q, k, v, bias=dense)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = jnp.dot(
+            out.astype(dtype), proj_kernel.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ) + proj_bias.astype(jnp.float32)
+        return out.astype(dtype).reshape(b, h, w, c)
+
+    def _flash(self, q, k, v, bias_h, bias_w, h, w):
+        """Pad token count / key grid to tiling-friendly sizes and run the
+        Pallas kernel."""
+        b, nh, s, hd = q.shape
+        # Pallas compiles via Mosaic only on TPU; elsewhere (CPU tests)
+        # run the same kernel in interpreter mode.
+        interpret = jax.default_backend() != "tpu"
+
+        def pad_to(x, size, axis):
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, size - x.shape[axis])
+            return jnp.pad(x, pad) if size != x.shape[axis] else x
+
+        def next_pow2(n):
+            return 1 << (n - 1).bit_length()
+
+        if bias_h is not None:
+            # pad key grid: rows to a multiple of 8, cols to a power of two
+            # so block_k can stay a tile-friendly multiple of the grid width
+            hp = -(-h // 8) * 8
+            wp = max(8, next_pow2(w))
+            sq_pad = -(-s // 128) * 128
+            sk_pad = hp * wp
+            qp = pad_to(q, sq_pad, 2)
+            kp = pad_to(
+                k.reshape(b, nh, h, w, hd), hp, 2
+            )
+            kp = pad_to(kp, wp, 3).reshape(b, nh, sk_pad, hd)
+            vp = pad_to(
+                v.reshape(b, nh, h, w, hd), hp, 2
+            )
+            vp = pad_to(vp, wp, 3).reshape(b, nh, sk_pad, hd)
+            bh = pad_to(pad_to(bias_h, sq_pad, 2), hp, 3)
+            bw = pad_to(pad_to(bias_w, sq_pad, 2), wp, 3)
+            out = flash_attention(
+                qp, kp, vp, bias_h=bh, bias_w=bw,
+                kv_grid=(h, w) if (hp, wp) != (h, w) else None,
+                block_q=min(512, sq_pad),
+                block_k=min(512, sk_pad),
+                interpret=interpret,
+            )
+            return out[:, :, :s].astype(q.dtype)
+
+        sq_pad = -(-s // 128) * 128
+        qp = pad_to(q, sq_pad, 2)
+        kv_len = None
+        if sq_pad != s:
+            kv_len = jnp.full((b,), s, jnp.int32)
+            kp, vp = pad_to(k, sq_pad, 2), pad_to(v, sq_pad, 2)
+        else:
+            kp, vp = k, v
+        out = flash_attention(
+            qp, kp, vp, kv_len=kv_len,
+            block_q=min(512, sq_pad), block_k=min(512, sq_pad),
+            interpret=interpret,
+        )
+        return out[:, :, :s]
+
+
+class Mlp(nn.Module):
+    cfg: ViTDenseConfig
+    policy: Policy
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg.width
+        hidden = int(self.cfg.mlp_ratio * c)
+        dtype = self.policy.compute_dtype
+        w1 = self.param(
+            "w1", nn.initializers.lecun_normal(), (c, hidden),
+            self.policy.param_dtype,
+        )
+        b1 = self.param("b1", nn.initializers.zeros, (hidden,),
+                        self.policy.param_dtype)
+        w2 = self.param(
+            "w2", nn.initializers.lecun_normal(), (hidden, c),
+            self.policy.param_dtype,
+        )
+        b2 = self.param("b2", nn.initializers.zeros, (c,),
+                        self.policy.param_dtype)
+        x = jnp.dot(x.astype(dtype), w1.astype(dtype),
+                    preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+        x = jax.nn.gelu(x, approximate=False)
+        x = jnp.dot(x.astype(dtype), w2.astype(dtype),
+                    preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
+        return x.astype(dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the last axis, fp32 statistics regardless of policy."""
+
+    eps: float
+    policy: Policy
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,),
+                           self.policy.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (dim,),
+                          self.policy.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+def window_partition(x: jax.Array, window: int):
+    """(B, H, W, C) → (B·nh·nw, window, window, C) with bottom/right pad."""
+    b, h, w, c = x.shape
+    ph = -(-h // window) * window
+    pw = -(-w // window) * window
+    x = jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+    nh, nw = ph // window, pw // window
+    x = x.reshape(b, nh, window, nw, window, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * nh * nw, window, window, c), (h, w, ph, pw)
+
+
+def window_unpartition(x: jax.Array, window: int, dims):
+    h, w, ph, pw = dims
+    nh, nw = ph // window, pw // window
+    b = x.shape[0] // (nh * nw)
+    c = x.shape[-1]
+    x = x.reshape(b, nh, nw, window, window, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, ph, pw, c)[:, :h, :w]
+
+
+class Block(nn.Module):
+    cfg: ViTDenseConfig
+    policy: Policy
+    windowed: bool
+    use_flash: bool
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        shortcut = x
+        y = LayerNorm(cfg.ln_eps, self.policy, name="norm1")(x)
+        if self.windowed:
+            y, dims = window_partition(y, cfg.window_size)
+        y = WindowedAttention(
+            cfg, self.policy, use_flash=self.use_flash, name="attn"
+        )(y)
+        if self.windowed:
+            y = window_unpartition(y, cfg.window_size, dims)
+        if cfg.layerscale_init:
+            g1 = self.param(
+                "ls1",
+                nn.initializers.constant(cfg.layerscale_init),
+                (cfg.width,), self.policy.param_dtype,
+            )
+            y = y * g1.astype(y.dtype)
+        x = shortcut + y
+
+        shortcut = x
+        y = LayerNorm(cfg.ln_eps, self.policy, name="norm2")(x)
+        y = Mlp(cfg, self.policy, name="mlp")(y)
+        if cfg.layerscale_init:
+            g2 = self.param(
+                "ls2",
+                nn.initializers.constant(cfg.layerscale_init),
+                (cfg.width,), self.policy.param_dtype,
+            )
+            y = y * g2.astype(y.dtype)
+        return shortcut + y
+
+
+class SamNeck(nn.Module):
+    """SAM neck: 1×1 conv → channel LayerNorm → 3×3 conv → channel LN.
+
+    Operates NHWC; the 1×1 conv is a matmul, the 3×3 uses XLA conv (maps
+    to the MXU via implicit im2col).
+    """
+
+    cfg: ViTDenseConfig
+    policy: Policy
+
+    @nn.compact
+    def __call__(self, x):  # (B, hp, wp, width)
+        cfg = self.cfg
+        out_c = cfg.neck_channels
+        dtype = self.policy.compute_dtype
+        w1 = self.param(
+            "conv1_kernel", nn.initializers.lecun_normal(),
+            (cfg.width, out_c), self.policy.param_dtype,
+        )
+        x = jnp.dot(x.astype(dtype), w1.astype(dtype),
+                    preferred_element_type=jnp.float32).astype(dtype)
+        x = LayerNorm(cfg.ln_eps, self.policy, name="ln1")(x)
+        w2 = self.param(
+            "conv2_kernel", nn.initializers.lecun_normal(),
+            (3, 3, out_c, out_c), self.policy.param_dtype,
+        )
+        x = jax.lax.conv_general_dilated(
+            x.astype(dtype), w2.astype(dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        x = LayerNorm(cfg.ln_eps, self.policy, name="ln2")(x)
+        return x
+
+
+class ViTDense(nn.Module):
+    """Dense-descriptor ViT.
+
+    ``__call__(images)`` takes (B, H, W, 3) in [0, 1] and returns the
+    dense feature map:
+
+    * SAM config → (B, grid, grid, neck_channels), the capability-
+      equivalent of reference ``model.image_encoder(img)`` output
+      (tfds_dense_descriptor.py:123-126, transposed to HWC there),
+    * DINOv2 config with ``patch_embed_only=True`` → patch tokens as a
+      (B, grid, grid, width) map — what the reference's
+      ``model.patch_embed(img)`` path produces (:128-133),
+    * DINOv2 full mode → normalised patch tokens after the full
+      transformer, same layout (the TPU-native "proper" dense mode).
+    """
+
+    cfg: ViTDenseConfig
+    policy: Policy = FAST
+    use_flash: bool = True
+    patch_embed_only: bool = False
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        x = self.policy.cast_input(images)
+        x = PatchEmbed(cfg, self.policy, name="patch_embed")(x)
+        b, hp, wp, c = x.shape
+
+        if self.patch_embed_only:
+            return self.policy.cast_output(x)
+
+        if cfg.use_cls_token:
+            cls = self.param(
+                "cls_token", nn.initializers.zeros, (1, 1, c),
+                self.policy.param_dtype,
+            )
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (1, cfg.grid * cfg.grid + 1, c),
+                self.policy.param_dtype,
+            )
+            tokens = x.reshape(b, hp * wp, c)
+            pos_patch, pos_cls = pos[:, 1:], pos[:, :1]
+            if hp * wp != pos_patch.shape[1]:
+                g = cfg.grid
+                pos_patch = jax.image.resize(
+                    pos_patch.reshape(1, g, g, c), (1, hp, wp, c), "bicubic"
+                ).reshape(1, hp * wp, c)
+            tokens = tokens + pos_patch.astype(tokens.dtype)
+            cls_tok = (cls + pos_cls).astype(tokens.dtype)
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls_tok, (b, 1, c)), tokens], axis=1
+            )
+            # treat the token list as a (1, N) grid for the blocks
+            x = tokens[:, :, None, :].transpose(0, 2, 1, 3)  # (b,1,N,c)
+        else:
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02),
+                (1, cfg.grid, cfg.grid, c),
+                self.policy.param_dtype,
+            )
+            x = x + pos.astype(x.dtype)
+
+        for i in range(cfg.depth):
+            windowed = (
+                cfg.window_size > 0 and i not in tuple(cfg.global_indexes)
+            )
+            x = Block(
+                cfg, self.policy,
+                windowed=windowed,
+                use_flash=self.use_flash,
+                name=f"block_{i}",
+            )(x)
+
+        if cfg.use_cls_token:
+            tokens = x[:, 0]  # (b, N, c)
+            tokens = LayerNorm(cfg.ln_eps, self.policy, name="norm")(tokens)
+            patch_tokens = tokens[:, 1:]
+            x = patch_tokens.reshape(b, hp, wp, c)
+        if cfg.neck_channels:
+            x = SamNeck(cfg, self.policy, name="neck")(x)
+        return self.policy.cast_output(x)

@@ -78,6 +78,7 @@ def _flash_kernel(
     q_ref, k_ref, v_ref, bias_h_ref, bias_w_ref, kv_len_ref, o_ref,
     *, block_k: int, kv_rows_per_block: int, scale: float,
     has_bias: bool, has_kv_len: bool,
+    kv_grid: tuple[int, int, int] | None,
 ):
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
     bq, d = q.shape
@@ -127,6 +128,15 @@ def _flash_kernel(
                 jnp.int32, (bq, block_k), 1
             )
             s = jnp.where(kidx < kv_len, s, _NEG_INF)
+        if kv_grid is not None:
+            # static 2D grid mask: key k is valid iff its (row, col) in the
+            # padded (·, kw_pad) key grid lies inside (kh_valid, kw_valid).
+            kh_valid, kw_valid, kw_pad = kv_grid
+            kidx = j * block_k + lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            valid = (kidx // kw_pad < kh_valid) & (kidx % kw_pad < kw_valid)
+            s = jnp.where(valid, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -141,7 +151,7 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "interpret"),
+    static_argnames=("kv_grid", "scale", "block_q", "block_k", "interpret"),
 )
 def flash_attention(
     q: jax.Array,
@@ -151,6 +161,7 @@ def flash_attention(
     bias_w: jax.Array | None = None,
     kv_len: jax.Array | None = None,
     *,
+    kv_grid: tuple[int, int] | None = None,
     scale: float | None = None,
     block_q: int = 256,
     block_k: int = 512,
@@ -165,6 +176,11 @@ def flash_attention(
             key-grid rows; requires ``bias_w`` and ``Sk == Kh*Kw``.
         bias_w: optional (B, H, Sq, Kw) term for the key-grid columns.
         kv_len: optional (B,) int32 valid key counts (padding mask).
+        kv_grid: optional static (kh_valid, kw_valid): keys form a 2D grid
+            padded to (Sk // Kw, Kw) and only the top-left (kh_valid,
+            kw_valid) sub-grid is real — used for SAM windowed attention
+            where 14×14 windows are padded to 16×16 for tiling.  Requires
+            ``bias_h``/``bias_w`` (their last dims define the padded grid).
         scale: softmax scale, default 1/sqrt(D).
         interpret: run in Pallas interpreter mode (CPU tests).
     """
@@ -184,6 +200,8 @@ def flash_attention(
         )
 
     kv_rows_per_block = 0
+    if kv_grid is not None and not has_bias:
+        raise ValueError("kv_grid requires bias_h/bias_w (they set Kw)")
     if has_bias:
         kh, kw = bias_h.shape[-1], bias_w.shape[-1]
         if kh * kw != sk:
@@ -194,6 +212,10 @@ def flash_attention(
             if sk % block_k:
                 block_k = kw
         kv_rows_per_block = block_k // kw
+
+    kv_grid_full = None
+    if kv_grid is not None:
+        kv_grid_full = (kv_grid[0], kv_grid[1], kw)
 
     bh_flat = b * h
     qf = q.reshape(bh_flat, sq, d)
@@ -231,6 +253,7 @@ def flash_attention(
         scale=scale,
         has_bias=has_bias,
         has_kv_len=has_kv_len,
+        kv_grid=kv_grid_full,
     )
 
     # pallas kernels take a fixed arg list: splice missing optional refs
