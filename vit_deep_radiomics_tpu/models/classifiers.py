@@ -1,0 +1,419 @@
+"""Downstream nodule classifiers over precomputed dense descriptors.
+
+Capability-equivalents of the reference model zoo
+(/root/reference/src/models_archs.py):
+
+* :class:`TransformerNoduleClassifier` — learned CLS token prepended to
+  the masked-voxel token sequence, input LayerNorm, post-norm transformer
+  encoder (GELU, matching torch ``nn.TransformerEncoderLayer`` semantics,
+  models_archs.py:127-147), MLP head on the CLS; returns
+  ``(logits, cls_embedding)``.
+* :class:`TransformerNoduleBimodalClassifier` — per-modality encoders +
+  CLS tokens, bidirectional CT↔PET cross-attention, per-modality heads
+  and a joint projection head (models_archs.py:38-124); returns
+  ``(logits_petct, petct_cls, logits_ct, logits_pet)``.
+* :class:`ConvNoduleClassifier` — 3D conv + squeeze-excite stack with
+  global average pooling (models_archs.py:150-171, 203-216); returns
+  ``(logits, embedding)``.
+
+TPU-first differences from the reference:
+
+* **batched, padded sequences with key-padding masks** everywhere — the
+  reference is locked to batch_size=1 (its own TODO at
+  train_models.py:579); here every sequence op takes ``token_mask`` and
+  attention ignores pads, so token buckets batch efficiently,
+* channels-last (NDHWC) 3D convs — TPU-native layout,
+* the reference's unimodal fallback returns the *raw* CLS parameter
+  without encoding (models_archs.py:88, 97 — a latent defect per
+  SURVEY.md §"quirks"); here the available modality is actually encoded,
+* dropout is explicit via the ``deterministic`` flag and an ``rngs``
+  dict, never ambient global state.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.precision import FAST, Policy
+from ..ops.attention import attention_reference
+
+__all__ = [
+    "TransformerNoduleClassifier",
+    "TransformerNoduleBimodalClassifier",
+    "ConvNoduleClassifier",
+]
+
+
+def _mask_bias(token_mask: jax.Array | None, dtype=jnp.float32):
+    """(B, S) boolean mask → additive (B, 1, 1, S) attention bias."""
+    if token_mask is None:
+        return None
+    return jnp.where(token_mask[:, None, None, :], 0.0, -1e30).astype(dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Torch-``nn.MultiheadAttention``-compatible MHA (fused in-proj)."""
+
+    dim: int
+    num_heads: int
+    policy: Policy
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None):
+        d, nh = self.dim, self.num_heads
+        hd = d // nh
+        dt = self.policy.compute_dtype
+        in_w = self.param("in_kernel", nn.initializers.xavier_uniform(),
+                          (d, 3 * d), self.policy.param_dtype)
+        in_b = self.param("in_bias", nn.initializers.zeros, (3 * d,),
+                          self.policy.param_dtype)
+        out_w = self.param("out_kernel", nn.initializers.xavier_uniform(),
+                           (d, d), self.policy.param_dtype)
+        out_b = self.param("out_bias", nn.initializers.zeros, (d,),
+                           self.policy.param_dtype)
+
+        def proj(x, w, b):
+            return (
+                jnp.dot(x.astype(dt), w.astype(dt),
+                        preferred_element_type=jnp.float32)
+                + b.astype(jnp.float32)
+            ).astype(dt)
+
+        q = proj(query, in_w[:, :d], in_b[:d])
+        k = proj(key, in_w[:, d:2 * d], in_b[d:2 * d])
+        v = proj(value, in_w[:, 2 * d:], in_b[2 * d:])
+
+        def split(x):
+            b, s, _ = x.shape
+            return x.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+
+        bias = _mask_bias(key_padding_mask)
+        o = attention_reference(split(q), split(k), split(v), bias=bias)
+        b, s = query.shape[:2]
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        return proj(o, out_w, out_b)
+
+
+class _MLPHead(nn.Module):
+    """dense → GELU → dropout → dense → dropout (models_archs.py:186-200)."""
+
+    hidden: int
+    out: int
+    policy: Policy
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dt = self.policy.compute_dtype
+        x = nn.Dense(self.hidden, dtype=dt,
+                     param_dtype=self.policy.param_dtype, name="dense1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out, dtype=dt,
+                     param_dtype=self.policy.param_dtype, name="dense2")(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class PostNormEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (torch default semantics):
+    ``x = norm1(x + attn(x)); x = norm2(x + mlp(x))`` with GELU."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    policy: Policy
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, token_mask=None, deterministic: bool = True):
+        dt = self.policy.compute_dtype
+        attn = MultiHeadAttention(
+            self.dim, self.num_heads, self.policy, name="self_attn"
+        )(x, x, x, key_padding_mask=token_mask)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=dt, param_dtype=self.policy.param_dtype,
+                         epsilon=1e-5, name="norm1")(x + attn)
+        y = nn.Dense(self.ffn_dim, dtype=dt,
+                     param_dtype=self.policy.param_dtype, name="linear1")(x)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        y = nn.Dense(self.dim, dtype=dt,
+                     param_dtype=self.policy.param_dtype, name="linear2")(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=dt, param_dtype=self.policy.param_dtype,
+                         epsilon=1e-5, name="norm2")(x + y)
+        return x
+
+
+class _Encoder(nn.Module):
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    num_layers: int
+    policy: Policy
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, x, token_mask=None, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = PostNormEncoderLayer(
+                self.dim, self.num_heads, self.ffn_dim, self.policy,
+                dropout_rate=self.dropout_rate, name=f"layer_{i}",
+            )(x, token_mask=token_mask, deterministic=deterministic)
+        return x
+
+
+def _prepend_cls(tokens, token_mask, cls_param):
+    b = tokens.shape[0]
+    cls = jnp.broadcast_to(cls_param.astype(tokens.dtype),
+                           (b, 1, tokens.shape[-1]))
+    tokens = jnp.concatenate([cls, tokens], axis=1)
+    if token_mask is not None:
+        ones = jnp.ones((b, 1), bool)
+        token_mask = jnp.concatenate([ones, token_mask], axis=1)
+    return tokens, token_mask
+
+
+class TransformerNoduleClassifier(nn.Module):
+    """CLS-token transformer over masked-voxel descriptor tokens.
+
+    Ref: models_archs.py:127-147 (input LayerNorm applied after the CLS
+    concat, post-norm encoder, MLP head on the CLS).
+    """
+
+    input_dim: int
+    ffn_dim: int
+    num_heads: int
+    num_classes: int
+    num_layers: int
+    policy: Policy = FAST
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, tokens, token_mask=None, deterministic: bool = True):
+        p = self.policy
+        tokens = p.cast_input(tokens)
+        cls = self.param("cls_token", nn.initializers.normal(1.0),
+                         (1, 1, self.input_dim), p.param_dtype)
+        x, token_mask = _prepend_cls(tokens, token_mask, cls)
+        x = nn.LayerNorm(dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                         epsilon=1e-5, name="norm")(x)
+        x = _Encoder(self.input_dim, self.num_heads, self.ffn_dim,
+                     self.num_layers, p, self.dropout_rate,
+                     name="encoder")(x, token_mask, deterministic)
+        cls_out = x[:, 0]
+        logits = _MLPHead(self.input_dim * 2, self.num_classes, p,
+                          name="head")(cls_out, deterministic)
+        return p.cast_output(logits), p.cast_output(cls_out)
+
+
+class TransformerNoduleBimodalClassifier(nn.Module):
+    """Bimodal PET/CT cross-attention classifier.
+
+    Ref: models_archs.py:38-124.  Per-modality CLS + LayerNorm + encoder
+    (dropout 0.5 there), bidirectional cross-attention between the full
+    encoded sequences, CLS-position readout, per-modality MLP heads,
+    concat→projection→joint head.  Unimodal calls encode the available
+    modality and reuse its logits for all three outputs (the reference
+    instead returned the raw CLS parameter — fixed here, see module
+    docstring).
+    """
+
+    input_dim: int
+    ffn_dim_ct: int
+    ffn_dim_pet: int
+    num_heads_ct: int
+    num_heads_pet: int
+    num_layers_ct: int
+    num_layers_pet: int
+    num_classes: int
+    policy: Policy = FAST
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        ct_tokens=None,
+        pet_tokens=None,
+        ct_mask=None,
+        pet_mask=None,
+        deterministic: bool = True,
+    ):
+        if ct_tokens is None and pet_tokens is None:
+            raise ValueError("at least one modality must be provided")
+        p = self.policy
+        d = self.input_dim
+
+        cls_ct = self.param("cls_token_ct", nn.initializers.normal(1.0),
+                            (1, 1, d), p.param_dtype)
+        cls_pet = self.param("cls_token_pet", nn.initializers.normal(1.0),
+                             (1, 1, d), p.param_dtype)
+
+        head_ct = _MLPHead(d * 2, self.num_classes, p, name="classifier_ct")
+        head_pet = _MLPHead(d * 2, self.num_classes, p, name="classifier_pet")
+
+        x_ct = x_pet = None
+        if ct_tokens is not None:
+            x, m = _prepend_cls(p.cast_input(ct_tokens), ct_mask, cls_ct)
+            x = nn.LayerNorm(dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                             epsilon=1e-5, name="norm_ct")(x)
+            x_ct = _Encoder(d, self.num_heads_ct, self.ffn_dim_ct,
+                            self.num_layers_ct, p, self.dropout_rate,
+                            name="encoder_ct")(x, m, deterministic)
+            ct_mask_full = m
+        if pet_tokens is not None:
+            x, m = _prepend_cls(p.cast_input(pet_tokens), pet_mask, cls_pet)
+            x = nn.LayerNorm(dtype=p.compute_dtype, param_dtype=p.param_dtype,
+                             epsilon=1e-5, name="norm_pet")(x)
+            x_pet = _Encoder(d, self.num_heads_pet, self.ffn_dim_pet,
+                             self.num_layers_pet, p, self.dropout_rate,
+                             name="encoder_pet")(x, m, deterministic)
+            pet_mask_full = m
+
+        if x_ct is not None and x_pet is not None:
+            # bidirectional cross-attention; CLS read-out from position 0
+            # (ref models_archs.py:100-104; note num_heads_ct for both,
+            # matching :72-73)
+            x_ct_attn = MultiHeadAttention(
+                d, self.num_heads_ct, p, name="cross_attention_ct"
+            )(x_ct, x_pet, x_pet, key_padding_mask=pet_mask_full)
+            x_pet_attn = MultiHeadAttention(
+                d, self.num_heads_ct, p, name="cross_attention_pet"
+            )(x_pet, x_ct, x_ct, key_padding_mask=ct_mask_full)
+            ct_cls = x_ct_attn[:, 0]
+            pet_cls = x_pet_attn[:, 0]
+
+            logits_ct = head_ct(ct_cls, deterministic)
+            logits_pet = head_pet(pet_cls, deterministic)
+
+            joint = jnp.concatenate([ct_cls, pet_cls], axis=-1)
+            joint = _MLPHead(d, d, p, name="projection_petct")(
+                joint, deterministic
+            )
+            logits_joint = _MLPHead(d * 2, self.num_classes, p,
+                                    name="classifier_petct")(
+                joint, deterministic
+            )
+            petct_cls = joint
+        elif x_ct is not None:
+            ct_cls = x_ct[:, 0]
+            logits_ct = head_ct(ct_cls, deterministic)
+            logits_pet = logits_ct
+            logits_joint = logits_ct
+            petct_cls = ct_cls
+        else:
+            pet_cls = x_pet[:, 0]
+            logits_pet = head_pet(pet_cls, deterministic)
+            logits_ct = logits_pet
+            logits_joint = logits_pet
+            petct_cls = pet_cls
+
+        cast = self.policy.cast_output
+        return (cast(logits_joint), cast(petct_cls),
+                cast(logits_ct), cast(logits_pet))
+
+
+class _SELayer(nn.Module):
+    """3D squeeze-excite, reduction 16, bias-free (models_archs.py:203-216)."""
+
+    channels: int
+    policy: Policy
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # (B, S, H, W, C)
+        dt = self.policy.compute_dtype
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)).astype(dt)
+        y = nn.Dense(max(1, self.channels // self.reduction), use_bias=False,
+                     dtype=dt, param_dtype=self.policy.param_dtype,
+                     name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False, dtype=dt,
+                     param_dtype=self.policy.param_dtype, name="fc2")(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, None, :]
+
+
+class ConvNoduleClassifier(nn.Module):
+    """3D conv + SE classifier over masked feature volumes.
+
+    Ref: models_archs.py:150-171.  Input here is channels-last
+    (B, S, H, W, feat_dim) — the transpose-to-channels-first dance of the
+    reference (train_models.py:159) is unnecessary on TPU.
+    """
+
+    input_dim: int
+    num_classes: int
+    div: int = 2
+    policy: Policy = FAST
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        p = self.policy
+        dt = p.compute_dtype
+        x = p.cast_input(x)
+        c1 = self.input_dim // self.div
+        c2 = self.input_dim // (self.div * self.div)
+        x = nn.Conv(c1, (3, 3, 3), padding=1, dtype=dt,
+                    param_dtype=p.param_dtype, name="conv1")(x)
+        x = jax.nn.relu(x)
+        x = _SELayer(c1, p, name="se1")(x)
+        x = nn.Conv(c2, (3, 3, 3), padding=1, dtype=dt,
+                    param_dtype=p.param_dtype, name="conv2")(x)
+        x = jax.nn.relu(x)
+        x = _SELayer(c2, p, name="se2")(x)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)).astype(dt)
+        x = nn.Dense(self.input_dim, dtype=dt, param_dtype=p.param_dtype,
+                     name="fc1")(x)
+        embedding = jax.nn.relu(x)
+        logits = _MLPHead(self.input_dim * 2, self.num_classes, p,
+                          name="head")(embedding, deterministic)
+        return p.cast_output(logits), p.cast_output(embedding)
+
+
+def build_classifier(
+    cfg: dict, arch: str, modality: str,
+    modality_a: str = "pet", modality_b: str = "ct",
+    num_classes: int = 2, policy: Policy = FAST,
+):
+    """Instantiate a classifier from the merged config tree.
+
+    Mirrors reference ``build_model`` (train_models.py:455-486): bimodal
+    for petct/petchest, conv or unimodal transformer otherwise.
+    """
+    cfg_model = cfg["models"][arch]
+    feature_dim = cfg_model["feature_dim"]
+    if modality in ("petct", "petchest"):
+        mb, ma = cfg_model[modality_b], cfg_model[modality_a]
+        return TransformerNoduleBimodalClassifier(
+            input_dim=feature_dim,
+            ffn_dim_ct=int(mb["mlp_ratio"] * feature_dim),
+            ffn_dim_pet=int(ma["mlp_ratio"] * feature_dim),
+            num_heads_ct=mb["num_heads"],
+            num_heads_pet=ma["num_heads"],
+            num_layers_ct=mb["num_layers"],
+            num_layers_pet=ma["num_layers"],
+            num_classes=num_classes,
+            policy=policy,
+        )
+    if arch == "conv":
+        return ConvNoduleClassifier(
+            input_dim=feature_dim,
+            num_classes=num_classes,
+            div=cfg_model[modality]["div"],
+            policy=policy,
+        )
+    m = cfg_model[modality]
+    return TransformerNoduleClassifier(
+        input_dim=feature_dim,
+        ffn_dim=int(m["mlp_ratio"] * feature_dim),
+        num_heads=m["num_heads"],
+        num_classes=num_classes,
+        num_layers=m["num_layers"],
+        policy=policy,
+    )
