@@ -1,0 +1,231 @@
+"""Fused sampling parity + end-to-end extraction pipeline tests."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+import jax
+import jax.numpy as jnp
+
+from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
+from vit_deep_radiomics_tpu.engine.extract import (
+    DenseExtractor,
+    ExtractionConfig,
+    extract_isotropic_dataset,
+)
+from vit_deep_radiomics_tpu.ops import roi
+from vit_deep_radiomics_tpu.ops.sampling import (
+    fused_flip_rotate_crop_resize,
+    transform_mask,
+)
+
+
+class TestFusedSampling:
+    def test_identity_crop_resize_matches_jax_resize(self, rng):
+        """angle 0, no flips: the fused gather must equal materialising
+        the crop and resizing it (the reference's deterministic path)."""
+        vol = rng.uniform(size=(40, 48, 3)).astype(np.float32)
+        box = (jnp.int32(5), jnp.int32(8), jnp.int32(20), jnp.int32(20))
+        out = fused_flip_rotate_crop_resize(
+            jnp.asarray(vol), box, jnp.float32(0), jnp.bool_(False),
+            jnp.bool_(False), (jnp.int32(40), jnp.int32(48)), 64,
+        )
+        crop = vol[5:25, 8:28, :]
+        ref = jax.image.resize(
+            jnp.asarray(np.moveaxis(crop, 2, 0)), (3, 64, 64), "linear"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.clip(np.asarray(ref), 0, 1), atol=1e-5
+        )
+
+    def test_flip_horizontal_matches_manual(self, rng):
+        vol = rng.uniform(size=(16, 16, 2)).astype(np.float32)
+        box = (jnp.int32(0), jnp.int32(0), jnp.int32(16), jnp.int32(16))
+        out = fused_flip_rotate_crop_resize(
+            jnp.asarray(vol), box, jnp.float32(0), jnp.bool_(True),
+            jnp.bool_(False), (jnp.int32(16), jnp.int32(16)), 16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.moveaxis(vol[:, ::-1], 2, 0), atol=1e-6
+        )
+
+    def test_rotation_90_matches_scipy_interior(self, rng):
+        vol = rng.uniform(size=(32, 32, 1)).astype(np.float32)
+        box = (jnp.int32(0), jnp.int32(0), jnp.int32(32), jnp.int32(32))
+        out = fused_flip_rotate_crop_resize(
+            jnp.asarray(vol), box, jnp.float32(90), jnp.bool_(False),
+            jnp.bool_(False), (jnp.int32(32), jnp.int32(32)), 32,
+        )
+        ref = ndi.rotate(vol[:, :, 0], 90, reshape=False, order=1,
+                         mode="nearest")
+        np.testing.assert_allclose(np.asarray(out[0]), np.clip(ref, 0, 1),
+                                   atol=1e-5)
+
+    def test_padded_volume_gives_same_result(self, rng):
+        """Padding H/W (the compile-bucket trick) must not change output."""
+        vol = rng.uniform(size=(30, 26, 2)).astype(np.float32)
+        box = (jnp.int32(2), jnp.int32(3), jnp.int32(20), jnp.int32(18))
+        args = (jnp.float32(45), jnp.bool_(True), jnp.bool_(False),
+                (jnp.int32(30), jnp.int32(26)), 48)
+        base = fused_flip_rotate_crop_resize(jnp.asarray(vol), box, *args)
+        padded = np.zeros((32, 32, 2), np.float32)
+        padded[:30, :26] = vol
+        out = fused_flip_rotate_crop_resize(jnp.asarray(padded), box, *args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-6)
+
+    def test_transform_mask_90(self):
+        mask = np.zeros((16, 16, 1), np.float32)
+        mask[2:5, 7:9, 0] = 1
+        out = np.asarray(transform_mask(
+            jnp.asarray(mask), jnp.float32(90), jnp.bool_(False),
+            jnp.bool_(False), (jnp.int32(16), jnp.int32(16)),
+        ))
+        ref = ndi.rotate(mask[:, :, 0], 90, reshape=False, order=1,
+                         mode="nearest") > 0
+        np.testing.assert_array_equal(out[:, :, 0], ref)
+
+
+@pytest.fixture(scope="module")
+def small_extractor():
+    cfg = ExtractionConfig(
+        model_name="medsam", image_size=64, slice_batch=4,
+        precision="parity", use_flash=False, volume_bucket=32,
+        flips=(None, "horizontal"), angles=(0, 90),
+    )
+    # shrink the backbone for test speed
+    import dataclasses
+
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B
+
+    small = dataclasses.replace(
+        SAM_VIT_B, image_size=64, width=96, depth=2, num_heads=3,
+        window_size=2, global_indexes=(1,), neck_channels=32,
+    )
+    ex = DenseExtractor.__new__(DenseExtractor)
+    ex.config = cfg
+    from vit_deep_radiomics_tpu.core.precision import get_policy
+    from vit_deep_radiomics_tpu.models.vit import ViTDense
+
+    ex.policy = get_policy(cfg.precision)
+    ex.backbone_cfg = small
+    ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
+    ex.image_size = 64
+    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ex.params = jax.jit(ex.model.init)(jax.random.PRNGKey(0), dummy)
+    ex._apply = jax.jit(ex.model.apply)
+    return ex
+
+
+class TestExtractVolume:
+    def test_feature_and_mask_shapes(self, small_extractor):
+        rng = np.random.default_rng(0)
+        vol, mask, _ = synthetic.synthetic_volume(rng, 64, 64, 3)
+        feats, masks, (sl, an, fl) = small_extractor.extract_volume(
+            vol, mask, "ct"
+        )
+        n_augs = 2 * 2  # (None, horizontal) x (0, 90)
+        assert len(feats) == len(masks) == 3 * n_augs
+        assert sl == list(range(3)) * n_augs
+        for f, m in zip(feats, masks):
+            assert f.ndim == 3 and f.shape[2] == 32   # neck channels
+            assert m.ndim == 2
+            assert f.shape[0] > 0 and f.shape[1] > 0
+
+    def test_angle0_matches_unfused_reference_flow(self, small_extractor):
+        """Deterministic parity: identity augmentation must equal the
+        step-by-step flow (normalize → crop → resize → ViT → ROI)."""
+        rng = np.random.default_rng(1)
+        vol, mask, _ = synthetic.synthetic_volume(rng, 64, 64, 2)
+        cfg = small_extractor.config
+
+        feats, _, (sl, an, fl) = small_extractor.extract_volume(
+            vol, mask, "ct"
+        )
+        idx = [i for i, (a, f) in enumerate(zip(an, fl))
+               if a == 0 and f is None]
+
+        # independent unfused flow
+        from vit_deep_radiomics_tpu.ops import preprocess as pp
+
+        norm = np.asarray(pp.apply_window_ct(jnp.asarray(vol), 800, 40))
+        union = mask.sum(-1) > 0
+        xmin, ymin, xmax, ymax = roi.square_crop_box(union, margin=2)
+        crop = roi.crop_image(norm, xmin, ymin, xmax, ymax)
+        union_crop = roi.crop_image(union, xmin, ymin, xmax, ymax)
+        with jax.default_matmul_precision("highest"):
+            for j, i in enumerate(idx):
+                sl_img = jax.image.resize(
+                    jnp.asarray(crop[:, :, j]), (64, 64), "linear"
+                )
+                sl_img = jnp.clip(sl_img, 0, 1)
+                rgb = jnp.repeat(sl_img[None, :, :, None], 3, axis=-1)
+                ref_fmap = np.asarray(
+                    small_extractor._apply(small_extractor.params, rgb)
+                )[0]
+                ref_crop = roi.extract_roi(ref_fmap, union_crop)
+                np.testing.assert_allclose(
+                    feats[i], ref_crop, atol=5e-4, rtol=1e-3
+                )
+
+    def test_empty_mask_raises(self, small_extractor):
+        vol = np.zeros((64, 64, 2), np.float32)
+        with pytest.raises(ValueError, match="empty"):
+            small_extractor.extract_volume(vol, np.zeros_like(vol), "ct")
+
+
+class TestEndToEndExtraction:
+    def test_dataset_sweep_contract(self, small_extractor, tmp_path):
+        cohort = synthetic.synthetic_cohort(
+            n_patients=2, seed=3, dataset="stanford",
+            height=64, width=64, ct_slices=3, pet_slices=2,
+        )
+        h5 = tmp_path / "iso.hdf5"
+        csv = tmp_path / "iso.csv"
+        synthetic.write_isotropic_hdf5(cohort, h5, csv)
+
+        feat_dir = tmp_path / "features"
+        written = extract_isotropic_dataset(
+            h5, csv, feat_dir, small_extractor,
+            modalities=("pet", "ct"), datasets=("stanford",),
+        )
+        assert len(written) == 4  # 2 patients x 2 modalities
+
+        # HDF5 store contract
+        for modality, n_slices in (("ct", 3), ("pet", 2)):
+            store = feat_dir / f"features_masks_{modality}.hdf5"
+            pids = feature_store.patient_ids_in_store(store)
+            assert sorted(pids) == sorted(cohort.keys())
+            feats, masks = feature_store.read_patient_features(
+                store, pids[0]
+            )
+            assert len(feats) == n_slices * 4  # 4 augmentations
+
+        # parquet schema contract
+        import pandas as pd
+
+        df = pd.read_parquet(written[0])
+        expected_cols = {
+            "feature_id", "slice", "angle", "flip", "patient_id", "label",
+            "dataset", "modality", "augmentation", "spatial_res",
+        }
+        assert expected_cols <= set(df.columns)
+        assert (~df[(df["flip"] == "None") & (df["angle"] == 0)]
+                ["augmentation"]).all()
+
+        # resume: second run writes nothing
+        assert extract_isotropic_dataset(
+            h5, csv, feat_dir, small_extractor,
+            modalities=("pet", "ct"), datasets=("stanford",),
+        ) == []
+
+        # merge + split on top of extraction outputs
+        merged = feature_store.merge_metadata(
+            feat_dir, datasets=("stanford_dataset",)
+        )
+        assert (feat_dir / "petct.parquet").exists()
+        folds = splits.build_kfold_patients(merged, n_splits=2)
+        assert set(folds) == {"ct", "pet"}
+        for ds in folds["ct"].values():
+            for fold in ds.values():
+                assert set(fold) == {"train", "test"}

@@ -1,0 +1,151 @@
+"""Feature store: HDF5 descriptor maps + parquet per-slice metadata.
+
+Keeps the reference's artifact contract so downstream tooling is
+interchangeable:
+
+* HDF5 layout ``{patient_id}/features/{i}`` and ``{patient_id}/masks/{i}``
+  with lzf compression and overwrite-if-exists
+  (/root/reference/src/tfds_dense_descriptor.py:142-165),
+* per-patient parquet with columns feature_id, slice, angle, flip,
+  patient_id, label, dataset, modality, augmentation, spatial_res
+  (:453-490) — with the reference's ``df['flip'] is None`` bug fixed the
+  way merge_dataframe_features.py:28 fixes it (augmentation is False for
+  the identity flip+angle row),
+* merged ``petct.parquet`` (merge_dataframe_features.py:17-30).
+
+All I/O is host-side (h5py / pyarrow); device arrays never block on it.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Sequence
+
+import h5py
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "save_features",
+    "read_patient_features",
+    "patient_ids_in_store",
+    "slice_metadata_frame",
+    "merge_metadata",
+]
+
+
+def save_features(
+    filename: str | os.PathLike,
+    all_features: Sequence[np.ndarray],
+    all_masks: Sequence[np.ndarray],
+    patient_id: str,
+) -> None:
+    """Write per-slice feature maps + masks for one patient.
+
+    Same layout/compression/overwrite semantics as reference
+    ``save_features`` (tfds_dense_descriptor.py:142-165).
+    """
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(filename, "a") as h5f:
+        if patient_id in h5f:
+            del h5f[patient_id]
+        group = h5f.create_group(patient_id)
+        for i, (feature, mask) in enumerate(zip(all_features, all_masks)):
+            feature = np.asarray(feature)
+            mask = np.asarray(mask)
+            group.create_dataset(
+                f"features/{i}", data=feature, compression="lzf",
+                chunks=feature.shape,
+            )
+            group.create_dataset(
+                f"masks/{i}", data=mask, compression="lzf",
+                chunks=mask.shape,
+            )
+
+
+def read_patient_features(
+    filename: str | os.PathLike,
+    patient_id: str,
+    feature_ids: Sequence[int] | None = None,
+):
+    """Read (features, masks) lists for a patient.
+
+    Mirrors the per-feature_id reads of the reference trainer
+    (train_models.py:147-157) but in one file-open.
+    """
+    features, masks = [], []
+    with h5py.File(filename, "r") as h5f:
+        group = h5f[patient_id]
+        if feature_ids is None:
+            feature_ids = sorted(int(k) for k in group["features"].keys())
+        for fid in feature_ids:
+            features.append(group[f"features/{fid}"][()])
+            masks.append(group[f"masks/{fid}"][()])
+    return features, masks
+
+
+def patient_ids_in_store(filename: str | os.PathLike) -> list[str]:
+    with h5py.File(filename, "r") as h5f:
+        return list(h5f.keys())
+
+
+def slice_metadata_frame(
+    slices: Sequence[int],
+    angles: Sequence[int],
+    flips: Sequence[str | None],
+    patient_id: str,
+    label: int,
+    dataset: str,
+    modality: str,
+    spatial_res: np.ndarray,
+) -> pd.DataFrame:
+    """Per-slice metadata rows, reference schema
+    (tfds_dense_descriptor.py:453-490).
+
+    ``feature_id`` is the row index into the HDF5 feature list;
+    ``augmentation`` is False only for the identity transform (the fixed
+    semantics of merge_dataframe_features.py:28).
+    """
+    df = pd.DataFrame({
+        "slice": list(slices),
+        "angle": list(angles),
+        "flip": [str(f) for f in flips],
+    })
+    df = df.reset_index(drop=False).rename(columns={"index": "feature_id"})
+    df["patient_id"] = patient_id
+    df["label"] = label
+    df["dataset"] = dataset
+    df["modality"] = modality
+    df["augmentation"] = ~((df["flip"] == "None") & (df["angle"] == 0))
+    df["spatial_res"] = [np.asarray(spatial_res, np.float64)] * len(df)
+    return df
+
+
+def merge_metadata(
+    feature_dir: str | os.PathLike,
+    datasets: Sequence[str] = ("santa_maria_dataset", "stanford_dataset"),
+    output_path: str | os.PathLike | None = None,
+) -> pd.DataFrame:
+    """Concatenate all per-patient parquets into ``petct.parquet``.
+
+    Mirrors merge_dataframe_features.py:17-30 (including recomputing
+    ``augmentation`` from flip/angle).
+    """
+    feature_dir = Path(feature_dir)
+    frames = []
+    for dataset in datasets:
+        ds_dir = feature_dir / dataset
+        if ds_dir.is_dir():
+            for fn in sorted(ds_dir.iterdir()):
+                if fn.suffix == ".parquet":
+                    frames.append(pd.read_parquet(fn))
+    if not frames:
+        raise FileNotFoundError(f"no per-patient parquets under {feature_dir}")
+    df = pd.concat(frames)
+    df["flip"] = df["flip"].astype(str)
+    df["augmentation"] = ~((df["flip"] == "None") & (df["angle"] == 0))
+    df = df.reset_index(drop=True)
+    out = Path(output_path) if output_path else feature_dir / "petct.parquet"
+    df.to_parquet(out)
+    return df

@@ -1,0 +1,139 @@
+"""Synthetic PET/CT volumes: test fixtures and end-to-end smoke data.
+
+The reference has no fixtures at all (SURVEY.md §4); these generators
+produce volumes with the same shape/semantics as its ingestion layer —
+HU-valued CT, liver-normalised-style PET, blob nodule masks, per-exam
+spatial resolution — plus an on-disk writer using the isotropic-HDF5
+contract the reference reads (``{pid}_{modality}/img_exam/{k}`` /
+``mask_exam/{k}``, /root/reference/src/tfds_dense_descriptor.py:353-362)
+so the extraction engine can be driven exactly like the real pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+__all__ = [
+    "synthetic_volume",
+    "synthetic_cohort",
+    "write_isotropic_hdf5",
+    "read_isotropic_hdf5",
+]
+
+
+def synthetic_volume(
+    rng: np.random.Generator,
+    height: int = 96,
+    width: int = 96,
+    slices: int = 8,
+    modality: str = "ct",
+    nodule_radius: int = 6,
+):
+    """One (H, W, S) volume + boolean nodule mask + spatial resolution.
+
+    CT voxels are HU-like (air/lung body with a soft-tissue nodule);
+    PET voxels are nonnegative uptake values with a hot nodule.
+    """
+    h, w, s = height, width, slices
+    if modality == "ct":
+        vol = rng.normal(-750, 150, size=(h, w, s)).astype(np.float32)
+    else:
+        vol = np.abs(rng.normal(0.5, 0.3, size=(h, w, s))).astype(np.float32)
+
+    cy = int(rng.integers(h // 4, 3 * h // 4))
+    cx = int(rng.integers(w // 4, 3 * w // 4))
+    cz = s // 2
+    yy, xx, zz = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(s), indexing="ij"
+    )
+    r2 = ((yy - cy) ** 2 + (xx - cx) ** 2
+          + ((zz - cz) * 2) ** 2)
+    mask = r2 <= nodule_radius ** 2
+    if modality == "ct":
+        vol[mask] = rng.normal(35, 10, size=int(mask.sum())).astype(np.float32)
+    else:
+        vol[mask] += 3.0
+    spatial_res = np.asarray([0.8, 0.8, 0.8], np.float64)
+    return vol, mask, spatial_res
+
+
+def synthetic_cohort(
+    n_patients: int = 4,
+    seed: int = 0,
+    dataset: str = "stanford",
+    modalities=("ct", "pet"),
+    height: int = 96,
+    width: int = 96,
+    ct_slices: int = 8,
+    pet_slices: int = 4,
+):
+    """Dict cohort: {pid: {'label': int, modality: (vol, mask, res)}}."""
+    rng = np.random.default_rng(seed)
+    cohort = {}
+    for i in range(n_patients):
+        pid = f"{dataset}_{i:03d}"
+        label = int(rng.uniform() > 0.5)
+        entry = {"label": label, "dataset": dataset}
+        for modality in modalities:
+            s = ct_slices if modality in ("ct", "chest") else pet_slices
+            entry[modality] = synthetic_volume(
+                rng, height, width, s, modality=modality
+            )
+        cohort[pid] = entry
+    return cohort
+
+
+def write_isotropic_hdf5(
+    cohort: dict, hdf5_path: str | os.PathLike, csv_path: str | os.PathLike
+) -> None:
+    """Persist a cohort in the reference's isotropic-HDF5 + CSV contract.
+
+    HDF5: per-slice datasets ``{pid}_{modality}/img_exam/{k}`` and
+    ``mask_exam/{k}`` (tfds_dense_descriptor.py:353-362); CSV metadata
+    with patient_id / egfr / dataset / has_<modalities> columns
+    (:396-400).
+    """
+    import pandas as pd
+
+    Path(hdf5_path).parent.mkdir(parents=True, exist_ok=True)
+    rows = []
+    with h5py.File(hdf5_path, "w") as h5f:
+        for pid, entry in cohort.items():
+            for modality in ("ct", "pet", "chest"):
+                if modality not in entry:
+                    continue
+                vol, mask, _res = entry[modality]
+                grp = h5f.create_group(f"{pid}_{modality}")
+                for k in range(vol.shape[2]):
+                    grp.create_dataset(f"img_exam/{k}", data=vol[:, :, k])
+                    grp.create_dataset(f"mask_exam/{k}", data=mask[:, :, k])
+            rows.append({
+                "patient_id": pid,
+                "egfr": "Mutant" if entry["label"] else "Wildtype",
+                "dataset": entry["dataset"],
+                "has_petct": "ct" in entry and "pet" in entry,
+                "has_petchest": "chest" in entry and "pet" in entry,
+            })
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+
+def read_isotropic_hdf5(
+    hdf5_path: str | os.PathLike, patient_id: str, modality: str,
+    isotropic_scale: float = 0.8,
+):
+    """(volume, mask, spatial_res) from the isotropic store.
+
+    Parity with reference ``get_voxels`` (tfds_dense_descriptor.py:353-362)
+    including the hardcoded isotropic resolution.
+    """
+    spatial_res = np.asarray([isotropic_scale] * 3, np.float64)
+    with h5py.File(hdf5_path, "r") as h5f:
+        idm = f"{patient_id}_{modality}"
+        keys = sorted(int(k) for k in h5f[f"{idm}/img_exam"].keys())
+        img = np.dstack([h5f[f"{idm}/img_exam/{k}"][()] for k in keys])
+        mask = np.dstack([h5f[f"{idm}/mask_exam/{k}"][()] for k in keys])
+    return img, mask, spatial_res

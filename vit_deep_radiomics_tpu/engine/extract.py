@@ -1,0 +1,295 @@
+"""Dense-descriptor extraction engine.
+
+TPU-native rebuild of the reference's extraction hot path
+(/root/reference/src/tfds_dense_descriptor.py:364-491, call stack
+SURVEY.md §3.1).  The reference runs, per slice per augmentation, a
+host→device transfer, a ViT forward, a device→host transfer, and a CUDA
+cache flush (:121-137) — ≈ 12 augs × S slices × 2 modalities round trips
+per patient.  Here:
+
+* the volume is pushed to HBM once, normalised on device,
+* each augmentation's flip→rotate→crop→resize collapses into one fused
+  gather (ops/sampling.py) with static output shape,
+* the frozen ViT consumes slice batches; only the final (64, 64, 256)
+  feature maps return to host for the variable-shape ROI crop + HDF5
+  write (the only inherently host-side step, shapes are data-dependent),
+* per-patient outputs keep the reference's idempotent skip-if-exists
+  contract (:425) so interrupted sweeps resume for free.
+
+Geometry parity: the nodule box uses the reference's exact arithmetic —
+``extract_coords`` margin *shift* quirk included — via ops/roi.py, so
+feature/mask crops align with reference outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Callable, Iterable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.precision import FAST, Policy, get_policy
+from ..data import feature_store
+from ..data.synthetic import read_isotropic_hdf5
+from ..models import convert as convert_mod
+from ..models.vit import DINOV2_CONFIGS, SAM_VIT_B, ViTDense, ViTDenseConfig
+from ..ops import preprocess as pp
+from ..ops import roi
+from ..ops.sampling import fused_flip_rotate_crop_resize, transform_mask
+
+__all__ = ["ExtractionConfig", "DenseExtractor", "extract_isotropic_dataset"]
+
+FLIPS = (None, "horizontal", "vertical")
+ANGLES = (0, 45, 90, 135)
+
+
+@dataclasses.dataclass
+class ExtractionConfig:
+    """Extraction run settings (CLI flags of the reference __main__)."""
+
+    model_name: str = "medsam"          # 'medsam' | 'dinov2_vit{s,b,l,g}14'
+    model_path: str | None = None       # .pth checkpoint to convert
+    image_size: int | None = None       # default: 1024 medsam / 896 dinov2
+    slice_batch: int = 8
+    precision: str = "fast"
+    use_flash: bool = True
+    ct_window: tuple[float, float] = (800.0, 40.0)   # (width, level), ref :443
+    volume_bucket: int = 32             # pad H/W to a multiple (compile reuse)
+    flips: tuple = FLIPS
+    angles: tuple = ANGLES
+
+
+def _backbone_for(cfg: ExtractionConfig) -> tuple[ViTDenseConfig, bool]:
+    """(model config, patch_embed_only) for a reference model name."""
+    if cfg.model_name == "medsam":
+        image_size = cfg.image_size or 1024
+        return (
+            dataclasses.replace(SAM_VIT_B, image_size=image_size),
+            False,
+        )
+    if cfg.model_name in DINOV2_CONFIGS:
+        # reference dinov2 path resizes to 896 and uses patch_embed only
+        # (tfds_dense_descriptor.py:44, 128)
+        image_size = cfg.image_size or 896
+        return (
+            dataclasses.replace(
+                DINOV2_CONFIGS[cfg.model_name], image_size=image_size
+            ),
+            True,
+        )
+    raise ValueError(f"unknown model_name {cfg.model_name!r}")
+
+
+class DenseExtractor:
+    """Jitted whole-volume dense-descriptor extractor."""
+
+    def __init__(
+        self,
+        config: ExtractionConfig | None = None,
+        params=None,
+        rng_seed: int = 0,
+    ):
+        self.config = config or ExtractionConfig()
+        self.policy: Policy = get_policy(self.config.precision)
+        self.backbone_cfg, patch_only = _backbone_for(self.config)
+        self.model = ViTDense(
+            self.backbone_cfg,
+            policy=self.policy,
+            use_flash=self.config.use_flash,
+            patch_embed_only=patch_only,
+        )
+        self.image_size = self.backbone_cfg.image_size
+        if params is None and self.config.model_path:
+            state = convert_mod.load_torch_state_dict(self.config.model_path)
+            if self.config.model_name == "medsam":
+                params = {"params": convert_mod.sam_params_from_torch(
+                    state, self.backbone_cfg)}
+            else:
+                params = {"params": convert_mod.dinov2_params_from_torch(
+                    state, self.backbone_cfg)}
+        if params is None:
+            dummy = jnp.zeros(
+                (1, self.image_size, self.image_size, 3), jnp.float32
+            )
+            params = jax.jit(self.model.init)(
+                jax.random.PRNGKey(rng_seed), dummy
+            )
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    # -- device helpers ----------------------------------------------------
+
+    def _normalize(self, vol: np.ndarray, modality: str) -> jax.Array:
+        """Reference normalisation (tfds_dense_descriptor.py:441-447):
+        medsam CT → HU window (800, 40); dinov2 CT → HU→RGB / 255;
+        PET → /max."""
+        v = jnp.asarray(vol)
+        if modality in ("ct", "chest"):
+            if self.config.model_name == "medsam":
+                w, l = self.config.ct_window
+                return pp.apply_window_ct(v, w, l)
+            return pp.hu_to_rgb(v).astype(jnp.float32) / 255.0
+        return pp.normalize_pet(v)
+
+    def _pad_volume(self, vol: jax.Array) -> jax.Array:
+        b = self.config.volume_bucket
+        h, w = vol.shape[0], vol.shape[1]
+        ph = -(-h // b) * b
+        pw = -(-w // b) * b
+        pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (vol.ndim - 2)
+        return jnp.pad(vol, pad) if (ph, pw) != (h, w) else vol
+
+    def _vit_features(self, slices: jax.Array) -> np.ndarray:
+        """(S, out, out[, C]) resampled slices → (S, g, g, feat) maps,
+        batched through the jitted forward in slice_batch chunks."""
+        if slices.ndim == 3:
+            slices = jnp.repeat(slices[..., None], 3, axis=-1)
+        s = slices.shape[0]
+        sb = self.config.slice_batch
+        outs = []
+        for start in range(0, s, sb):
+            chunk = slices[start:start + sb]
+            if chunk.shape[0] < sb:  # pad final chunk for shape stability
+                pad = sb - chunk.shape[0]
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
+                out = self._apply(self.params, chunk)[: s - start]
+            else:
+                out = self._apply(self.params, chunk)
+            outs.append(np.asarray(out, np.float32))
+        return np.concatenate(outs, axis=0)
+
+    # -- per-volume extraction ----------------------------------------------
+
+    def extract_volume(
+        self,
+        vol: np.ndarray,        # (H, W, S) raw intensities
+        mask: np.ndarray,       # (H, W, S) nodule mask
+        modality: str,
+    ):
+        """All augmentations of one volume → (features, masks, meta).
+
+        Returns lists across augmentations×slices (the HDF5 feature_id
+        order of the reference, flips outer, angles inner, slices
+        innermost — tfds_dense_descriptor.py:463-478) plus the metadata
+        columns (slices, angles, flips).
+        """
+        cfg = self.config
+        h, w, s = vol.shape
+        if not mask.any():
+            raise ValueError("empty nodule mask — nothing to extract")
+
+        vol_dev = self._pad_volume(self._normalize(vol, modality))
+        mask_dev = self._pad_volume(jnp.asarray(mask, jnp.float32))
+        valid_hw = (jnp.int32(h), jnp.int32(w))
+
+        features_list: list[np.ndarray] = []
+        masks_list: list[np.ndarray] = []
+        meta_slices: list[int] = []
+        meta_angles: list[int] = []
+        meta_flips: list[str | None] = []
+
+        for flip in cfg.flips:
+            fh = jnp.bool_(flip == "horizontal")
+            fv = jnp.bool_(flip == "vertical")
+            for angle in cfg.angles:
+                ang = jnp.float32(angle)
+                m_rot = np.asarray(
+                    transform_mask(mask_dev, ang, fh, fv, valid_hw)
+                )[:h, :w]
+                union = m_rot.sum(axis=-1) > 0
+                if not union.any():
+                    continue
+                xmin, ymin, xmax, ymax = roi.square_crop_box(union, margin=2)
+                # clamp like reference crop_image (:93-98)
+                ymin_c, ymax_c = max(0, ymin), min(h, ymax)
+                xmin_c, xmax_c = max(0, xmin), min(w, xmax)
+                ch, cw = ymax_c - ymin_c, xmax_c - xmin_c
+                box = (
+                    jnp.int32(ymin_c), jnp.int32(xmin_c),
+                    jnp.int32(ch), jnp.int32(cw),
+                )
+                resampled = fused_flip_rotate_crop_resize(
+                    vol_dev, box, ang, fh, fv, valid_hw, cfg.image_size
+                )
+                feats = self._vit_features(resampled)  # (S, g, g, C) host
+
+                union_crop = union[ymin_c:ymax_c, xmin_c:xmax_c]
+                m_crop = m_rot[ymin_c:ymax_c, xmin_c:xmax_c]
+                for i in range(s):
+                    features_list.append(
+                        roi.extract_roi(feats[i], union_crop)
+                    )
+                    masks_list.append(
+                        roi.extract_roi(m_crop[:, :, i] > 0, union_crop)
+                    )
+                meta_slices.extend(range(s))
+                meta_angles.extend([angle] * s)
+                meta_flips.extend([flip] * s)
+
+        return features_list, masks_list, (meta_slices, meta_angles, meta_flips)
+
+
+def extract_isotropic_dataset(
+    hdf5_path: str | os.PathLike,
+    metadata_csv: str | os.PathLike,
+    feature_folder: str | os.PathLike,
+    extractor: DenseExtractor,
+    modalities: tuple[str, str] = ("pet", "ct"),
+    datasets: Iterable[str] = ("santa_maria", "stanford"),
+    progress: Callable[[str], None] | None = None,
+) -> list[str]:
+    """Sweep the isotropic-HDF5 dataset → per-patient parquet + HDF5 store.
+
+    Mirrors the reference's live extraction path (the isotropic branch of
+    its __main__, tfds_dense_descriptor.py:395-400, 448-491): patient list
+    from the metadata CSV (label = egfr == 'Mutant'), skip-if-parquet-
+    exists resumability, feature stores per modality.  Returns written
+    parquet paths.
+    """
+    import pandas as pd
+
+    feature_folder = Path(feature_folder)
+    df_meta = pd.read_csv(metadata_csv)
+    df_meta["label"] = (df_meta["egfr"] == "Mutant").astype(int)
+    has_col = f"has_{''.join(modalities)}"
+    if has_col in df_meta.columns:
+        df_meta = df_meta[df_meta[has_col]]
+    written = []
+    for dataset_name in datasets:
+        ds_rows = df_meta[df_meta["dataset"] == dataset_name]
+        features_dir = feature_folder / f"{dataset_name}_dataset"
+        features_dir.mkdir(parents=True, exist_ok=True)
+        for _, row in ds_rows.iterrows():
+            pid = row["patient_id"]
+            for modality in modalities:
+                df_path = features_dir / f"{pid}_{modality}.parquet"
+                h5_path = feature_folder / f"features_masks_{modality}.hdf5"
+                if df_path.exists():
+                    continue  # idempotent resume (ref :425)
+                vol, mask, spatial_res = read_isotropic_hdf5(
+                    hdf5_path, pid, modality
+                )
+                if progress:
+                    progress(f"{dataset_name}/{pid}/{modality}")
+                feats, masks, (sl, an, fl) = extractor.extract_volume(
+                    vol, mask, modality
+                )
+                df = feature_store.slice_metadata_frame(
+                    sl, an, fl,
+                    patient_id=pid,
+                    label=int(row["label"]),
+                    dataset=dataset_name,
+                    modality=modality,
+                    spatial_res=spatial_res,
+                )
+                feature_store.save_features(h5_path, feats, masks, pid)
+                df.to_parquet(df_path)
+                written.append(str(df_path))
+    return written
