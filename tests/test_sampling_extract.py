@@ -177,7 +177,7 @@ class TestExtractVolume:
 class TestEndToEndExtraction:
     def test_dataset_sweep_contract(self, small_extractor, tmp_path):
         cohort = synthetic.synthetic_cohort(
-            n_patients=2, seed=3, dataset="stanford",
+            n_patients=4, seed=3, dataset="stanford",
             height=64, width=64, ct_slices=3, pet_slices=2,
         )
         h5 = tmp_path / "iso.hdf5"
@@ -189,7 +189,7 @@ class TestEndToEndExtraction:
             h5, csv, feat_dir, small_extractor,
             modalities=("pet", "ct"), datasets=("stanford",),
         )
-        assert len(written) == 4  # 2 patients x 2 modalities
+        assert len(written) == 8  # 4 patients x 2 modalities
 
         # HDF5 store contract
         for modality, n_slices in (("ct", 3), ("pet", 2)):

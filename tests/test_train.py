@@ -1,0 +1,275 @@
+"""End-to-end k-fold training smoke + unit tests for trainer pieces."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
+from vit_deep_radiomics_tpu.data.datasets import (
+    PETCTDataset,
+    batch_items,
+    find_divisor,
+    nearest_resize,
+    pad_tokens,
+    prepare_windows,
+)
+from vit_deep_radiomics_tpu.engine.train import (
+    TrainerConfig,
+    cosine_lr,
+    train_kfold,
+)
+
+
+class TestWindows:
+    def test_find_divisor_parity(self):
+        assert find_divisor(40, "ct") == 13
+        assert find_divisor(40, "chest") == 13
+        assert find_divisor(40, "pet") == 2
+        assert find_divisor(5, "ct") == 5
+        assert find_divisor(1, "pet") == 1
+
+    def test_prepare_windows_sliding(self):
+        rows = []
+        for s in range(20):
+            rows.append({"patient_id": "p1", "modality": "ct", "slice": s,
+                         "feature_id": s, "angle": 0, "flip": "None",
+                         "label": 1, "spatial_res": np.ones(3)})
+        for s in range(4):
+            rows.append({"patient_id": "p1", "modality": "pet", "slice": s,
+                         "feature_id": s, "angle": 0, "flip": "None",
+                         "label": 1, "spatial_res": np.ones(3)})
+        df = prepare_windows(pd.DataFrame(rows))
+        ct = df[df["modality"] == "ct"]
+        # 20 slices, window 13 -> starts 0..6 (range(0, 20-13))
+        assert ct["patient_id_new"].nunique() == 7
+        w0 = ct[ct["patient_id_new"] == "p1:0"]["slice"]
+        assert w0.min() == 0 and w0.max() == 13  # inclusive window
+        pet = df[df["modality"] == "pet"]
+        assert set(pet["patient_id_new"]) <= {"p1:0", "p1:1", "p1:2"}
+
+    def test_short_volume_kept(self):
+        rows = [
+            {"patient_id": "p1", "modality": "ct", "slice": s,
+             "feature_id": s, "angle": 0, "flip": "None", "label": 0,
+             "spatial_res": np.ones(3)}
+            for s in range(3)
+        ] + [
+            {"patient_id": "p1", "modality": "pet", "slice": 0,
+             "feature_id": 0, "angle": 0, "flip": "None", "label": 0,
+             "spatial_res": np.ones(3)}
+        ]
+        df = prepare_windows(pd.DataFrame(rows))
+        ct = df[df["modality"] == "ct"]
+        assert ct["patient_id_new"].nunique() == 1  # not dropped
+
+    def test_nearest_resize_half_pixel(self):
+        img = np.arange(16, dtype=np.float32).reshape(4, 4)
+        out = nearest_resize(img, (2, 2))
+        # skimage order-0 convention: samples at rows/cols {0.5, 2.5}->{0,2}
+        # rounded banker's -> indices (0, 2)
+        assert out.shape == (2, 2)
+        assert out[0, 0] in (img[0, 0], img[1, 1])
+
+    def test_pad_tokens_buckets(self, rng):
+        t = rng.normal(size=(100, 8)).astype(np.float32)
+        padded, mask = pad_tokens(t, (64, 128, 256))
+        assert padded.shape == (128, 8)
+        assert mask.sum() == 100
+
+
+class TestCosineLr:
+    def test_matches_torch_schedule(self):
+        torch = pytest.importorskip("torch")
+        lr0, epochs = 5e-4, 50
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=lr0)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=epochs * 0.8, eta_min=1e-4
+        )
+        for epoch in range(epochs):
+            torch_lr = opt.param_groups[0]["lr"]
+            ours = cosine_lr(epoch, lr0, epochs)
+            assert ours == pytest.approx(torch_lr, rel=1e-5), f"epoch {epoch}"
+            sched.step()
+
+
+@pytest.fixture(scope="module")
+def extracted(tmp_path_factory):
+    """Synthetic cohort → extraction outputs + merged metadata + folds."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.precision import get_policy
+    from vit_deep_radiomics_tpu.engine.extract import (
+        DenseExtractor,
+        ExtractionConfig,
+        extract_isotropic_dataset,
+    )
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    tmp = tmp_path_factory.mktemp("e2e")
+    cohort = synthetic.synthetic_cohort(
+        n_patients=4, seed=7, dataset="stanford",
+        height=64, width=64, ct_slices=4, pet_slices=2,
+    )
+    h5 = tmp / "iso.hdf5"
+    csv = tmp / "iso.csv"
+    synthetic.write_isotropic_hdf5(cohort, h5, csv)
+
+    small = dataclasses.replace(
+        SAM_VIT_B, image_size=64, width=96, depth=1, num_heads=3,
+        window_size=2, global_indexes=(0,), neck_channels=16,
+    )
+    ex = DenseExtractor.__new__(DenseExtractor)
+    ex.config = ExtractionConfig(
+        model_name="medsam", image_size=64, slice_batch=4,
+        precision="parity", use_flash=False, volume_bucket=32,
+        flips=(None,), angles=(0, 90),
+    )
+    ex.policy = get_policy("parity")
+    ex.backbone_cfg = small
+    ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
+    ex.image_size = 64
+    ex.params = jax.jit(ex.model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    ex._apply = jax.jit(ex.model.apply)
+
+    feat_dir = tmp / "features"
+    extract_isotropic_dataset(
+        h5, csv, feat_dir, ex, modalities=("pet", "ct"),
+        datasets=("stanford",),
+    )
+    df = feature_store.merge_metadata(feat_dir, datasets=("stanford_dataset",))
+    folds = splits.build_kfold_patients(df, n_splits=2)
+    return {
+        "dir": tmp,
+        "df": df,
+        "folds": folds,
+        "hdf5_ct": feat_dir / "features_masks_ct.hdf5",
+        "hdf5_pet": feat_dir / "features_masks_pet.hdf5",
+    }
+
+
+def _small_cfg(folds, feature_dim=16):
+    return {
+        "models": {
+            "transformer": {
+                "learning_rate": 5e-4, "feature_dim": feature_dim,
+                "batch_size": 2, "virtual_batch_size": 4,
+                "num_epochs": 2, "patience": 15,
+                "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+                "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            },
+            "conv": {
+                "learning_rate": 5e-4, "feature_dim": 16,
+                "batch_size": 1, "virtual_batch_size": 4,
+                "num_epochs": 1, "patience": 15,
+                "ct": {"div": 2}, "pet": {"div": 2},
+            },
+        },
+        "kfold_patients": folds,
+    }
+
+
+class TestDatasetPipeline:
+    def test_token_items_and_batches(self, extracted):
+        df = prepare_windows(extracted["df"].copy())
+        ds = PETCTDataset(
+            df, extracted["hdf5_ct"], extracted["hdf5_pet"],
+            use_augmentation=False, feature_dim=16, arch="transformer",
+        )
+        assert len(ds) > 0
+        item = ds[0]
+        assert item.tokens_ct.ndim == 2 and item.tokens_ct.shape[1] == 16
+        assert item.tokens_pet.shape[1] == 16
+        batches = list(batch_items([ds[i] for i in range(len(ds))], 2))
+        b = batches[0]
+        assert b["ct"].shape[0] == 2
+        assert b["ct_mask"].dtype == bool
+
+    def test_augmented_items_vary(self, extracted):
+        df = prepare_windows(extracted["df"].copy())
+        ds = PETCTDataset(
+            df, extracted["hdf5_ct"], extracted["hdf5_pet"],
+            use_augmentation=True, feature_dim=16, arch="transformer",
+            seed=3,
+        )
+        a = ds[0].tokens_ct
+        b = ds[0].tokens_ct
+        # jitter/PE noise should make repeated draws differ
+        assert a.shape != b.shape or not np.allclose(a, b)
+
+
+class TestTrainKfold:
+    def test_bimodal_crossmodal_end_to_end(self, extracted):
+        cfg = _small_cfg(extracted["folds"])
+        tcfg = TrainerConfig(
+            arch="transformer", modality="petct", loss="crossmodal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=2,
+        )
+        models_dir = extracted["dir"] / "models"
+        results = train_kfold(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
+            folds=[0], log=lambda *_: None,
+        )
+        hist = results[0]
+        assert len(hist) == 2
+        assert np.isfinite(hist["train_loss"]).all()
+        fold_dir = (models_dir / "petct" / "medsam_transformer_stanford"
+                    / "petct" / "kfold_0")
+        assert (fold_dir / "train_metrics_0.json").exists()
+        assert (fold_dir / "test_metrics_1.json").exists()
+        assert (fold_dir / "losses.html").exists()
+        # checkpoint gate saved at least one epoch
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+
+        assert ckpt.best_epochs(fold_dir)
+
+    def test_unimodal_focal_and_resume(self, extracted):
+        cfg = _small_cfg(extracted["folds"])
+        tcfg = TrainerConfig(
+            arch="transformer", modality="ct", loss="focal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=1,
+        )
+        models_dir = extracted["dir"] / "models2"
+        train_kfold(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
+            folds=[0], log=lambda *_: None,
+        )
+        # run again with more epochs: must resume past epoch 0
+        logs = []
+        tcfg2 = TrainerConfig(
+            arch="transformer", modality="ct", loss="focal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=2,
+        )
+        train_kfold(
+            extracted["df"], cfg, tcfg2,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
+            folds=[0], log=logs.append,
+        )
+        assert any("resumed" in str(s) for s in logs)
+
+    def test_conv_arch_smoke(self, extracted):
+        cfg = _small_cfg(extracted["folds"])
+        tcfg = TrainerConfig(
+            arch="conv", modality="ct", loss="focal",
+            dataset="stanford", batch_size=1, precision="parity",
+            max_epochs=1,
+        )
+        models_dir = extracted["dir"] / "models3"
+        results = train_kfold(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
+            folds=[0], log=lambda *_: None,
+        )
+        assert np.isfinite(results[0]["train_loss"]).all()

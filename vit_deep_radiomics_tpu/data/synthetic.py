@@ -76,7 +76,7 @@ def synthetic_cohort(
     cohort = {}
     for i in range(n_patients):
         pid = f"{dataset}_{i:03d}"
-        label = int(rng.uniform() > 0.5)
+        label = i % 2  # balanced, deterministic labels
         entry = {"label": label, "dataset": dataset}
         for modality in modalities:
             s = ct_slices if modality in ("ct", "chest") else pet_slices
