@@ -1,0 +1,253 @@
+"""Analysis-layer tests: aggregation, point clouds, fusion, exports."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vit_deep_radiomics_tpu.analysis import (
+    aggregate,
+    cloudcompare,
+    embeddings,
+    fusion,
+    pointcloud,
+    visualize,
+)
+from vit_deep_radiomics_tpu.data import synthetic
+
+
+def _write_fake_run(base, experiment, modality, n_folds=2, n_epochs=3,
+                    seed=0):
+    rng = np.random.default_rng(seed)
+    exp_dir = base / experiment / modality
+    for k in range(n_folds):
+        fold = exp_dir / f"kfold_{k}"
+        fold.mkdir(parents=True, exist_ok=True)
+        for e in range(n_epochs):
+            for split in ("train", "test"):
+                auc = float(rng.uniform(0.6, 0.95))
+                rep = {
+                    "0": {"precision": 0.7, "recall": 0.72,
+                          "f1-score": float(rng.uniform(0.5, 0.9)),
+                          "support": 10.0},
+                    "1": {"precision": 0.8, "recall": 0.81,
+                          "f1-score": float(rng.uniform(0.5, 0.9)),
+                          "support": 12.0},
+                    "accuracy": float(rng.uniform(0.6, 0.95)),
+                    "macro avg": {"precision": 0.75, "recall": 0.76,
+                                  "f1-score": 0.75, "support": 22.0},
+                    "weighted avg": {"precision": 0.76, "recall": 0.77,
+                                     "f1-score": 0.76, "support": 22.0},
+                    "ROC AUC": auc,
+                    "kfold": k, "loss": float(rng.uniform(0.2, 1.0)),
+                    "epoch": e, "split": split,
+                }
+                with open(fold / f"{split}_metrics_{e}.json", "w") as fh:
+                    json.dump(rep, fh)
+    return exp_dir
+
+
+class TestAggregate:
+    def test_means_and_composites(self):
+        assert aggregate.harmonic_mean(0.5, 0.5) == pytest.approx(0.5)
+        assert aggregate.geometric_mean(2, 4, 1) == pytest.approx(2.0)
+        assert aggregate.geometric_mean(1, 1, 8) == pytest.approx(2.0)
+
+    def test_summary_csv_schema(self, tmp_path):
+        base = tmp_path / "models" / "petct"
+        _write_fake_run(base, "medsam_transformer_stanford", "ct")
+        _write_fake_run(base, "medsam_conv_stanford", "pet", seed=1)
+        out = aggregate.aggregate_experiments(
+            tmp_path / "models", tmp_path / "metrics", folder="petct"
+        )
+        csv = tmp_path / "metrics" / "petct_metrics_sumary.csv"
+        assert csv.exists()
+        df = pd.read_csv(csv)
+        for col in ("Dataset", "Split", "Model", "Modality", "Accuracy",
+                    "AUC", "Precision", "Recall", "Specificity",
+                    "Sensivity", "Best Kfold", "Best Epoch"):
+            assert col in df.columns
+        assert set(df["Split"]) == {"train", "test"}
+        assert "±" in df["AUC"].iloc[0]
+        # best picker consumes it
+        k, e = embeddings.best_fold_epoch_from_summary(
+            csv, "stanford", "ct", "transformer"
+        )
+        assert 0 <= k <= 1 and 0 <= e <= 2
+
+    def test_best_epoch_selection_prefers_high_target(self, tmp_path):
+        base = tmp_path / "models" / "petct"
+        exp = _write_fake_run(base, "medsam_transformer_stanford", "ct",
+                              n_folds=1, n_epochs=5)
+        df = aggregate.collect_fold_metrics(exp)
+        best = aggregate.best_epochs_per_fold(df)
+        assert len(best) == 1
+        # recompute target by hand for the chosen epoch and a loser epoch
+        test = df[df.split == "test"].set_index("epoch")
+        train = df[df.split == "train"].set_index("epoch")
+        t = aggregate.geometric_mean(
+            test["auc"] * aggregate.harmonic_mean(test["auc"], train["auc"]),
+            test["f1_1"] * aggregate.harmonic_mean(test["f1_1"], train["f1_1"]),
+            test["f1_0"] * aggregate.harmonic_mean(test["f1_0"], train["f1_0"]),
+        )
+        assert int(best["epoch"].iloc[0]) == int(t.idxmax())
+
+
+class TestPointcloud:
+    def test_matches_reference_numpy_flow(self):
+        rng = np.random.default_rng(2)
+        vol, mask, res = synthetic.synthetic_volume(rng, 24, 24, 4)
+        df = pointcloud.to_pointcloud_df(
+            vol, mask, 1, res, "ct", patient_id="p0", dataset="stanford"
+        )
+        # reference flow: meshgrid 'xy', mask-bbox filter, window-norm,
+        # center
+        x, y, z = np.meshgrid(np.arange(24), np.arange(24), np.arange(4))
+        ref = pd.DataFrame({
+            "x": x.flatten() * res[0],
+            "y": y.flatten() * res[1],
+            "z": z.flatten() * res[2],
+            "raw": vol.flatten(),
+            "mask": mask.flatten().astype(float),
+        })
+        box = ref[ref["mask"] > 0][["x", "y", "z"]].agg(["min", "max"])
+        keep = np.ones(len(ref), bool)
+        for c in ("x", "y", "z"):
+            keep &= (ref[c] >= box.loc["min", c]) & (ref[c] <= box.loc["max", c])
+        ref = ref[keep].reset_index(drop=True)
+        ref[["x", "y", "z"]] -= ref[["x", "y", "z"]].mean(axis=0)
+
+        assert len(df) == len(ref)
+        np.testing.assert_allclose(
+            np.sort(df["raw"].to_numpy()), np.sort(ref["raw"].to_numpy()),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            df[["x", "y", "z"]].to_numpy().sum(axis=0), 0, atol=1e-3
+        )
+
+    def test_norm_column_ct_window(self):
+        rng = np.random.default_rng(3)
+        vol, mask, res = synthetic.synthetic_volume(rng, 16, 16, 2)
+        df = pointcloud.to_pointcloud_df(vol, mask, 0, res, "ct")
+        assert (df["norm"] >= 0).all() and (df["norm"] <= 1).all()
+
+
+def _fake_embedding_frame(n_patients=8, dim=6, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_patients):
+        label = i % 2
+        for modality in ("pet", "ct"):
+            for arch in ("transformer",):
+                for _rep in range(2):
+                    rows.append({
+                        "patient_id": f"p{i}",
+                        "dataset": "stanford",
+                        "modality": modality,
+                        "arch": arch,
+                        "y_true": label,
+                        "y_score": float(np.clip(
+                            label * 0.6 + rng.normal(0.2, 0.2), 0, 1)),
+                        "y_pred": label,
+                        "embedding": rng.normal(
+                            loc=label, size=dim).astype(np.float32),
+                    })
+    return pd.DataFrame(rows)
+
+
+class TestFusion:
+    def test_roc_table_and_html(self, tmp_path):
+        df = _fake_embedding_frame()
+        roc = fusion.roc_table(df)
+        assert {"model", "False Positive Rate", "True Positive Rate",
+                "Threshold", "F1 Score"} <= set(roc.columns)
+        out = fusion.write_roc_html(roc, tmp_path / "roc.html")
+        text = open(out).read()
+        assert "<svg" in text or "plotly" in text
+
+    def test_late_fusion_cv_reports(self):
+        df = _fake_embedding_frame(n_patients=10)
+        results = fusion.late_fusion_cv(
+            df, "stanford", "transformer", n_splits=2, hidden=(8,)
+        )
+        assert len(results) == 2
+        for r in results:
+            assert "accuracy" in r["report"]
+            assert "accuracy" in r["baseline_report"]
+
+
+class TestEmbeddingsProjection:
+    def test_pca_fallback_shape(self):
+        rng = np.random.default_rng(1)
+        emb = rng.normal(size=(20, 16)).astype(np.float32)
+        out = embeddings.project_3d(emb)
+        assert out.shape == (20, 3)
+
+    def test_scatter_html(self, tmp_path):
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({
+            "umap_x": rng.normal(size=12),
+            "umap_y": rng.normal(size=12),
+            "umap_z": rng.normal(size=12),
+            "y_true": [i % 2 for i in range(12)],
+        })
+        out = embeddings.write_scatter3d_html(
+            df, tmp_path / "umap.html", "test"
+        )
+        assert "<svg" in open(out).read()
+
+
+class TestCloudCompare:
+    def test_exports(self, tmp_path):
+        rng = np.random.default_rng(4)
+        n = 60
+        df = pd.DataFrame({
+            "x": rng.normal(size=n), "y": rng.normal(size=n),
+            "z": rng.normal(size=n),
+            "grey": rng.integers(0, 255, size=n),
+            "modality": ["ct"] * (n // 2) + ["pet"] * (n // 2),
+            "patient_id": (["p0"] * (n // 4) + ["p1"] * (n // 4)) * 2,
+            "label": ([0] * (n // 4) + [1] * (n // 4)) * 2,
+        })
+        patients = df[["patient_id", "label"]].drop_duplicates()
+        written = cloudcompare.export_to_cloud_compare(
+            df, patients, tmp_path / "points"
+        )
+        assert len(written) == 4  # 2 patients x 2 modalities
+        first = pd.read_csv(written[0], sep=" ")
+        assert list(first.columns) == ["x", "y", "z", "grey"]
+
+        df_umap = pd.DataFrame({
+            "patient_id": ["p0", "p1"],
+            "umap_x": [0.0, 5.0], "umap_y": [0.0, 5.0],
+            "umap_z": [0.0, 5.0],
+        })
+        out = cloudcompare.export_umap_to_cloud_compare(
+            df, df_umap, tmp_path / "umap_cc.txt", modality="ct"
+        )
+        exported = pd.read_csv(out, sep=" ")
+        assert {"x", "y", "z", "grey", "label"} <= set(exported.columns)
+
+    def test_pairwise_distances(self):
+        pts = np.array([[0.0, 0, 0], [3.0, 4, 0]])
+        d = cloudcompare.pairwise_distances(pts)
+        assert d[0, 1] == pytest.approx(5.0)
+        assert np.isinf(d[0, 0])
+
+
+class TestVisualize:
+    def test_pca_colorize_shapes(self, rng):
+        feats = rng.normal(size=(64, 8)).astype(np.float32)
+        out = visualize.pca_colorize(feats, (8, 8))
+        assert out.shape == (8, 8, 3)
+        assert out.min() >= 0 and out.max() <= 1
+
+    def test_pca_colorize_few_samples(self):
+        out = visualize.pca_colorize(np.ones((2, 5)), (1, 2))
+        assert out.shape == (1, 2, 3)
+
+    def test_min_max_scale_constant(self):
+        x = np.full(4, 2.5)
+        np.testing.assert_array_equal(visualize.min_max_scale(x), x)
