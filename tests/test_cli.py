@@ -1,0 +1,156 @@
+"""CLI end-to-end: extract → merge → split → train → aggregate → umap →
+pointcloud, all through the command-line entry points in a temp project.
+
+Uses the DINOv2-small patch-embed-only backbone at a tiny image size so
+the whole chain runs on CPU in seconds.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from vit_deep_radiomics_tpu.cli import (
+    aggregate as cli_aggregate,
+    extract as cli_extract,
+    merge as cli_merge,
+    pointcloud as cli_pointcloud,
+    split as cli_split,
+    train as cli_train,
+    umap_embed as cli_umap,
+)
+from vit_deep_radiomics_tpu.data import synthetic
+
+FEATURE_DIM = 384  # dinov2_vits14 width
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    """Temp project dir: .git, conf, synthetic isotropic dataset."""
+    root = tmp_path_factory.mktemp("proj")
+    (root / ".git").mkdir()
+    conf = root / "conf"
+    conf.mkdir()
+    (conf / "parameters_models.yaml").write_text(yaml.dump({
+        "models": {
+            "transformer": {
+                "learning_rate": 5e-4, "feature_dim": FEATURE_DIM,
+                "batch_size": 2, "virtual_batch_size": 4,
+                "num_epochs": 2, "patience": 15,
+                "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+                "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+                "chest": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            },
+            "conv": {
+                "learning_rate": 5e-4, "feature_dim": FEATURE_DIM,
+                "batch_size": 1, "virtual_batch_size": 4,
+                "num_epochs": 1, "patience": 15,
+                "ct": {"div": 2}, "pet": {"div": 2},
+            },
+        }
+    }))
+    cohort = synthetic.synthetic_cohort(
+        n_patients=4, seed=11, dataset="stanford",
+        height=56, width=56, ct_slices=3, pet_slices=2,
+    )
+    data_dir = root / "data" / "lung_radiomics"
+    data_dir.mkdir(parents=True)
+    synthetic.write_isotropic_hdf5(
+        cohort, data_dir / "iso.hdf5", data_dir / "iso.csv"
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def in_project(project):
+    old = os.getcwd()
+    os.chdir(project)
+    yield project
+    os.chdir(old)
+
+
+@pytest.mark.usefixtures("in_project")
+class TestCliPipeline:
+    def test_01_extract(self, project):
+        rc = cli_extract.main([
+            "-mn", "dinov2_vits14",
+            "-h5", "data/lung_radiomics/iso.hdf5",
+            "-df", "data/lung_radiomics/iso.csv",
+            "-f", "data/features",
+            "-mod", "ct",
+            "--datasets", "stanford",
+            "--precision", "parity",
+            "--image-size", "56",
+            "--no-flash",
+        ])
+        assert rc == 0
+        assert (project / "data/features/features_masks_ct.hdf5").exists()
+        assert (project / "data/features/features_masks_pet.hdf5").exists()
+
+    def test_02_merge(self, project):
+        assert cli_merge.main(["--feature-dir", "data/features"]) == 0
+        df = pd.read_parquet(project / "data/features/petct.parquet")
+        assert df["patient_id"].nunique() == 4
+
+    def test_03_split(self, project):
+        assert cli_split.main([
+            "--feature-dir", "data/features", "--n-splits", "2",
+        ]) == 0
+        kf = yaml.safe_load(
+            (project / "conf/parameters_kfold.yaml").read_text())
+        assert "kfold_patients" in kf
+        assert set(kf["kfold_patients"]) == {"ct", "pet"}
+
+    def test_04_train(self, project):
+        rc = cli_train.main([
+            "-a", "transformer", "-d", "stanford", "-m", "petct",
+            "-l", "crossmodal", "-e", "petct",
+            "--precision", "parity", "--max-epochs", "2",
+        ])
+        assert rc == 0
+        fold_dir = (project / "models/petct/medsam_transformer_stanford"
+                    / "petct/kfold_0")
+        assert (fold_dir / "losses.html").exists()
+
+    def test_05_aggregate(self, project):
+        assert cli_aggregate.main([
+            "--models-dir", "models", "--metrics-dir", "metrics",
+        ]) == 0
+        csv = project / "metrics/petct_metrics_sumary.csv"
+        assert csv.exists()
+        df = pd.read_csv(csv)
+        assert "Best Kfold" in df.columns
+
+    def test_06_umap(self, project):
+        rc = cli_umap.main([
+            "--archs", "transformer",
+            "--datasets", "stanford",
+            "--modalities", "petct",
+        ])
+        assert rc == 0
+        out = project / "data/petct_embeddings_umap.parquet"
+        assert out.exists()
+        df = pd.read_parquet(out)
+        assert {"umap_x", "umap_y", "umap_z", "embedding"} <= set(df.columns)
+
+    def test_07_pointcloud(self, project):
+        rc = cli_pointcloud.main([
+            "-h5", "data/lung_radiomics/iso.hdf5",
+            "-df", "data/lung_radiomics/iso.csv",
+            "--datasets", "stanford",
+        ])
+        assert rc == 0
+        df = pd.read_parquet(
+            project / "data/lung_radiomics/petct_pointcloud.parquet")
+        assert {"x", "y", "z", "raw", "norm", "mask_box"} <= set(df.columns)
+
+
+def test_cli_modules_have_help():
+    for mod in (cli_extract, cli_train):
+        with pytest.raises(SystemExit) as exc:
+            mod.main(["--help"])
+        assert exc.value.code == 0

@@ -1,0 +1,73 @@
+"""CLI: dense-descriptor extraction sweep.
+
+Mirrors the reference extraction CLI
+(/root/reference/src/tfds_dense_descriptor.py:364-382)::
+
+    python -m vit_deep_radiomics_tpu.cli.extract \
+        --model-name medsam --model-path models/backbones/medsam_vit_b.pth \
+        --hdf5-path data/lung_radiomics/lung_radiomics_datasets_isotropic.hdf5 \
+        --df-path data/lung_radiomics/lung_radiomics_datasets_isotropic.csv \
+        --feature-folder data/features --modality ct
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Extract frozen-ViT dense descriptors (TPU-native)"
+    )
+    p.add_argument("-mn", "--model-name", default="medsam",
+                   help="medsam or dinov2_vit{s,b,l,g}14")
+    p.add_argument("-mp", "--model-path", default=None,
+                   help=".pth checkpoint to convert (random init if absent)")
+    p.add_argument("-h5", "--hdf5-path", required=True,
+                   help="isotropic-volume HDF5 dataset")
+    p.add_argument("-df", "--df-path", required=True,
+                   help="patient metadata CSV (patient_id/egfr/dataset)")
+    p.add_argument("-f", "--feature-folder",
+                   default=os.path.join("data", "features"))
+    p.add_argument("-mod", "--modality", default="ct",
+                   help="second modality: ct or chest (pet always runs)")
+    p.add_argument("--datasets", nargs="*",
+                   default=["santa_maria", "stanford"])
+    p.add_argument("--precision", default="fast",
+                   choices=["fast", "parity", "bf16", "fp32"])
+    p.add_argument("--slice-batch", type=int, default=8)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--no-flash", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..engine.extract import (
+        DenseExtractor,
+        ExtractionConfig,
+        extract_isotropic_dataset,
+    )
+
+    cfg = ExtractionConfig(
+        model_name=args.model_name,
+        model_path=args.model_path,
+        image_size=args.image_size,
+        slice_batch=args.slice_batch,
+        precision=args.precision,
+        use_flash=not args.no_flash,
+    )
+    extractor = DenseExtractor(cfg)
+    written = extract_isotropic_dataset(
+        args.hdf5_path, args.df_path, args.feature_folder, extractor,
+        modalities=("pet", args.modality),
+        datasets=tuple(args.datasets),
+        progress=print,
+    )
+    print(f"wrote {len(written)} patient parquets")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

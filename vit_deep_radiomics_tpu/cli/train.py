@@ -1,0 +1,75 @@
+"""CLI: k-fold classifier training.
+
+Mirrors the reference trainer CLI
+(/root/reference/src/train_models.py:500-515)::
+
+    python -m vit_deep_radiomics_tpu.cli.train \
+        -a transformer -d stanford -m petct -l crossmodal -e petct
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train 3D transformer or CNN nodule classifiers (k-fold)"
+    )
+    p.add_argument("-a", "--arch", default="transformer",
+                   choices=["transformer", "conv"])
+    p.add_argument("-d", "--dataset", default="stanford",
+                   help="stanford or santa_maria")
+    p.add_argument("-b", "--backbone", default="medsam")
+    p.add_argument("-m", "--modality", default="petchest",
+                   choices=["ct", "pet", "chest", "petct", "petchest"])
+    p.add_argument("-l", "--loss", default="focal",
+                   choices=["focal", "crossmodal"])
+    p.add_argument("-e", "--experiment", default="petct")
+    p.add_argument("--data-dir", default="data")
+    p.add_argument("--models-dir", default="models")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override config batch size")
+    p.add_argument("--precision", default="fast")
+    p.add_argument("--folds", nargs="*", type=int, default=None)
+    p.add_argument("--max-epochs", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import pandas as pd
+
+    from ..engine.train import TrainerConfig, train_kfold
+    from ..utils.config import load_conf
+
+    cfg = load_conf()
+    modality_b = "chest" if "chest" in args.modality else "ct"
+    feature_dir = os.path.join(args.data_dir, "features")
+
+    df = pd.read_parquet(os.path.join(feature_dir, "petct.parquet"))
+    batch_size = (
+        args.batch_size
+        if args.batch_size is not None
+        else cfg["models"][args.arch].get("batch_size", 1)
+    )
+    tcfg = TrainerConfig(
+        arch=args.arch, modality=args.modality, loss=args.loss,
+        dataset=args.dataset, backbone=args.backbone,
+        experiment=args.experiment, batch_size=max(1, batch_size),
+        precision=args.precision, max_epochs=args.max_epochs,
+    )
+    train_kfold(
+        df, cfg, tcfg,
+        hdf5_ct_path=os.path.join(
+            feature_dir, f"features_masks_{modality_b}.hdf5"),
+        hdf5_pet_path=os.path.join(feature_dir, "features_masks_pet.hdf5"),
+        models_dir=args.models_dir,
+        folds=args.folds,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
