@@ -36,6 +36,7 @@ import pandas as pd
 
 from ..data import feature_store
 from ..ops.posenc import positional_encoding_3d
+from ..utils import native
 
 __all__ = [
     "find_divisor",
@@ -201,10 +202,26 @@ class PETCTDataset:
     def _get_features(
         self, hdf5_path, patient_id, feature_ids, noise, spatial_res
     ):
-        """HDF5 maps → (tokens, conv volume) per train_models.py:143-182."""
+        """HDF5 maps → (tokens, conv volume) per train_models.py:143-182.
+
+        Uses the native OpenMP packer (utils/native.py) when the shared
+        library is available; the numpy path below is the reference
+        semantics both implement.
+        """
         feats, masks = feature_store.read_patient_features(
             hdf5_path, patient_id, feature_ids
         )
+        if native.available():
+            fstack = np.stack(feats, axis=0).astype(np.float32)
+            mstack = np.stack(masks, axis=0).astype(np.float32)
+            if self.arch == "conv":
+                return native.mask_features(fstack, mstack), None
+            tok = native.pack_tokens(
+                fstack, mstack, np.asarray(spatial_res, np.float64),
+                np.asarray(noise, np.float64),
+            )
+            return tok, None
+
         fmaps, fmasks = [], []
         h_orig = w_orig = None
         for f, m in zip(feats, masks):

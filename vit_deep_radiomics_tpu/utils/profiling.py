@@ -1,0 +1,83 @@
+"""Tracing / profiling hooks and throughput counters.
+
+The reference has no observability beyond tqdm bars (SURVEY.md §5).
+Here:
+
+* :func:`trace` — context manager around ``jax.profiler`` emitting a
+  TensorBoard-loadable trace directory,
+* :class:`Throughput` — images/sec/chip counter with device-sync-correct
+  timing (a scalar pull per lap; ``block_until_ready`` is unreliable
+  through this image's TPU tunnel),
+* :func:`annotate` — ``jax.profiler.TraceAnnotation`` wrapper so engine
+  phases (normalize / resample / vit / roi) show up named in traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["trace", "annotate", "Throughput", "sync"]
+
+
+def sync(*arrays) -> None:
+    """Force completion of device work feeding *arrays* (scalar pull)."""
+    for a in arrays:
+        if hasattr(a, "sum"):
+            float(jnp.asarray(a).sum())
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Profile a region: ``with trace('/tmp/trace'): step()``."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named trace region (shows up in xprof/TensorBoard timelines)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class Throughput:
+    """Images/sec/chip counter.
+
+    >>> tp = Throughput()
+    >>> with tp.lap(n_images=8, out=result): ...
+    >>> tp.images_per_sec_per_chip
+    """
+
+    def __init__(self, n_chips: int | None = None):
+        self.n_chips = n_chips or jax.device_count()
+        self.total_images = 0
+        self.total_seconds = 0.0
+
+    @contextlib.contextmanager
+    def lap(self, n_images: int, out=None):
+        t0 = time.perf_counter()
+        yield
+        if out is not None:
+            sync(out)
+        self.total_seconds += time.perf_counter() - t0
+        self.total_images += n_images
+
+    @property
+    def images_per_sec(self) -> float:
+        return self.total_images / self.total_seconds if self.total_seconds else 0.0
+
+    @property
+    def images_per_sec_per_chip(self) -> float:
+        return self.images_per_sec / max(1, self.n_chips)
+
+    def report(self) -> str:
+        return (
+            f"{self.total_images} imgs in {self.total_seconds:.2f}s = "
+            f"{self.images_per_sec:.2f} img/s "
+            f"({self.images_per_sec_per_chip:.2f}/chip over {self.n_chips})"
+        )
