@@ -1,0 +1,167 @@
+"""Multi-device sharding tests over the 8-virtual-CPU-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vit_deep_radiomics_tpu.core.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    make_mesh,
+    replicated,
+)
+from vit_deep_radiomics_tpu.parallel.sharding import (
+    data_parallel_step,
+    shard_batch,
+    shard_params,
+    vit_param_specs,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8(devices):
+    return make_mesh(devices[:8])
+
+
+@pytest.fixture(scope="module")
+def mesh_4x2(devices):
+    return make_mesh(devices[:8], model_parallel=2)
+
+
+class TestMesh:
+    def test_axis_sizes(self, mesh8, mesh_4x2):
+        assert mesh8.shape[DATA_AXIS] == 8
+        assert mesh8.shape[MODEL_AXIS] == 1
+        assert mesh_4x2.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+
+    def test_invalid_model_parallel(self, devices):
+        with pytest.raises(ValueError):
+            make_mesh(devices[:8], model_parallel=3)
+
+    def test_data_sharding_splits_axis0(self, mesh8):
+        x = jnp.arange(16.0).reshape(16, 1)
+        xs = jax.device_put(x, data_sharding(mesh8, 2))
+        assert len(xs.addressable_shards) == 8
+        assert xs.addressable_shards[0].data.shape == (2, 1)
+
+
+class TestDataParallelStep:
+    def test_matches_single_device_grads(self, mesh8, rng):
+        dim = 4
+
+        def loss_fn(params, batch):
+            pred = batch["x"] @ params["w"]
+            return jnp.mean((pred - batch["y"]) ** 2)
+
+        params = {"w": jnp.asarray(rng.normal(size=(dim, 1)).astype(np.float32))}
+        batch = {
+            "x": jnp.asarray(rng.normal(size=(16, dim)).astype(np.float32)),
+            "y": jnp.asarray(rng.normal(size=(16, 1)).astype(np.float32)),
+        }
+        step = data_parallel_step(loss_fn, mesh8)
+        loss_dp, grads_dp = step(params, batch)
+
+        loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params, batch)
+        assert float(loss_dp) == pytest.approx(float(loss_ref), rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(grads_dp["w"]), np.asarray(grads_ref["w"]), atol=1e-5
+        )
+
+
+class TestModelParallelViT:
+    def test_param_specs_shard_attention_and_mlp(self):
+        params = {
+            "block_0": {
+                "attn": {
+                    "qkv_kernel": np.zeros((8, 24)),
+                    "qkv_bias": np.zeros(24),
+                    "proj_kernel": np.zeros((8, 8)),
+                    "proj_bias": np.zeros(8),
+                },
+                "mlp": {
+                    "w1": np.zeros((8, 32)), "b1": np.zeros(32),
+                    "w2": np.zeros((32, 8)), "b2": np.zeros(8),
+                },
+                "norm1": {"scale": np.zeros(8), "bias": np.zeros(8)},
+            },
+            "pos_embed": np.zeros((1, 4, 4, 8)),
+        }
+        specs = vit_param_specs(params)
+        assert specs["block_0"]["attn"]["qkv_kernel"] == P(None, MODEL_AXIS)
+        assert specs["block_0"]["attn"]["proj_kernel"] == P(MODEL_AXIS, None)
+        assert specs["block_0"]["mlp"]["w1"] == P(None, MODEL_AXIS)
+        assert specs["block_0"]["mlp"]["w2"] == P(MODEL_AXIS, None)
+        assert specs["block_0"]["norm1"]["scale"] == P()
+        assert specs["pos_embed"] == P()
+
+    def test_sharded_vit_forward_matches_replicated(self, mesh_4x2, rng):
+        """Model-parallel ViT forward over (4 data × 2 model) must equal
+        the single-device result."""
+        import dataclasses
+
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+        cfg = dataclasses.replace(
+            SAM_VIT_B, image_size=32, width=64, depth=2, num_heads=2,
+            window_size=0, global_indexes=(0, 1), neck_channels=16,
+        )
+        model = ViTDense(cfg, policy=PARITY, use_flash=False)
+        imgs = jnp.asarray(
+            rng.uniform(size=(4, 32, 32, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+
+        base = model.apply(params, imgs)
+
+        sharded_params = {
+            "params": shard_params(params["params"], mesh_4x2)
+        }
+        sharded_imgs = shard_batch(imgs, mesh_4x2)
+        out = jax.jit(model.apply)(sharded_params, sharded_imgs)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5
+        )
+
+
+class TestGSPMDTrainStepMultiDevice:
+    def test_trainer_step_over_mesh(self, mesh8, rng):
+        """The engine's jitted train step runs sharded over 8 devices and
+        produces finite loss (same path as __graft_entry__.dryrun)."""
+        from vit_deep_radiomics_tpu.engine.train import (
+            FoldTrainer,
+            TrainerConfig,
+        )
+
+        d = 16
+        cfg = {"models": {"transformer": {
+            "learning_rate": 5e-4, "feature_dim": d, "batch_size": 8,
+            "virtual_batch_size": 2, "num_epochs": 2, "patience": 5,
+            "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+        }}}
+        tcfg = TrainerConfig(arch="transformer", modality="ct",
+                             loss="focal", batch_size=8, precision="parity")
+        trainer = FoldTrainer(cfg, tcfg, mesh=mesh8)
+        batch = {
+            "ct": rng.normal(size=(8, 32, d)).astype(np.float32),
+            "ct_mask": np.ones((8, 32), bool),
+            "pet": rng.normal(size=(8, 8, d)).astype(np.float32),
+            "pet_mask": np.ones((8, 8), bool),
+            "labels": np.eye(2, dtype=np.float32)[
+                rng.integers(0, 2, size=8)],
+            "patient_ids": [f"p{i}" for i in range(8)],
+        }
+        trainer.init_params(batch)
+        dev = trainer._shard(
+            {k: v for k, v in batch.items() if isinstance(v, np.ndarray)})
+        step = trainer._get_step(trainer._shape_key(batch), train=True)
+        params, opt_state, loss, logits = step(
+            trainer.params, trainer.opt_state, dev,
+            jax.random.PRNGKey(0), jnp.float32(1e-3), jnp.float32(1.0),
+        )
+        assert np.isfinite(float(loss))
+        assert logits.shape == (8, 2)

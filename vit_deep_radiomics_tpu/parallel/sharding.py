@@ -1,0 +1,127 @@
+"""Parallelism primitives: explicit shard_map DP + model-parallel rules.
+
+The reference has no distributed backend at all (single CUDA device,
+SURVEY.md §2/§5); parallelism here is first-class and comes in two
+idiomatic TPU forms:
+
+* **GSPMD (implicit)** — the default in engine/train.py: annotate the
+  batch with a ``data``-axis sharding, keep params replicated, and let
+  XLA insert the gradient all-reduce.  Zero code in the step function.
+* **shard_map (explicit)** — :func:`data_parallel_step` below: the
+  per-device step runs on local shards and reduces gradients with
+  ``jax.lax.pmean`` over ICI.  Useful when the collective schedule must
+  be pinned (e.g. overlapping with Pallas kernels) and as an executable
+  spec of the communication pattern.
+
+Model parallelism for the ViT backbone is expressed as parameter
+PartitionSpec rules (:func:`vit_param_specs`): attention qkv/proj shard
+over heads and the MLP hidden dim over the ``model`` axis — the
+standard Megatron layout, with XLA inserting the block-boundary
+all-reduces.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.mesh import DATA_AXIS, MODEL_AXIS
+
+__all__ = [
+    "data_parallel_step",
+    "vit_param_specs",
+    "shard_params",
+    "shard_batch",
+]
+
+
+def data_parallel_step(
+    loss_fn: Callable,
+    mesh: Mesh,
+) -> Callable:
+    """Wrap ``loss_fn(params, batch) -> scalar`` into an spmd grad step.
+
+    Returns ``step(params, batch) -> (loss, grads)`` where *batch* is
+    sharded over ``data`` on axis 0 of every leaf, params are replicated,
+    and both loss and grads are pmean-reduced across the mesh — the
+    explicit form of what GSPMD does implicitly in engine/train.py.
+    """
+
+    def local_step(params, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        return loss, grads
+
+    batch_spec = P(DATA_AXIS)
+    return jax.jit(
+        shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), batch_spec),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+    )
+
+
+def vit_param_specs(params: dict) -> dict:
+    """PartitionSpec pytree for ViTDense params: Megatron-style sharding.
+
+    * attention ``qkv_kernel (C, 3C)`` → shard output dim (heads) over
+      ``model``; ``proj_kernel (C, C)`` → shard input dim,
+    * MLP ``w1 (C, H)`` → shard hidden out; ``w2 (H, C)`` → shard hidden
+      in,
+    * everything else replicated.
+    """
+
+    def spec_for(path: tuple[str, ...], leaf) -> P:
+        name = path[-1] if path else ""
+        parent = path[-2] if len(path) >= 2 else ""
+        if parent == "attn" and name == "qkv_kernel":
+            return P(None, MODEL_AXIS)
+        if parent == "attn" and name == "qkv_bias":
+            return P(MODEL_AXIS)
+        if parent == "attn" and name == "proj_kernel":
+            return P(MODEL_AXIS, None)
+        if parent == "mlp" and name == "w1":
+            return P(None, MODEL_AXIS)
+        if parent == "mlp" and name == "b1":
+            return P(MODEL_AXIS)
+        if parent == "mlp" and name == "w2":
+            return P(MODEL_AXIS, None)
+        return P()
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return spec_for(path, tree)
+
+    return walk(params)
+
+
+def shard_params(params: dict, mesh: Mesh, specs: dict | None = None):
+    """device_put params with per-leaf NamedShardings (default: model-
+    parallel ViT rules)."""
+    specs = specs if specs is not None else vit_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every array leaf over ``data`` on axis 0."""
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+
+    return jax.tree.map(put, batch)
