@@ -52,10 +52,14 @@ def data_parallel_step(
     """
 
     def local_step(params, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        return loss, grads
+        # differentiate THROUGH the pmean: shard_map auto-psums the
+        # cotangent of replicated params, so taking grads of the local
+        # loss and averaging after would yield the gradient of the
+        # device-sum instead of the global mean.
+        def global_mean_loss(p):
+            return jax.lax.pmean(loss_fn(p, batch), DATA_AXIS)
+
+        return jax.value_and_grad(global_mean_loss)(params)
 
     batch_spec = P(DATA_AXIS)
     return jax.jit(
@@ -64,7 +68,6 @@ def data_parallel_step(
             mesh=mesh,
             in_specs=(P(), batch_spec),
             out_specs=(P(), P()),
-            check_rep=False,
         )
     )
 
