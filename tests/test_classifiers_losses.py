@@ -151,6 +151,28 @@ class TestMaskInvariance:
         logits, emb = model.apply(params, x)
         assert logits.shape == (2, 2) and emb.shape == (2, 32)
 
+    def test_conv_masked_gap_padding_insensitive_to_scale(self, rng):
+        """With valid_mask, padded-volume pooling averages only valid
+        voxels (conv boundary bleed aside, logits stay close)."""
+        model = ConvNoduleClassifier(input_dim=16, num_classes=2, div=2,
+                                     policy=PARITY)
+        x = jnp.asarray(rng.normal(size=(1, 3, 6, 6, 16)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+        base, _ = model.apply(params, x)
+        # pad spatially with zeros + mask
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 2), (0, 2), (0, 0)))
+        mask = np.zeros((1, 4, 8, 8), bool)
+        mask[:, :3, :6, :6] = True
+        padded, _ = model.apply(params, xp, valid_mask=jnp.asarray(mask))
+        np.testing.assert_allclose(
+            np.asarray(padded), np.asarray(base), atol=0.15
+        )
+        # without the mask, dilution moves logits further
+        diluted, _ = model.apply(params, xp)
+        err_masked = np.abs(np.asarray(padded) - np.asarray(base)).max()
+        err_plain = np.abs(np.asarray(diluted) - np.asarray(base)).max()
+        assert err_masked <= err_plain
+
     def test_build_classifier_from_config(self):
         cfg = {
             "models": {

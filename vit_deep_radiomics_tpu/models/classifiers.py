@@ -326,9 +326,9 @@ class _SELayer(nn.Module):
     reduction: int = 16
 
     @nn.compact
-    def __call__(self, x):  # (B, S, H, W, C)
+    def __call__(self, x, valid_mask=None):  # (B, S, H, W, C)
         dt = self.policy.compute_dtype
-        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)).astype(dt)
+        y = _masked_gap(x, valid_mask).astype(dt)
         y = nn.Dense(max(1, self.channels // self.reduction), use_bias=False,
                      dtype=dt, param_dtype=self.policy.param_dtype,
                      name="fc1")(y)
@@ -339,12 +339,31 @@ class _SELayer(nn.Module):
         return x * y[:, None, None, None, :]
 
 
+def _masked_gap(x, valid_mask):
+    """Global average pool over (S, H, W), ignoring padded voxels.
+
+    ``valid_mask`` is (B, S, H, W) (or None = all valid); padding-aware
+    pooling keeps batched conv volumes equivalent to the reference's
+    per-item adaptive_avg_pool3d (models_archs.py:167, 206).
+    """
+    xf = x.astype(jnp.float32)
+    if valid_mask is None:
+        return jnp.mean(xf, axis=(1, 2, 3))
+    m = valid_mask.astype(jnp.float32)[..., None]
+    total = jnp.sum(xf * m, axis=(1, 2, 3))
+    count = jnp.maximum(jnp.sum(m, axis=(1, 2, 3)), 1.0)
+    return total / count
+
+
 class ConvNoduleClassifier(nn.Module):
     """3D conv + SE classifier over masked feature volumes.
 
     Ref: models_archs.py:150-171.  Input here is channels-last
     (B, S, H, W, feat_dim) — the transpose-to-channels-first dance of the
-    reference (train_models.py:159) is unnecessary on TPU.
+    reference (train_models.py:159) is unnecessary on TPU — and an
+    optional ``valid_mask`` (B, S, H, W) makes padded batches pool
+    correctly (note the 3×3×3 convs still see one voxel of pad bleed at
+    the boundary, which the mask cannot remove).
     """
 
     input_dim: int
@@ -353,7 +372,7 @@ class ConvNoduleClassifier(nn.Module):
     policy: Policy = FAST
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, valid_mask=None, deterministic: bool = True):
         p = self.policy
         dt = p.compute_dtype
         x = p.cast_input(x)
@@ -362,12 +381,12 @@ class ConvNoduleClassifier(nn.Module):
         x = nn.Conv(c1, (3, 3, 3), padding=1, dtype=dt,
                     param_dtype=p.param_dtype, name="conv1")(x)
         x = jax.nn.relu(x)
-        x = _SELayer(c1, p, name="se1")(x)
+        x = _SELayer(c1, p, name="se1")(x, valid_mask)
         x = nn.Conv(c2, (3, 3, 3), padding=1, dtype=dt,
                     param_dtype=p.param_dtype, name="conv2")(x)
         x = jax.nn.relu(x)
-        x = _SELayer(c2, p, name="se2")(x)
-        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2, 3)).astype(dt)
+        x = _SELayer(c2, p, name="se2")(x, valid_mask)
+        x = _masked_gap(x, valid_mask).astype(dt)
         x = nn.Dense(self.input_dim, dtype=dt, param_dtype=p.param_dtype,
                      name="fc1")(x)
         embedding = jax.nn.relu(x)
