@@ -165,6 +165,48 @@ class DenseExtractor:
             outs.append(np.asarray(out, np.float32))
         return np.concatenate(outs, axis=0)
 
+    class _SliceStream:
+        """Cross-augmentation ViT batching: accumulates resampled slices
+        from successive augmentations and runs the jitted forward only on
+        FULL slice_batch chunks (one padded partial at flush time instead
+        of one per augmentation)."""
+
+        def __init__(self, extractor: "DenseExtractor"):
+            self.ex = extractor
+            self.pending: list[jax.Array] = []
+            self.pending_count = 0
+            self.outputs: list[np.ndarray] = []
+
+        def add(self, slices: jax.Array) -> None:
+            if slices.ndim == 3:
+                slices = jnp.repeat(slices[..., None], 3, axis=-1)
+            self.pending.append(slices)
+            self.pending_count += slices.shape[0]
+            sb = self.ex.config.slice_batch
+            while self.pending_count >= sb:
+                buf = jnp.concatenate(self.pending, axis=0)
+                chunk, rest = buf[:sb], buf[sb:]
+                self.outputs.append(np.asarray(
+                    self.ex._apply(self.ex.params, chunk), np.float32))
+                self.pending = [rest] if rest.shape[0] else []
+                self.pending_count = int(rest.shape[0])
+
+        def flush(self) -> np.ndarray:
+            sb = self.ex.config.slice_batch
+            if self.pending_count:
+                buf = jnp.concatenate(self.pending, axis=0)
+                pad = sb - buf.shape[0]
+                chunk = jnp.concatenate(
+                    [buf, jnp.repeat(buf[-1:], pad, axis=0)], axis=0)
+                self.outputs.append(np.asarray(
+                    self.ex._apply(self.ex.params, chunk),
+                    np.float32)[: self.pending_count])
+                self.pending, self.pending_count = [], 0
+            return (
+                np.concatenate(self.outputs, axis=0)
+                if self.outputs else np.empty((0,))
+            )
+
     # -- per-volume extraction ----------------------------------------------
 
     def extract_volume(
@@ -194,7 +236,9 @@ class DenseExtractor:
         meta_slices: list[int] = []
         meta_angles: list[int] = []
         meta_flips: list[str | None] = []
+        aug_crops: list[tuple] = []  # (union_crop, m_crop) per augmentation
 
+        stream = self._SliceStream(self)
         for flip in cfg.flips:
             fh = jnp.bool_(flip == "horizontal")
             fv = jnp.bool_(flip == "vertical")
@@ -218,20 +262,24 @@ class DenseExtractor:
                 resampled = fused_flip_rotate_crop_resize(
                     vol_dev, box, ang, fh, fv, valid_hw, cfg.image_size
                 )
-                feats = self._vit_features(resampled)  # (S, g, g, C) host
-
-                union_crop = union[ymin_c:ymax_c, xmin_c:xmax_c]
-                m_crop = m_rot[ymin_c:ymax_c, xmin_c:xmax_c]
-                for i in range(s):
-                    features_list.append(
-                        roi.extract_roi(feats[i], union_crop)
-                    )
-                    masks_list.append(
-                        roi.extract_roi(m_crop[:, :, i] > 0, union_crop)
-                    )
+                stream.add(resampled)
+                aug_crops.append((
+                    union[ymin_c:ymax_c, xmin_c:xmax_c],
+                    m_rot[ymin_c:ymax_c, xmin_c:xmax_c],
+                ))
                 meta_slices.extend(range(s))
                 meta_angles.extend([angle] * s)
                 meta_flips.extend([flip] * s)
+
+        all_feats = stream.flush()  # (n_augs * s, g, g, C)
+        for a, (union_crop, m_crop) in enumerate(aug_crops):
+            for i in range(s):
+                features_list.append(
+                    roi.extract_roi(all_feats[a * s + i], union_crop)
+                )
+                masks_list.append(
+                    roi.extract_roi(m_crop[:, :, i] > 0, union_crop)
+                )
 
         return features_list, masks_list, (meta_slices, meta_angles, meta_flips)
 
