@@ -55,6 +55,10 @@ class ExtractionConfig:
     model_name: str = "medsam"          # 'medsam' | 'dinov2_vit{s,b,l,g}14'
     model_path: str | None = None       # .pth checkpoint to convert
     image_size: int | None = None       # default: 1024 medsam / 896 dinov2
+    dinov2_mode: str = "patch_embed"    # 'patch_embed' (reference parity,
+                                        # tfds_dense_descriptor.py:128) or
+                                        # 'full' (whole-transformer dense
+                                        # tokens — the TPU-native mode)
     slice_batch: int = 8
     precision: str = "fast"
     use_flash: bool = True
@@ -74,13 +78,16 @@ def _backbone_for(cfg: ExtractionConfig) -> tuple[ViTDenseConfig, bool]:
         )
     if cfg.model_name in DINOV2_CONFIGS:
         # reference dinov2 path resizes to 896 and uses patch_embed only
-        # (tfds_dense_descriptor.py:44, 128)
-        image_size = cfg.image_size or 896
+        # (tfds_dense_descriptor.py:44, 128); 'full' runs the whole
+        # transformer for proper dense descriptors (BASELINE config 3)
+        image_size = cfg.image_size or (
+            896 if cfg.dinov2_mode == "patch_embed" else 518
+        )
         return (
             dataclasses.replace(
                 DINOV2_CONFIGS[cfg.model_name], image_size=image_size
             ),
-            True,
+            cfg.dinov2_mode == "patch_embed",
         )
     raise ValueError(f"unknown model_name {cfg.model_name!r}")
 
@@ -292,16 +299,21 @@ def extract_isotropic_dataset(
     modalities: tuple[str, str] = ("pet", "ct"),
     datasets: Iterable[str] = ("santa_maria", "stanford"),
     progress: Callable[[str], None] | None = None,
+    use_queue: bool = True,
 ) -> list[str]:
     """Sweep the isotropic-HDF5 dataset → per-patient parquet + HDF5 store.
 
     Mirrors the reference's live extraction path (the isotropic branch of
     its __main__, tfds_dense_descriptor.py:395-400, 448-491): patient list
     from the metadata CSV (label = egfr == 'Mutant'), skip-if-parquet-
-    exists resumability, feature stores per modality.  Returns written
+    exists resumability, feature stores per modality — with a persistent
+    work queue on top (engine/workqueue.py) so per-patient failures are
+    recorded and retried instead of aborting the sweep.  Returns written
     parquet paths.
     """
     import pandas as pd
+
+    from .workqueue import WorkQueue
 
     feature_folder = Path(feature_folder)
     df_meta = pd.read_csv(metadata_csv)
@@ -309,35 +321,47 @@ def extract_isotropic_dataset(
     has_col = f"has_{''.join(modalities)}"
     if has_col in df_meta.columns:
         df_meta = df_meta[df_meta[has_col]]
-    written = []
+
+    items: list[str] = []
+    meta: dict[str, tuple] = {}
     for dataset_name in datasets:
         ds_rows = df_meta[df_meta["dataset"] == dataset_name]
         features_dir = feature_folder / f"{dataset_name}_dataset"
         features_dir.mkdir(parents=True, exist_ok=True)
         for _, row in ds_rows.iterrows():
-            pid = row["patient_id"]
             for modality in modalities:
-                df_path = features_dir / f"{pid}_{modality}.parquet"
-                h5_path = feature_folder / f"features_masks_{modality}.hdf5"
-                if df_path.exists():
-                    continue  # idempotent resume (ref :425)
-                vol, mask, spatial_res = read_isotropic_hdf5(
-                    hdf5_path, pid, modality
-                )
-                if progress:
-                    progress(f"{dataset_name}/{pid}/{modality}")
-                feats, masks, (sl, an, fl) = extractor.extract_volume(
-                    vol, mask, modality
-                )
-                df = feature_store.slice_metadata_frame(
-                    sl, an, fl,
-                    patient_id=pid,
-                    label=int(row["label"]),
-                    dataset=dataset_name,
-                    modality=modality,
-                    spatial_res=spatial_res,
-                )
-                feature_store.save_features(h5_path, feats, masks, pid)
-                df.to_parquet(df_path)
-                written.append(str(df_path))
+                key = f"{dataset_name}/{row['patient_id']}/{modality}"
+                items.append(key)
+                meta[key] = (dataset_name, row["patient_id"],
+                             int(row["label"]), modality, features_dir)
+
+    written: list[str] = []
+
+    def worker(key: str) -> None:
+        dataset_name, pid, label, modality, features_dir = meta[key]
+        df_path = features_dir / f"{pid}_{modality}.parquet"
+        h5_path = feature_folder / f"features_masks_{modality}.hdf5"
+        if df_path.exists():
+            return  # idempotent resume (ref :425)
+        vol, mask, spatial_res = read_isotropic_hdf5(hdf5_path, pid, modality)
+        if progress:
+            progress(key)
+        feats, masks, (sl, an, fl) = extractor.extract_volume(
+            vol, mask, modality
+        )
+        df = feature_store.slice_metadata_frame(
+            sl, an, fl, patient_id=pid, label=label,
+            dataset=dataset_name, modality=modality,
+            spatial_res=spatial_res,
+        )
+        feature_store.save_features(h5_path, feats, masks, pid)
+        df.to_parquet(df_path)
+        written.append(str(df_path))
+
+    if use_queue:
+        queue = WorkQueue(feature_folder / "extract_queue.json")
+        queue.run(items, worker, log=progress or print)
+    else:
+        for key in items:
+            worker(key)
     return written
