@@ -259,6 +259,37 @@ class TestTrainKfold:
         )
         assert any("resumed" in str(s) for s in logs)
 
+    def test_evaluate_checkpoint(self, extracted):
+        """engine.evaluate reproduces a trained fold's report shape."""
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+        from vit_deep_radiomics_tpu.engine.evaluate import evaluate_checkpoint
+
+        cfg = _small_cfg(extracted["folds"])
+        tcfg = TrainerConfig(
+            arch="transformer", modality="ct", loss="focal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=1,
+        )
+        models_dir = extracted["dir"] / "models_eval"
+        train_kfold(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
+            folds=[0], log=lambda *_: None,
+        )
+        fold_dir = (models_dir / "petct" / "medsam_transformer_stanford"
+                    / "ct" / "kfold_0")
+        epoch = ckpt.best_epochs(fold_dir)[-1]
+        test_patients = extracted["folds"]["ct"]["stanford"][0]["test"]
+        df_test = extracted["df"][
+            extracted["df"]["patient_id"].isin(test_patients)]
+        report = evaluate_checkpoint(
+            df_test, cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"],
+            fold_dir, epoch,
+        )
+        assert report["split"] == "test" and report["epoch"] == epoch
+        assert "ROC AUC" in report and "accuracy" in report
+
     def test_conv_arch_smoke(self, extracted):
         cfg = _small_cfg(extracted["folds"])
         tcfg = TrainerConfig(

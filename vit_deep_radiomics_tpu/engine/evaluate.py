@@ -1,0 +1,63 @@
+"""Standalone evaluation: restored checkpoint → classification report.
+
+The reference has no separate evaluation entry point — its test loop is
+inlined in the trainer (train_models.py:691-717) and its eval-time
+scripts rebuild models ad hoc (umap_cls_token.py:96-107).  This module
+is the engine-level ``evaluate()`` (SURVEY.md §7): deterministic
+inference of a checkpointed classifier over a metadata frame, returning
+the same patient-weighted report dict the trainer logs per epoch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import jax
+
+from ..analysis import reports
+from ..data.datasets import PETCTDataset, batch_items, prepare_windows
+from ..engine import checkpoint as ckpt
+from ..engine.train import FoldTrainer, TrainerConfig, _patient_weights
+
+__all__ = ["evaluate_checkpoint"]
+
+
+def evaluate_checkpoint(
+    df: pd.DataFrame,
+    cfg: dict,
+    tcfg: TrainerConfig,
+    hdf5_ct_path,
+    hdf5_pet_path,
+    fold_dir,
+    epoch: int,
+    kfold=0,
+    split: str = "test",
+) -> dict:
+    """Report dict for a checkpoint over *df* (deterministic, no aug)."""
+    trainer = FoldTrainer(cfg, tcfg)
+    dfw = prepare_windows(df.copy())
+    ds = PETCTDataset(
+        dfw, hdf5_ct_path, hdf5_pet_path,
+        use_augmentation=False,
+        feature_dim=cfg["models"][tcfg.arch]["feature_dim"],
+        arch=tcfg.arch, num_classes=tcfg.num_classes,
+    )
+    items = [ds[i] for i in range(len(ds))]
+    batches = list(batch_items(items, tcfg.batch_size))
+    trainer.init_params(batches[0])
+    state = ckpt.load_checkpoint(
+        {"params": trainer.params, "opt_state": trainer.opt_state,
+         "epoch": 0},
+        fold_dir, epoch,
+    )
+    trainer.params = state["params"]
+
+    loss, y_true, y_score, pids = trainer.run_epoch(
+        batches, epoch=epoch, train=False
+    )
+    weights = _patient_weights(pids)
+    return reports.epoch_report(
+        y_true, y_score, weights,
+        kfold=kfold, loss=loss, epoch=epoch, split=split,
+    )
