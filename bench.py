@@ -36,6 +36,12 @@ def measure_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated bench runs skip the ~20-40s
+    # first compile
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+
     from vit_deep_radiomics_tpu.core.precision import FAST
     from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
 

@@ -220,26 +220,36 @@ class WindowedAttention(nn.Module):
                 "rel_pos_w", nn.initializers.zeros, (2 * w - 1, hd),
                 self.policy.param_dtype,
             )
-            rh = _rel_pos_table(rel_h.astype(jnp.float32), h, h)  # (h, h, hd)
-            rw = _rel_pos_table(rel_w.astype(jnp.float32), w, w)
-            qg = q.reshape(b, nh, h, w, hd).astype(jnp.float32)
             # bias_h[b,n,(qy,qx),ky] = q · Rh[qy, ky] — from the UNSCALED q
             # (the softmax scale applies to the QK scores only, per the
-            # SAM decomposed-rel-pos spec).
-            bias_h = jnp.einsum("bnyxd,ykd->bnyxk", qg, rh)
-            bias_w = jnp.einsum("bnyxd,xkd->bnyxk", qg, rw)
+            # SAM decomposed-rel-pos spec).  Computed in the policy's
+            # compute dtype (bf16 fast path) with fp32 accumulation.
+            rh = _rel_pos_table(rel_h.astype(dtype), h, h)  # (h, h, hd)
+            rw = _rel_pos_table(rel_w.astype(dtype), w, w)
+            qg = q.reshape(b, nh, h, w, hd).astype(dtype)
+            bias_h = jnp.einsum("bnyxd,ykd->bnyxk", qg, rh,
+                                preferred_element_type=jnp.float32)
+            bias_w = jnp.einsum("bnyxd,xkd->bnyxk", qg, rw,
+                                preferred_element_type=jnp.float32)
             bias_h = bias_h.reshape(b, nh, h * w, h)
             bias_w = bias_w.reshape(b, nh, h * w, w)
         else:
             bias_h = bias_w = None
 
+        # Flash is the default for every grid size: the XLA batched
+        # fallback runs windowed (196-token) grids ~15% faster but costs
+        # a pathological 300-400s XLA/AOT compile at SAM scale on this
+        # stack — measured, not worth it.  use_flash=False remains the
+        # parity-oracle path for tests.
         if self.use_flash:
             out = self._flash(q, k, v, bias_h, bias_w, h, w)
         else:
             if bias_h is not None:
+                # materialised per-window bias is small; keep it in the
+                # compute dtype to halve the transient on the fast path
                 dense = (
                     bias_h[..., :, None] + bias_w[..., None, :]
-                ).reshape(b, nh, h * w, h * w)
+                ).reshape(b, nh, h * w, h * w).astype(dtype)
             else:
                 dense = None
             out = attention_reference(q, k, v, bias=dense)
@@ -289,7 +299,7 @@ class WindowedAttention(nn.Module):
                 qp, kp, vp, bias_h=bh, bias_w=bw,
                 kv_grid=(h, w) if (hp, wp) != (h, w) else None,
                 block_q=min(512, sq_pad),
-                block_k=min(512, sk_pad),
+                block_k=min(1024, sk_pad),
                 interpret=interpret,
             )
             return out[:, :, :s].astype(q.dtype)

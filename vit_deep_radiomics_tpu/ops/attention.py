@@ -76,77 +76,88 @@ def attention_reference(
 
 def _flash_kernel(
     q_ref, k_ref, v_ref, bias_h_ref, bias_w_ref, kv_len_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
     *, block_k: int, kv_rows_per_block: int, scale: float,
     has_bias: bool, has_kv_len: bool,
     kv_grid: tuple[int, int, int] | None,
 ):
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
-    bq, d = q.shape
-    sk = k_ref.shape[1]
-    num_kb = sk // block_k
+    """Canonical 3D-grid flash attention body.
 
-    if has_kv_len:
-        kv_len = kv_len_ref[pl.program_id(0), 0]
+    grid = (B·H, Sq/block_q, Sk/block_k): the kv dimension is the
+    innermost, ``arbitrary`` (sequential) axis; m/l/acc live in VMEM
+    scratch across kv steps, so Pallas double-buffers the K/V tile DMA
+    against compute.  Initialise on the first kv step, write the output
+    on the last.
+    """
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
 
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    bq = q.shape[0]
+    kblk = k_ref[0].astype(jnp.float32)               # (bk, d)
+    vblk = v_ref[0].astype(jnp.float32)
+
+    s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32)  # (bq, bk)
 
     if has_bias:
         rows = kv_rows_per_block
-        bias_w = bias_w_ref[0].astype(jnp.float32)  # (bq, kw)
-        bias_h = bias_h_ref[0].astype(jnp.float32)  # (bq, kh)
+        bias_w = bias_w_ref[0].astype(jnp.float32)    # (bq, kw)
+        bias_h = bias_h_ref[0].astype(jnp.float32)    # (bq, kh)
         kw = bias_w.shape[-1]
         kh = bias_h.shape[-1]
-        # bias_w repeats over every key-grid row of the tile: build the
-        # (bq, block_k) tiling once with a lane-dim concat.
-        bias_w_tiled = jnp.concatenate([bias_w] * rows, axis=1)
-        # expansion matrix E[(r), (c)] = 1 iff c // kw == r, so
-        # (bq, rows) @ E broadcasts each row-bias across its kw keys.
+        # Select this kv tile's key-grid rows from bias_h with a one-hot
+        # matmul (Mosaic cannot dynamically slice the lane dim), expand
+        # each across its kw keys, and tile bias_w with a lane concat.
+        row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+        sel = (row_ids == kv_idx * rows + col_ids).astype(jnp.float32)
+        bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
         e_rows = lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
         e_cols = lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
         expand = (e_cols // kw == e_rows).astype(jnp.float32)
+        bh = jnp.dot(bh, expand, preferred_element_type=jnp.float32)
+        bias_w_tiled = jnp.concatenate([bias_w] * rows, axis=1)
+        s = s + bh + bias_w_tiled
 
-    def body(j, carry):
-        m, l, acc = carry
-        k0 = pl.multiple_of(j * block_k, block_k)
-        kblk = k_ref[0, pl.ds(k0, block_k), :].astype(jnp.float32)
-        vblk = v_ref[0, pl.ds(k0, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32)  # (bq, bk)
-        if has_bias:
-            # Select this tile's key-grid rows from bias_h with a one-hot
-            # matmul (Mosaic cannot dynamically slice the lane dim), then
-            # expand each row across its kw keys with a second tiny matmul.
-            row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
-            col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
-            sel = (row_ids == j * rows + col_ids).astype(jnp.float32)
-            bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
-            bh = jnp.dot(bh, expand, preferred_element_type=jnp.float32)
-            s = s + bh + bias_w_tiled
-        if has_kv_len:
-            kidx = j * block_k + lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 1
-            )
-            s = jnp.where(kidx < kv_len, s, _NEG_INF)
-        if kv_grid is not None:
-            # static 2D grid mask: key k is valid iff its (row, col) in the
-            # padded (·, kw_pad) key grid lies inside (kh_valid, kw_valid).
-            kh_valid, kw_valid, kw_pad = kv_grid
-            kidx = j * block_k + lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 1
-            )
-            valid = (kidx // kw_pad < kh_valid) & (kidx % kw_pad < kw_valid)
-            s = jnp.where(valid, s, _NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, vblk, preferred_element_type=jnp.float32)
-        return m_new, l, acc
+    if has_kv_len:
+        kv_len = kv_len_ref[pl.program_id(0), 0]
+        kidx = kv_idx * block_k + lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1
+        )
+        s = jnp.where(kidx < kv_len, s, _NEG_INF)
+    if kv_grid is not None:
+        # static 2D grid mask: key k valid iff its (row, col) in the
+        # padded (·, kw_pad) key grid lies inside (kh_valid, kw_valid)
+        kh_valid, kw_valid, kw_pad = kv_grid
+        kidx = kv_idx * block_k + lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1
+        )
+        valid = (kidx // kw_pad < kh_valid) & (kidx % kw_pad < kw_valid)
+        s = jnp.where(valid, s, _NEG_INF)
 
-    m, l, acc = lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    safe_l = jnp.where(l > 0, l, 1.0)
-    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+    m_prev = m_scratch[...]
+    l_prev = l_scratch[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = m_new
+    l_scratch[...] = l_new
+    acc_scratch[...] = acc_scratch[...] * alpha + jnp.dot(
+        p, vblk, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l = l_scratch[...]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -163,7 +174,7 @@ def flash_attention(
     *,
     kv_grid: tuple[int, int] | None = None,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -222,12 +233,12 @@ def flash_attention(
     kf = k.reshape(bh_flat, sk, d)
     vf = v.reshape(bh_flat, sk, d)
 
-    grid = (bh_flat, sq // block_q)
+    grid = (bh_flat, sq // block_q, sk // block_k)
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-        pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((1, sk, d), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
     ]
     args = [qf, kf, vf]
 
@@ -235,13 +246,12 @@ def flash_attention(
         bias_h_f = bias_h.reshape(bh_flat, sq, kh)
         bias_w_f = bias_w.reshape(bh_flat, sq, kw)
         in_specs += [
-            pl.BlockSpec((1, block_q, kh), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, kw), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, kh), lambda i, j, t: (i, j, 0)),
+            pl.BlockSpec((1, block_q, kw), lambda i, j, t: (i, j, 0)),
         ]
         args += [bias_h_f, bias_w_f]
     if has_kv_len:
-        # (BH, 1) scalar-per-sequence in SMEM with (1, 1) blocks — the
-        # canonical SMEM scalar pattern (2D, one per grid row).
+        # (BH, 1) scalars in SMEM, indexed by program_id inside the kernel
         kv_len_f = jnp.repeat(kv_len.astype(jnp.int32), h).reshape(bh_flat, 1)
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [kv_len_f]
@@ -266,16 +276,21 @@ def flash_attention(
         bw_ref = next(it) if has_bias else None
         kl_ref = next(it) if has_kv_len else None
         o_ref = next(it)
-        kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, o_ref)
+        kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, o_ref, *it)
 
     out = pl.pallas_call(
         wrapped,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh_flat, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),    # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),    # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh_flat * sq * sk * d,
