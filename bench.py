@@ -56,12 +56,14 @@ def measure_tpu() -> float:
     apply = jax.jit(model.apply)
 
     # warmup / compile; device sync via scalar pull (block_until_ready is
-    # unreliable through the axon tunnel)
+    # unreliable through the axon tunnel).  Sync once after the loop —
+    # dispatch is async, so per-iteration pulls would add a host round
+    # trip per step.
     float(apply(params, images).sum())
     t0 = time.perf_counter()
     for _ in range(STEPS):
         out = apply(params, images)
-        float(out.sum())
+    float(out.sum())
     dt = (time.perf_counter() - t0) / STEPS
     return BATCH / dt
 
