@@ -127,6 +127,47 @@ class TestModelParallelViT:
         )
 
 
+class TestRingAttention:
+    def test_matches_full_attention(self, mesh8, rng):
+        from vit_deep_radiomics_tpu.ops.attention import attention_reference
+        from vit_deep_radiomics_tpu.parallel.ring_attention import (
+            ring_attention,
+        )
+
+        b, h, s, d = 2, 3, 64, 16  # 8 tokens per device
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        out = ring_attention(q, k, v, mesh8)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_no_device_holds_full_kv(self, mesh8, rng):
+        """The sharded inputs stay sharded — shard shape check."""
+        from vit_deep_radiomics_tpu.core.mesh import DATA_AXIS
+        from vit_deep_radiomics_tpu.parallel.ring_attention import (
+            ring_attention,
+        )
+        from jax.sharding import NamedSharding
+
+        b, h, s, d = 1, 2, 32, 8
+        spec = P(None, None, DATA_AXIS, None)
+        k = jax.device_put(
+            jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32)),
+            NamedSharding(mesh8, spec),
+        )
+        assert k.addressable_shards[0].data.shape == (1, 2, 4, 8)
+        q = jax.device_put(
+            jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32)),
+            NamedSharding(mesh8, spec),
+        )
+        out = ring_attention(q, k, k, mesh8)
+        assert out.shape == (b, h, s, d)
+
+
 class TestGSPMDTrainStepMultiDevice:
     def test_trainer_step_over_mesh(self, mesh8, rng):
         """The engine's jitted train step runs sharded over 8 devices and

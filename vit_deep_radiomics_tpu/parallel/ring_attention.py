@@ -1,0 +1,104 @@
+"""Ring attention: sequence-parallel attention over the device mesh.
+
+The reference bounds sequence length by construction (ROI crops, masked
+tokens, 13-slice windows — SURVEY.md §5 "long-context") and has no
+sequence parallelism.  For whole-volume token sets that exceed one
+chip's memory, this module shards keys/values over the ``data`` axis and
+rotates KV shards around the ring with ``jax.lax.ppermute`` while each
+device accumulates its queries' online softmax — communication rides
+ICI point-to-point and overlaps with compute.
+
+The online-softmax accumulation is the same math as the Pallas flash
+kernel (ops/attention.py), applied across devices instead of across
+tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS
+
+__all__ = ["ring_attention"]
+
+_NEG_INF = -1e30
+
+
+def _ring_body(q, k_local, v_local, axis_name: str, scale: float):
+    n = jax.lax.psum(1, axis_name)
+
+    # initial accumulators must carry the same varying-axis type as the
+    # per-device values they'll be updated with (new shard_map semantics)
+    m = jax.lax.pvary(
+        jnp.full(q.shape[:-1] + (1,), _NEG_INF, jnp.float32), axis_name
+    )
+    l = jax.lax.pvary(jnp.zeros(q.shape[:-1] + (1,), jnp.float32), axis_name)
+    acc = jax.lax.pvary(jnp.zeros(q.shape, jnp.float32), axis_name)
+
+    qf = q.astype(jnp.float32) * scale
+
+    def step(carry, _):
+        m, l, acc, k_blk, v_blk = carry
+        s = jnp.einsum(
+            "...qd,...kd->...qk", qf, k_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "...qk,...kd->...qd", p, v_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        # rotate KV to the next device; overlapped with the next step's
+        # compute by XLA's async collective scheduling
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        return (m_new, l, acc, k_blk, v_blk), None
+
+    (m, l, acc, _, _), _ = jax.lax.scan(
+        step, (m, l, acc, k_local, v_local), None, length=n
+    )
+    safe_l = jnp.where(l > 0, l, 1.0)
+    return (acc / safe_l).astype(q.dtype)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = DATA_AXIS,
+    scale: float | None = None,
+):
+    """Attention with KV sharded over *axis_name* of the mesh.
+
+    Args:
+        q, k, v: (B, H, S, D) global arrays; S must divide the ring size.
+            Queries stay sharded (each device computes its S/N query
+            rows); K/V shards rotate N-1 times so every query sees every
+            key.
+
+    Returns the same result as full attention, computed without any
+    device ever holding the whole K/V.
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+
+    body = functools.partial(_ring_body, axis_name=axis_name, scale=scale)
+    spec = P(None, None, axis_name, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+    return fn(q, k, v)
