@@ -52,7 +52,33 @@ FAST = Policy(
     output_dtype=jnp.float32,
 )
 
-_POLICIES = {"parity": PARITY, "fast": FAST, "fp32": PARITY, "bf16": FAST}
+# Frozen-backbone inference: params stored bf16 so every matmul reads
+# half the weight bytes and skips the fp32→bf16 cast (the backbone never
+# trains, so no fp32 master copy is needed).
+INFERENCE = Policy(
+    name="inference",
+    param_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16,
+    output_dtype=jnp.float32,
+)
+
+_POLICIES = {
+    "parity": PARITY, "fast": FAST, "inference": INFERENCE,
+    "fp32": PARITY, "bf16": FAST,
+}
+
+
+def cast_params(params, dtype):
+    """Cast every floating leaf of a param pytree (e.g. fp32 → bf16 for
+    the INFERENCE policy after conversion/init)."""
+    import jax
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, dtype)
+        return x
+
+    return jax.tree.map(cast, params)
 
 
 def get_policy(name: str | Policy) -> Policy:

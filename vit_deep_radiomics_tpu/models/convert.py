@@ -29,6 +29,7 @@ __all__ = [
     "load_torch_state_dict",
     "sam_params_from_torch",
     "dinov2_params_from_torch",
+    "transformer_classifier_params_from_torch",
 ]
 
 
@@ -221,3 +222,91 @@ def dinov2_params_from_torch(
     else:
         params["norm"] = {"scale": s["norm.weight"], "bias": s["norm.bias"]}
     return params
+
+
+def _torch_encoder_layer(sd: Mapping[str, np.ndarray], base: str) -> dict:
+    """One torch ``nn.TransformerEncoderLayer`` → PostNormEncoderLayer params."""
+    return {
+        "self_attn": {
+            "in_kernel": _linear(sd[f"{base}.self_attn.in_proj_weight"]),
+            "in_bias": sd[f"{base}.self_attn.in_proj_bias"],
+            "out_kernel": _linear(sd[f"{base}.self_attn.out_proj.weight"]),
+            "out_bias": sd[f"{base}.self_attn.out_proj.bias"],
+        },
+        "linear1": {"kernel": _linear(sd[f"{base}.linear1.weight"]),
+                    "bias": sd[f"{base}.linear1.bias"]},
+        "linear2": {"kernel": _linear(sd[f"{base}.linear2.weight"]),
+                    "bias": sd[f"{base}.linear2.bias"]},
+        "norm1": {"scale": sd[f"{base}.norm1.weight"],
+                  "bias": sd[f"{base}.norm1.bias"]},
+        "norm2": {"scale": sd[f"{base}.norm2.weight"],
+                  "bias": sd[f"{base}.norm2.bias"]},
+    }
+
+
+def _mlp_head(sd: Mapping[str, np.ndarray], base: str) -> dict:
+    return {
+        "dense1": {"kernel": _linear(sd[f"{base}.dense1.weight"]),
+                   "bias": sd[f"{base}.dense1.bias"]},
+        "dense2": {"kernel": _linear(sd[f"{base}.dense2.weight"]),
+                   "bias": sd[f"{base}.dense2.bias"]},
+    }
+
+
+def transformer_classifier_params_from_torch(
+    state: Mapping[str, np.ndarray], num_layers: int, bimodal: bool = False
+) -> dict:
+    """Reference classifier ``.pth`` state dict → our classifier params.
+
+    Unimodal (reference ``TransformerNoduleClassifier``, models_archs.py
+    :127-147: ``cls_token``, ``norm``, ``transformer_encoder.layers.N``,
+    ``classifier``) and bimodal (``TransformerNoduleBimodalClassifier``,
+    :38-124, per-modality encoders + cross-attention + three heads)
+    naming are both supported, so classifiers trained by the reference
+    load directly for evaluation/embedding extraction here.
+    """
+    sd = dict(state)
+    if not bimodal:
+        return {
+            "cls_token": sd["cls_token"],
+            "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+            "encoder": {
+                f"layer_{i}": _torch_encoder_layer(
+                    sd, f"transformer_encoder.layers.{i}")
+                for i in range(num_layers)
+            },
+            "head": _mlp_head(sd, "classifier"),
+        }
+
+    def encoder(prefix, n):
+        return {
+            f"layer_{i}": _torch_encoder_layer(sd, f"{prefix}.layers.{i}")
+            for i in range(n)
+        }
+
+    def cross_attn(prefix):
+        return {
+            "in_kernel": _linear(
+                sd[f"{prefix}.multihead_attn.in_proj_weight"]),
+            "in_bias": sd[f"{prefix}.multihead_attn.in_proj_bias"],
+            "out_kernel": _linear(
+                sd[f"{prefix}.multihead_attn.out_proj.weight"]),
+            "out_bias": sd[f"{prefix}.multihead_attn.out_proj.bias"],
+        }
+
+    return {
+        "cls_token_ct": sd["cls_token_ct"],
+        "cls_token_pet": sd["cls_token_pet"],
+        "norm_ct": {"scale": sd["norm_ct.weight"],
+                    "bias": sd["norm_ct.bias"]},
+        "norm_pet": {"scale": sd["norm_pet.weight"],
+                     "bias": sd["norm_pet.bias"]},
+        "encoder_ct": encoder("transformer_encoder_ct", num_layers),
+        "encoder_pet": encoder("transformer_encoder_pet", num_layers),
+        "cross_attention_ct": cross_attn("cross_attention_ct"),
+        "cross_attention_pet": cross_attn("cross_attention_pet"),
+        "classifier_ct": _mlp_head(sd, "classifier_ct"),
+        "classifier_pet": _mlp_head(sd, "classifier_pet"),
+        "projection_petct": _mlp_head(sd, "projection_petct"),
+        "classifier_petct": _mlp_head(sd, "classifier_petct"),
+    }
