@@ -65,6 +65,11 @@ class TrainerConfig:
     focal_alpha: tuple = (0.25, 0.75)
     num_classes: int = 2
     max_epochs: int | None = None        # override cfg num_epochs (tests)
+    use_sampler: bool = False            # class-balanced resampling of the
+                                         # train items (reference
+                                         # WeightedRandomSampler,
+                                         # train_models.py:624-632; off by
+                                         # default there too, :521)
 
 
 def cosine_lr(epoch: int, lr0: float, num_epochs: int,
@@ -335,10 +340,27 @@ def train_fold(
                 history = state["history"]
             log(f"resumed fold {kfold} from epoch {last}")
 
+    sampler_rng = np.random.default_rng(tcfg.seed + 17)
+
+    def _draw_train_indices() -> list[int]:
+        """Epoch item order: shuffled, or class-balanced resampling with
+        replacement when use_sampler is set (reference
+        WeightedRandomSampler semantics, train_models.py:314-329,
+        624-632)."""
+        n = len(train_ds)
+        if not tcfg.use_sampler:
+            return list(sampler_rng.permutation(n))
+        labels = train_ds.items["label"].astype(int).to_numpy()
+        _, inv, counts = np.unique(labels, return_inverse=True,
+                                   return_counts=True)
+        weights = 1.0 / counts[inv]
+        weights = weights / weights.sum()
+        return list(sampler_rng.choice(n, size=n, replace=True, p=weights))
+
     best_target = -np.inf
     epochs_since_improvement = 0
     for epoch in range(start_epoch, trainer.num_epochs):
-        train_items = [train_ds[i] for i in range(len(train_ds))]
+        train_items = [train_ds[i] for i in _draw_train_indices()]
         test_items = [test_ds[i] for i in range(len(test_ds))]
         train_batches = list(batch_items(train_items, tcfg.batch_size))
         test_batches = list(batch_items(test_items, tcfg.batch_size))
