@@ -267,7 +267,7 @@ class DenseExtractor:
                     jnp.int32(ch), jnp.int32(cw),
                 )
                 resampled = fused_flip_rotate_crop_resize(
-                    vol_dev, box, ang, fh, fv, valid_hw, cfg.image_size
+                    vol_dev, box, ang, fh, fv, valid_hw, self.image_size
                 )
                 stream.add(resampled)
                 aug_crops.append((
