@@ -32,6 +32,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..core.precision import FAST, Policy, get_policy
 from ..data import feature_store
@@ -176,13 +177,14 @@ class DenseExtractor:
         """Cross-augmentation ViT batching: accumulates resampled slices
         from successive augmentations and runs the jitted forward only on
         FULL slice_batch chunks (one padded partial at flush time instead
-        of one per augmentation)."""
+        of one per augmentation).  Outputs stay on DEVICE — the caller
+        ROI-crops there before anything crosses the (slow) host link."""
 
         def __init__(self, extractor: "DenseExtractor"):
             self.ex = extractor
             self.pending: list[jax.Array] = []
             self.pending_count = 0
-            self.outputs: list[np.ndarray] = []
+            self.outputs: list[jax.Array] = []
 
         def add(self, slices: jax.Array) -> None:
             if slices.ndim == 3:
@@ -193,25 +195,24 @@ class DenseExtractor:
             while self.pending_count >= sb:
                 buf = jnp.concatenate(self.pending, axis=0)
                 chunk, rest = buf[:sb], buf[sb:]
-                self.outputs.append(np.asarray(
-                    self.ex._apply(self.ex.params, chunk), np.float32))
+                self.outputs.append(self.ex._apply(self.ex.params, chunk))
                 self.pending = [rest] if rest.shape[0] else []
                 self.pending_count = int(rest.shape[0])
 
-        def flush(self) -> np.ndarray:
+        def flush(self) -> jax.Array:
             sb = self.ex.config.slice_batch
             if self.pending_count:
                 buf = jnp.concatenate(self.pending, axis=0)
                 pad = sb - buf.shape[0]
                 chunk = jnp.concatenate(
                     [buf, jnp.repeat(buf[-1:], pad, axis=0)], axis=0)
-                self.outputs.append(np.asarray(
-                    self.ex._apply(self.ex.params, chunk),
-                    np.float32)[: self.pending_count])
+                self.outputs.append(
+                    self.ex._apply(self.ex.params, chunk)[: self.pending_count]
+                )
                 self.pending, self.pending_count = [], 0
             return (
-                np.concatenate(self.outputs, axis=0)
-                if self.outputs else np.empty((0,))
+                jnp.concatenate(self.outputs, axis=0)
+                if self.outputs else jnp.empty((0,))
             )
 
     # -- per-volume extraction ----------------------------------------------
@@ -278,12 +279,32 @@ class DenseExtractor:
                 meta_angles.extend([angle] * s)
                 meta_flips.extend([flip] * s)
 
-        all_feats = stream.flush()  # (n_augs * s, g, g, C)
+        all_feats = stream.flush()  # (n_augs * s, g, g, C), ON DEVICE
+        grid = all_feats.shape[1]
         for a, (union_crop, m_crop) in enumerate(aug_crops):
+            # ROI crop on device at a bucketed static size, then pull only
+            # the crop (vs. the full g×g×C map — the host link is the
+            # bottleneck through this tunnel, and in production still
+            # saves PCIe bandwidth).  Geometry identical to
+            # roi.extract_roi via the shared scaled_roi_box arithmetic.
+            xmin, ymin, xmax, ymax = roi.scaled_roi_box(
+                (grid, grid), union_crop, margin=1
+            )
+            ch, cw = ymax - ymin, xmax - xmin
+            bucket = min(grid, max(8, -(-max(ch, cw) // 8) * 8))
+            y0 = min(ymin, grid - bucket)
+            x0 = min(xmin, grid - bucket)
+            crop_dev = lax.dynamic_slice(
+                all_feats,
+                (a * s, y0, x0, 0),
+                (s, bucket, bucket, all_feats.shape[-1]),
+            )
+            if self.policy.compute_dtype == jnp.bfloat16:
+                crop_dev = crop_dev.astype(jnp.bfloat16)  # halve transfer
+            crop = np.asarray(crop_dev).astype(np.float32)
+            oy, ox = ymin - y0, xmin - x0
             for i in range(s):
-                features_list.append(
-                    roi.extract_roi(all_feats[a * s + i], union_crop)
-                )
+                features_list.append(crop[i, oy:oy + ch, ox:ox + cw])
                 masks_list.append(
                     roi.extract_roi(m_crop[:, :, i] > 0, union_crop)
                 )

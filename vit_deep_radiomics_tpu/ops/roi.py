@@ -69,6 +69,32 @@ def crop_image(img: np.ndarray, xmin: int, ymin: int, xmax: int, ymax: int):
     return img[ymin:ymax, xmin:xmax]
 
 
+def scaled_roi_box(
+    img_shape: tuple[int, int], mask: np.ndarray, margin: int = 1
+):
+    """The box arithmetic of :func:`extract_roi`, without the crop.
+
+    Returns clamped (xmin, ymin, xmax, ymax) into an image of
+    ``img_shape`` — lets callers perform the crop elsewhere (e.g. as a
+    device-side ``dynamic_slice``) with identical geometry.
+    """
+    xmin, ymin, xmax, ymax = extract_coords(mask, margin)
+    if tuple(img_shape[:2]) != mask.shape[:2]:
+        hs = img_shape[0] / mask.shape[0]
+        ws = img_shape[1] / mask.shape[1]
+        xmin, ymin, xmax, ymax = (
+            int(v) for v in (xmin * ws, ymin * hs, xmax * ws, ymax * hs)
+        )
+        h = max(ymax - ymin, margin)
+        w = max(xmax - xmin, margin)
+        xmax = xmin + w
+        ymax = ymin + h
+    h, w = img_shape[:2]
+    ymin, ymax = (max(0, min(v, h)) for v in (ymin, ymax))
+    xmin, xmax = (max(0, min(v, w)) for v in (xmin, xmax))
+    return xmin, ymin, xmax, ymax
+
+
 def extract_roi(img: np.ndarray, mask: np.ndarray, margin: int = 1):
     """Crop *img* to the bbox of *mask*, rescaling coords when the image is
     a feature map at a different resolution.
