@@ -47,6 +47,16 @@ class TestRoi:
         xmin, ymin, xmax, ymax = roi.square_crop_box(mask, margin=2)
         assert xmax - xmin == ymax - ymin  # square
 
+    def test_scaled_roi_box_matches_extract_roi(self, rng):
+        """Device-crop geometry (scaled_roi_box) must reproduce
+        extract_roi's crop exactly."""
+        mask = np.zeros((128, 128), bool)
+        mask[40:60, 50:75] = True
+        feat = rng.normal(size=(64, 64, 4)).astype(np.float32)
+        ref = roi.extract_roi(feat, mask, margin=1)
+        xmin, ymin, xmax, ymax = roi.scaled_roi_box((64, 64), mask, margin=1)
+        np.testing.assert_array_equal(feat[ymin:ymax, xmin:xmax], ref)
+
     def test_device_bbox_matches_numpy(self, rng):
         mask = rng.uniform(size=(32, 24)) > 0.8
         ys, xs = np.where(mask)

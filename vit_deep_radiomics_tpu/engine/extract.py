@@ -247,37 +247,46 @@ class DenseExtractor:
         aug_crops: list[tuple] = []  # (union_crop, m_crop) per augmentation
 
         stream = self._SliceStream(self)
-        for flip in cfg.flips:
-            fh = jnp.bool_(flip == "horizontal")
-            fv = jnp.bool_(flip == "vertical")
-            for angle in cfg.angles:
-                ang = jnp.float32(angle)
-                m_rot = np.asarray(
-                    transform_mask(mask_dev, ang, fh, fv, valid_hw)
-                )[:h, :w]
-                union = m_rot.sum(axis=-1) > 0
-                if not union.any():
-                    continue
-                xmin, ymin, xmax, ymax = roi.square_crop_box(union, margin=2)
-                # clamp like reference crop_image (:93-98)
-                ymin_c, ymax_c = max(0, ymin), min(h, ymax)
-                xmin_c, xmax_c = max(0, xmin), min(w, xmax)
-                ch, cw = ymax_c - ymin_c, xmax_c - xmin_c
-                box = (
-                    jnp.int32(ymin_c), jnp.int32(xmin_c),
-                    jnp.int32(ch), jnp.int32(cw),
-                )
-                resampled = fused_flip_rotate_crop_resize(
-                    vol_dev, box, ang, fh, fv, valid_hw, self.image_size
-                )
-                stream.add(resampled)
-                aug_crops.append((
-                    union[ymin_c:ymax_c, xmin_c:xmax_c],
-                    m_rot[ymin_c:ymax_c, xmin_c:xmax_c],
-                ))
-                meta_slices.extend(range(s))
-                meta_angles.extend([angle] * s)
-                meta_flips.extend([flip] * s)
+        # all augmentations' mask transforms in ONE vmapped device call +
+        # one pull (instead of one round trip per augmentation)
+        combos = [
+            (flip, angle) for flip in cfg.flips for angle in cfg.angles
+        ]
+        angles_arr = jnp.asarray([a for _, a in combos], jnp.float32)
+        fh_arr = jnp.asarray([f == "horizontal" for f, _ in combos])
+        fv_arr = jnp.asarray([f == "vertical" for f, _ in combos])
+        m_rot_all = np.asarray(
+            jax.vmap(
+                lambda a, fh, fv: transform_mask(mask_dev, a, fh, fv, valid_hw)
+            )(angles_arr, fh_arr, fv_arr)
+        )[:, :h, :w]
+
+        for ci, (flip, angle) in enumerate(combos):
+            m_rot = m_rot_all[ci]
+            union = m_rot.sum(axis=-1) > 0
+            if not union.any():
+                continue
+            xmin, ymin, xmax, ymax = roi.square_crop_box(union, margin=2)
+            # clamp like reference crop_image (:93-98)
+            ymin_c, ymax_c = max(0, ymin), min(h, ymax)
+            xmin_c, xmax_c = max(0, xmin), min(w, xmax)
+            ch, cw = ymax_c - ymin_c, xmax_c - xmin_c
+            box = (
+                jnp.int32(ymin_c), jnp.int32(xmin_c),
+                jnp.int32(ch), jnp.int32(cw),
+            )
+            resampled = fused_flip_rotate_crop_resize(
+                vol_dev, box, angles_arr[ci], fh_arr[ci], fv_arr[ci],
+                valid_hw, self.image_size,
+            )
+            stream.add(resampled)
+            aug_crops.append((
+                union[ymin_c:ymax_c, xmin_c:xmax_c],
+                m_rot[ymin_c:ymax_c, xmin_c:xmax_c],
+            ))
+            meta_slices.extend(range(s))
+            meta_angles.extend([angle] * s)
+            meta_flips.extend([flip] * s)
 
         all_feats = stream.flush()  # (n_augs * s, g, g, C), ON DEVICE
         grid = all_feats.shape[1]
