@@ -30,6 +30,37 @@ BATCH = 4
 STEPS = 12
 
 
+def measure_vitl14_dense() -> float:
+    """Secondary config (BASELINE.json config 3): DINOv2-style ViT-L/14
+    full dense tokens @518, bf16 batched inference.  Run via
+    ``python bench.py vitl14``."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.precision import FAST
+    from vit_deep_radiomics_tpu.models.vit import DINOV2_CONFIGS, ViTDense
+
+    model = ViTDense(
+        DINOV2_CONFIGS["dinov2_vitl14"], policy=FAST,
+        use_flash=jax.default_backend() == "tpu",
+    )
+    images = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(size=(BATCH, 518, 518, 3))
+        .astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+    apply = jax.jit(model.apply)
+    float(apply(params, images).sum())
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = apply(params, images)
+    float(out.sum())
+    return BATCH / ((time.perf_counter() - t0) / STEPS)
+
+
 def measure_tpu() -> float:
     import numpy as np
 
@@ -103,7 +134,17 @@ def get_baseline() -> float:
     return baseline
 
 
-def main():
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "vitl14":
+        value = measure_vitl14_dense()
+        print(json.dumps({
+            "metric": "dinov2_vitl14_dense518_throughput",
+            "value": round(value, 3),
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,  # no reference engine for this config here
+        }))
+        return
     value = measure_tpu()
     baseline = get_baseline()
     print(json.dumps({

@@ -277,12 +277,20 @@ class WindowedAttention(nn.Module):
         def next_pow2(n):
             return 1 << (n - 1).bit_length()
 
+        def q_blocking(s):
+            """(padded len, block) with block | padded and block ≤ 512."""
+            for blk in (512, 256, 128):
+                padded = -(-s // blk) * blk
+                if padded % blk == 0 and (padded - s) < blk:
+                    return padded, blk
+            return -(-s // 128) * 128, 128
+
         if bias_h is not None:
             # pad key grid: rows to a multiple of 8, cols to a power of two
             # so block_k can stay a tile-friendly multiple of the grid width
             hp = -(-h // 8) * 8
             wp = max(8, next_pow2(w))
-            sq_pad = -(-s // 128) * 128
+            sq_pad, bq = q_blocking(s)
             sk_pad = hp * wp
             qp = pad_to(q, sq_pad, 2)
             kp = pad_to(
@@ -298,13 +306,13 @@ class WindowedAttention(nn.Module):
             out = flash_attention(
                 qp, kp, vp, bias_h=bh, bias_w=bw,
                 kv_grid=(h, w) if (hp, wp) != (h, w) else None,
-                block_q=min(512, sq_pad),
+                block_q=bq,
                 block_k=min(1024, sk_pad),
                 interpret=interpret,
             )
             return out[:, :, :s].astype(q.dtype)
 
-        sq_pad = -(-s // 128) * 128
+        sq_pad, bq = q_blocking(s)
         qp = pad_to(q, sq_pad, 2)
         kv_len = None
         if sq_pad != s:
@@ -314,7 +322,7 @@ class WindowedAttention(nn.Module):
             kp, vp = k, v
         out = flash_attention(
             qp, kp, vp, kv_len=kv_len,
-            block_q=min(512, sq_pad), block_k=min(512, sq_pad),
+            block_q=bq, block_k=bq,
             interpret=interpret,
         )
         return out[:, :, :s]
