@@ -91,12 +91,14 @@ def measure_tpu() -> float:
     # dispatch is async, so per-iteration pulls would add a host round
     # trip per step.
     float(apply(params, images).sum())
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = apply(params, images)
-    float(out.sum())
-    dt = (time.perf_counter() - t0) / STEPS
-    return BATCH / dt
+    best = float("inf")
+    for _rep in range(3):  # tunnel latency is noisy; take the best rep
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = apply(params, images)
+        float(out.sum())
+        best = min(best, (time.perf_counter() - t0) / STEPS)
+    return BATCH / best
 
 
 def measure_torch_cpu_baseline() -> float:

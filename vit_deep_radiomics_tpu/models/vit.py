@@ -301,8 +301,8 @@ class WindowedAttention(nn.Module):
                 v.reshape(b, nh, h, w, hd), hp, 2
             )
             vp = pad_to(vp, wp, 3).reshape(b, nh, sk_pad, hd)
-            bh = pad_to(pad_to(bias_h, sq_pad, 2), hp, 3)
-            bw = pad_to(pad_to(bias_w, sq_pad, 2), wp, 3)
+            bh = pad_to(pad_to(bias_h, sq_pad, 2), hp, 3).astype(q.dtype)
+            bw = pad_to(pad_to(bias_w, sq_pad, 2), wp, 3).astype(q.dtype)
             out = flash_attention(
                 qp, kp, vp, bias_h=bh, bias_w=bw,
                 kv_grid=(h, w) if (hp, wp) != (h, w) else None,

@@ -98,29 +98,38 @@ def _flash_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # (bq, d)
+    # keep q/k/v in their native dtype for the MXU (bf16 in / fp32
+    # accumulate — fp32-in matmuls run several times slower); all softmax
+    # statistics stay fp32 via preferred_element_type
+    q = q_ref[0]                                      # (bq, d)
     bq = q.shape[0]
-    kblk = k_ref[0].astype(jnp.float32)               # (bk, d)
-    vblk = v_ref[0].astype(jnp.float32)
+    kblk = k_ref[0]                                   # (bk, d)
+    vblk = v_ref[0]
 
-    s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32)  # (bq, bk)
+    s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
 
     if has_bias:
         rows = kv_rows_per_block
         bias_w = bias_w_ref[0].astype(jnp.float32)    # (bq, kw)
-        bias_h = bias_h_ref[0].astype(jnp.float32)    # (bq, kh)
+        bias_h = bias_h_ref[0]                        # (bq, kh)
         kw = bias_w.shape[-1]
         kh = bias_h.shape[-1]
         # Select this kv tile's key-grid rows from bias_h with a one-hot
         # matmul (Mosaic cannot dynamically slice the lane dim), expand
         # each across its kw keys, and tile bias_w with a lane concat.
-        row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
-        col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
-        sel = (row_ids == kv_idx * rows + col_ids).astype(jnp.float32)
-        bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
+        # When one kv tile covers every key-grid row the select is the
+        # identity — skip it.
+        if rows != kh:
+            row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+            col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+            sel = (row_ids == kv_idx * rows + col_ids).astype(bias_h.dtype)
+            bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
+            bh = bh.astype(bias_h.dtype)
+        else:
+            bh = bias_h
         e_rows = lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
         e_cols = lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
-        expand = (e_cols // kw == e_rows).astype(jnp.float32)
+        expand = (e_cols // kw == e_rows).astype(bh.dtype)
         bh = jnp.dot(bh, expand, preferred_element_type=jnp.float32)
         bias_w_tiled = jnp.concatenate([bias_w] * rows, axis=1)
         s = s + bh + bias_w_tiled
@@ -149,8 +158,9 @@ def _flash_kernel(
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_scratch[...] = m_new
     l_scratch[...] = l_new
+    # PV in the value dtype (bf16 on the fast path) with fp32 accumulation
     acc_scratch[...] = acc_scratch[...] * alpha + jnp.dot(
-        p, vblk, preferred_element_type=jnp.float32
+        p.astype(vblk.dtype), vblk, preferred_element_type=jnp.float32
     )
 
     @pl.when(kv_idx == num_kv - 1)
