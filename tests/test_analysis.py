@@ -251,3 +251,35 @@ class TestVisualize:
     def test_min_max_scale_constant(self):
         x = np.full(4, 2.5)
         np.testing.assert_array_equal(visualize.min_max_scale(x), x)
+
+
+class TestOtsuAndCurves:
+    def test_otsu_bimodal(self):
+        rng = np.random.default_rng(7)
+        vals = np.concatenate([
+            rng.normal(0.2, 0.03, 500), rng.normal(0.8, 0.03, 500)])
+        t = visualize.otsu_threshold(vals)
+        # any gap point separates perfectly (argmax picks the first);
+        # the test is class separation, not the gap midpoint
+        assert (vals < t).sum() == 500
+
+    def test_pca_colorize_remove_bg(self):
+        rng = np.random.default_rng(8)
+        feats = rng.normal(size=(64, 8)).astype(np.float32)
+        out = visualize.pca_colorize(feats, (8, 8), remove_bg=True)
+        assert out.shape == (8, 8, 3)
+        assert (out == 0).any()  # some background removed
+
+    def test_training_curves_written(self, tmp_path):
+        base = tmp_path / "models" / "petct"
+        _write_fake_run(base, "medsam_transformer_stanford", "ct")
+        out = aggregate.aggregate_experiments(
+            tmp_path / "models", tmp_path / "metrics", folder="petct",
+            plots_dir=tmp_path / "plots",
+        )
+        loss_html = (tmp_path / "plots" / "training"
+                     / "medsam_transformer_stanford-ct-training_loss.html")
+        acc_html = (tmp_path / "plots" / "training"
+                    / "medsam_transformer_stanford-ct-training_accuracy.html")
+        assert loss_html.exists() and acc_html.exists()
+        assert "kfold" in loss_html.read_text()

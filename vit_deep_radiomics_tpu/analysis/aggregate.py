@@ -100,10 +100,54 @@ def best_epochs_per_fold(df: pd.DataFrame) -> pd.DataFrame:
     return test.groupby("kfold", as_index=False).first()
 
 
+def write_training_curves(
+    df: pd.DataFrame, plots_dir, experiment: str, modality: str
+) -> list[str]:
+    """Per-experiment loss/accuracy curve HTMLs, one panel per fold.
+
+    Artifact contract of avg_kfold_metrics.py:73-89
+    (``plots/training/{experiment}-{modality}-training_{loss,accuracy}.html``);
+    the reference uses a plotly animation slider over folds — the
+    dependency-free renderer lays folds out as side-by-side panels.
+    """
+    import html as html_mod
+
+    from .reports import _svg_panel
+
+    plots_dir = Path(plots_dir)
+    plots_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for metric in ("loss", "accuracy"):
+        panels = []
+        for kfold, sub in df.groupby("kfold"):
+            series = {}
+            for split in ("train", "test"):
+                rows = sub[sub["split"] == split].sort_values("epoch")
+                if len(rows):
+                    series[split] = (
+                        rows["epoch"].tolist(), rows[metric].tolist()
+                    )
+            if series:
+                panels.append(_svg_panel(f"kfold {kfold} — {metric}", series))
+        title = f"{experiment} {modality} training {metric}"
+        doc = (
+            f"<!doctype html><html><head><meta charset='utf-8'>"
+            f"<title>{html_mod.escape(title)}</title></head><body>"
+            f"<h2 style='font-family:sans-serif'>{html_mod.escape(title)}"
+            f"</h2>{''.join(panels)}</body></html>"
+        )
+        path = plots_dir / f"{experiment}-{modality}-training_{metric}.html"
+        with open(path, "w") as fh:
+            fh.write(doc)
+        written.append(str(path))
+    return written
+
+
 def aggregate_experiments(
     models_folder: str | os.PathLike,
     metrics_dir: str | os.PathLike,
     folder: str = "petct",
+    plots_dir: str | os.PathLike | None = None,
 ) -> pd.DataFrame:
     """Walk every experiment/modality → summary CSV (reference schema).
 
@@ -117,6 +161,10 @@ def aggregate_experiments(
         exp_dir = base / experiment
         for modality in sorted(p.name for p in exp_dir.iterdir() if p.is_dir()):
             df = collect_fold_metrics(exp_dir / modality)
+            if plots_dir is not None:
+                write_training_curves(
+                    df, Path(plots_dir) / "training", experiment, modality
+                )
             best = best_epochs_per_fold(df)
 
             # overall best (fold, epoch) for downstream checkpoint picks

@@ -16,11 +16,29 @@ import numpy as np
 
 __all__ = [
     "min_max_scale",
+    "otsu_threshold",
     "pca_colorize",
     "match_images_sizes",
     "save_contour_slices",
     "visualize_features",
 ]
+
+
+def otsu_threshold(values: np.ndarray, nbins: int = 256) -> float:
+    """Otsu's between-class-variance-maximising threshold (pure numpy).
+
+    Replaces skimage.filters.threshold_otsu used by the reference's
+    background removal (visualization_utils.py:62)."""
+    values = np.asarray(values, np.float64).ravel()
+    hist, edges = np.histogram(values, bins=nbins)
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    weight1 = np.cumsum(hist)
+    weight2 = weight1[-1] - weight1
+    csum = np.cumsum(hist * centers)
+    mean1 = csum / np.maximum(weight1, 1)
+    mean2 = (csum[-1] - csum) / np.maximum(weight2, 1)
+    variance = weight1[:-1] * weight2[:-1] * (mean1[:-1] - mean2[:-1]) ** 2
+    return float(centers[:-1][np.argmax(variance)])
 
 
 def min_max_scale(data: np.ndarray) -> np.ndarray:
@@ -39,9 +57,8 @@ def pca_colorize(
     """(N, D) features → (H, W, 3) PCA-RGB map (:49-69).
 
     With fewer samples than components the reference emits an all-ones
-    map; background removal thresholds the first component at its
-    midpoint (Otsu in the reference — skimage is absent here, and the
-    midpoint matches on bimodal maps).
+    map; background removal Otsu-thresholds the first component
+    (visualization_utils.py:61-67 semantics).
     """
     n, _d = features.shape
     if n >= 3:
@@ -53,7 +70,7 @@ def pca_colorize(
     rgb = min_max_scale(rgb)
     rgb = rgb.reshape(tuple(output_shape) + (3,))
     if remove_bg:
-        thresh = (rgb[:, :, 0].min() + rgb[:, :, 0].max()) / 2.0
+        thresh = otsu_threshold(rgb[:, :, 0])
         keep = (rgb[:, :, 0] > thresh).astype(rgb.dtype)
         rgb = min_max_scale(rgb * keep[:, :, None])
     return rgb

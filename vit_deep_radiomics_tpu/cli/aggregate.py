@@ -14,12 +14,14 @@ def main(argv=None) -> int:
     p.add_argument("--metrics-dir", default="metrics")
     p.add_argument("--folder", default="petct",
                    help="experiment folder under models/")
+    p.add_argument("--plots-dir", default="plots")
     args = p.parse_args(argv)
 
     from ..analysis.aggregate import aggregate_experiments
 
     out = aggregate_experiments(args.models_dir, args.metrics_dir,
-                                folder=args.folder)
+                                folder=args.folder,
+                                plots_dir=args.plots_dir)
     print(out.round(3).T)
     return 0
 
