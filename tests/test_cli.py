@@ -154,3 +154,43 @@ def test_cli_modules_have_help():
         with pytest.raises(SystemExit) as exc:
             mod.main(["--help"])
         assert exc.value.code == 0
+
+
+def test_fusion_cli(tmp_path):
+    """ROC + late fusion over a synthetic embeddings parquet."""
+    import numpy as np
+
+    from vit_deep_radiomics_tpu.cli import fusion as cli_fusion
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(10):
+        label = i % 2
+        for modality in ("pet", "ct"):
+            rows.append({
+                "patient_id": f"p{i}", "dataset": "stanford",
+                "modality": modality, "arch": "transformer",
+                "y_true": label,
+                "y_score": float(np.clip(0.3 + 0.4 * label
+                                         + rng.normal(0, 0.1), 0, 1)),
+                "y_pred": label,
+                "embedding": list(rng.normal(
+                    loc=label, size=6).astype(np.float32)),
+            })
+    emb_path = tmp_path / "emb.parquet"
+    pd.DataFrame(rows).to_parquet(emb_path)
+    roc_out = tmp_path / "roc.html"
+    rc = cli_fusion.main([
+        "--embeddings", str(emb_path), "--dataset", "stanford",
+        "--arch", "transformer", "--roc-out", str(roc_out),
+        "--n-splits", "2",
+    ])
+    assert rc == 0
+    assert roc_out.exists()
+
+
+def test_top_level_dispatcher():
+    from vit_deep_radiomics_tpu.__main__ import main as dispatch
+
+    assert dispatch([]) == 2
+    assert dispatch(["--help"]) == 0
