@@ -140,6 +140,7 @@ class PETCTDataset:
         arch: str = "transformer",
         num_classes: int = 2,
         seed: int = 0,
+        cache_features: bool = True,
     ):
         self.arch = arch
         self.feature_dim = feature_dim
@@ -150,6 +151,12 @@ class PETCTDataset:
         self.hdf5_ct_path = hdf5_ct_path
         self.hdf5_pet_path = hdf5_pet_path
         self.rng = np.random.default_rng(seed)
+        # per-(store, patient) in-memory feature cache: the reference
+        # re-reads HDF5 for every item every epoch
+        # (train_models.py:147-157); ROI-cropped features are small
+        # enough to keep resident, so each patient is read once.
+        self.cache_features = cache_features
+        self._cache: dict = {}
 
         df = dataframe
         self.slice_per_modality = df.groupby(
@@ -197,6 +204,21 @@ class PETCTDataset:
     def __len__(self):
         return len(self.items)
 
+    def _read_features(self, hdf5_path, patient_id, feature_ids):
+        """Per-feature-id reads, via the whole-patient memory cache."""
+        if not self.cache_features:
+            return feature_store.read_patient_features(
+                hdf5_path, patient_id, feature_ids)
+        key = (str(hdf5_path), patient_id)
+        if key not in self._cache:
+            self._cache[key] = feature_store.read_patient_features(
+                hdf5_path, patient_id)
+        feats_all, masks_all = self._cache[key]
+        return (
+            [feats_all[i] for i in feature_ids],
+            [masks_all[i] for i in feature_ids],
+        )
+
     # -- token assembly -----------------------------------------------------
 
     def _get_features(
@@ -208,9 +230,7 @@ class PETCTDataset:
         library is available; the numpy path below is the reference
         semantics both implement.
         """
-        feats, masks = feature_store.read_patient_features(
-            hdf5_path, patient_id, feature_ids
-        )
+        feats, masks = self._read_features(hdf5_path, patient_id, feature_ids)
         if native.available():
             fstack = np.stack(feats, axis=0).astype(np.float32)
             mstack = np.stack(masks, axis=0).astype(np.float32)
