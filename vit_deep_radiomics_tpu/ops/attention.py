@@ -153,9 +153,13 @@ def _flash_kernel(
     m_prev = m_scratch[...]
     l_prev = l_scratch[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
+    # softmax weights in the input dtype: for bf16 inputs the (bq, bk)
+    # exp is the VPU hot spot and bf16 halves it; running statistics
+    # (m, l, acc) stay fp32.  fp32 inputs keep the fully-fp32 path.
+    p = jnp.exp((s - m_new).astype(q.dtype))
     alpha = jnp.exp(m_prev - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True,
+                                     dtype=jnp.float32)
     m_scratch[...] = m_new
     l_scratch[...] = l_new
     # PV in the value dtype (bf16 on the fast path) with fp32 accumulation
