@@ -177,6 +177,7 @@ class WindowedAttention(nn.Module):
     cfg: ViTDenseConfig
     policy: Policy
     use_flash: bool = True
+    window_group: int = 4   # independent windows batched per kernel block
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -278,12 +279,16 @@ class WindowedAttention(nn.Module):
             return 1 << (n - 1).bit_length()
 
         def q_blocking(s):
-            """(padded len, block) with block | padded and block ≤ 512."""
+            """(padded len, block) minimising padding; ties → larger block.
+
+            e.g. 196 → (256, 256); 1370 → (1408, 128); 4096 → (4096, 512).
+            """
+            best = None
             for blk in (512, 256, 128):
                 padded = -(-s // blk) * blk
-                if padded % blk == 0 and (padded - s) < blk:
-                    return padded, blk
-            return -(-s // 128) * 128, 128
+                if best is None or padded < best[0]:
+                    best = (padded, blk)
+            return best
 
         if bias_h is not None:
             # pad key grid: rows to a multiple of 8, cols to a power of two
@@ -303,13 +308,26 @@ class WindowedAttention(nn.Module):
             vp = pad_to(vp, wp, 3).reshape(b, nh, sk_pad, hd)
             bh = pad_to(pad_to(bias_h, sq_pad, 2), hp, 3).astype(q.dtype)
             bw = pad_to(pad_to(bias_w, sq_pad, 2), wp, 3).astype(q.dtype)
-            out = flash_attention(
-                qp, kp, vp, bias_h=bh, bias_w=bw,
-                kv_grid=(h, w) if (hp, wp) != (h, w) else None,
-                block_q=bq,
-                block_k=min(1024, sk_pad),
-                interpret=interpret,
-            )
+
+            if (
+                self.window_group > 1
+                and sq_pad == sk_pad
+                and sk_pad * self.window_group <= 1024
+            ):
+                # SMALL (windowed) grids are grid-step-overhead bound:
+                # batch `window_group` independent windows into one
+                # block-diagonal kernel block (window_tokens mode).
+                out = self._flash_grouped(
+                    qp, kp, vp, bh, bw, (h, w), sq_pad, interpret
+                )
+            else:
+                out = flash_attention(
+                    qp, kp, vp, bias_h=bh, bias_w=bw,
+                    kv_grid=(h, w) if (hp, wp) != (h, w) else None,
+                    block_q=bq,
+                    block_k=min(1024, sk_pad),
+                    interpret=interpret,
+                )
             return out[:, :, :s].astype(q.dtype)
 
         sq_pad, bq = q_blocking(s)
@@ -326,6 +344,46 @@ class WindowedAttention(nn.Module):
             interpret=interpret,
         )
         return out[:, :, :s]
+
+    def _flash_grouped(self, qp, kp, vp, bh, bw, grid_hw, win, interpret):
+        """Batch `window_group` windows into one block-diagonal kernel
+        block: group along the windows axis, scatter each window's
+        bias_h into its own row span (zeros elsewhere are masked by the
+        kernel's block-diagonal kv_grid)."""
+        g = self.window_group
+        b, nh, _, hd = qp.shape
+        pad_b = (-b) % g
+
+        def group(x):
+            if pad_b:
+                x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+            bb = x.shape[0] // g
+            x = x.reshape(bb, g, nh, win, x.shape[-1])
+            return x.transpose(0, 2, 1, 3, 4).reshape(bb, nh, g * win, -1)
+
+        qg, kg, vg = group(qp), group(kp), group(vp)
+        bhg = group(bh)          # (bb, nh, g*win, kh)
+        bwg = group(bw)          # (bb, nh, g*win, kw)
+        kh = bh.shape[-1]
+        bb = qg.shape[0]
+        # scatter bias_h block-diagonally to width g*kh
+        bh_diag = jnp.zeros(
+            (bb, nh, g * win, g * kh), bhg.dtype
+        )
+        for gg in range(g):
+            bh_diag = bh_diag.at[
+                :, :, gg * win:(gg + 1) * win, gg * kh:(gg + 1) * kh
+            ].set(bhg[:, :, gg * win:(gg + 1) * win, :])
+
+        out = flash_attention(
+            qg, kg, vg, bias_h=bh_diag, bias_w=bwg,
+            kv_grid=grid_hw, window_tokens=win,
+            block_q=g * win, block_k=g * win,
+            interpret=interpret,
+        )
+        out = out.reshape(bb, nh, g, win, hd).transpose(0, 2, 1, 3, 4)
+        out = out.reshape(bb * g, nh, win, hd)
+        return out[:b] if pad_b else out
 
 
 class Mlp(nn.Module):

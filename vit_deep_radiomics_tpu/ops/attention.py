@@ -142,12 +142,24 @@ def _flash_kernel(
         s = jnp.where(kidx < kv_len, s, _NEG_INF)
     if kv_grid is not None:
         # static 2D grid mask: key k valid iff its (row, col) in the
-        # padded (·, kw_pad) key grid lies inside (kh_valid, kw_valid)
-        kh_valid, kw_valid, kw_pad = kv_grid
+        # padded (·, kw_pad) key grid lies inside (kh_valid, kw_valid).
+        # With window_tokens set, q and k are concatenations of
+        # independent windows (block-diagonal attention): validity is
+        # window-local and cross-window entries are masked.
+        kh_valid, kw_valid, kw_pad, window_tokens = kv_grid
         kidx = kv_idx * block_k + lax.broadcasted_iota(
             jnp.int32, (bq, block_k), 1
         )
-        valid = (kidx // kw_pad < kh_valid) & (kidx % kw_pad < kw_valid)
+        if window_tokens:
+            k_local = kidx % window_tokens
+            valid = (
+                (k_local // kw_pad < kh_valid)
+                & (k_local % kw_pad < kw_valid)
+            )
+            qidx = lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+            valid &= (qidx // window_tokens) == (kidx // window_tokens)
+        else:
+            valid = (kidx // kw_pad < kh_valid) & (kidx % kw_pad < kw_valid)
         s = jnp.where(valid, s, _NEG_INF)
 
     m_prev = m_scratch[...]
@@ -176,7 +188,8 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kv_grid", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("kv_grid", "window_tokens", "scale", "block_q",
+                     "block_k", "interpret"),
 )
 def flash_attention(
     q: jax.Array,
@@ -187,6 +200,7 @@ def flash_attention(
     kv_len: jax.Array | None = None,
     *,
     kv_grid: tuple[int, int] | None = None,
+    window_tokens: int | None = None,
     scale: float | None = None,
     block_q: int = 512,
     block_k: int = 512,
@@ -206,6 +220,14 @@ def flash_attention(
             kw_valid) sub-grid is real — used for SAM windowed attention
             where 14×14 windows are padded to 16×16 for tiling.  Requires
             ``bias_h``/``bias_w`` (their last dims define the padded grid).
+        window_tokens: optional static window size for BLOCK-DIAGONAL
+            attention: q/k are concatenations of independent windows of
+            this many tokens (each a padded kv_grid grid); a window only
+            attends to itself.  Requires kv_grid, Sq == Sk, and
+            window_tokens | block; the kv tile follows the q tile so
+            several windows batch into one grid step — built for SAM
+            windowed layers where per-window grid rows are
+            step-overhead-bound.
         scale: softmax scale, default 1/sqrt(D).
         interpret: run in Pallas interpreter mode (CPU tests).
     """
@@ -229,7 +251,7 @@ def flash_attention(
         raise ValueError("kv_grid requires bias_h/bias_w (they set Kw)")
     if has_bias:
         kh, kw = bias_h.shape[-1], bias_w.shape[-1]
-        if kh * kw != sk:
+        if not window_tokens and kh * kw != sk:
             raise ValueError(f"Kh*Kw = {kh}*{kw} != Sk = {sk}")
         if block_k % kw:
             # keep key tiles aligned to whole key-grid rows
@@ -238,21 +260,45 @@ def flash_attention(
                 block_k = kw
         kv_rows_per_block = block_k // kw
 
+    if window_tokens:
+        if kv_grid is None:
+            raise ValueError("window_tokens requires kv_grid")
+        if sq != sk:
+            raise ValueError("window_tokens requires Sq == Sk")
+        block_q = block_k = min(block_q, sq)
+        if block_q % window_tokens or sq % block_q:
+            raise ValueError(
+                f"window_tokens {window_tokens} must divide block {block_q}"
+                f" and block must divide seq {sq}"
+            )
+        kv_rows_per_block = block_k // kw
+        if kh != kv_rows_per_block:
+            raise ValueError(
+                f"block-diagonal bias_h width {kh} must equal "
+                f"block_k // Kw = {kv_rows_per_block} (scattered layout)"
+            )
+
     kv_grid_full = None
     if kv_grid is not None:
-        kv_grid_full = (kv_grid[0], kv_grid[1], kw)
+        kv_grid_full = (kv_grid[0], kv_grid[1], kw, window_tokens or 0)
 
     bh_flat = b * h
     qf = q.reshape(bh_flat, sq, d)
     kf = k.reshape(bh_flat, sk, d)
     vf = v.reshape(bh_flat, sk, d)
 
-    grid = (bh_flat, sq // block_q, sk // block_k)
+    if window_tokens:
+        # block-diagonal: the kv tile follows the q tile; one kv step
+        grid = (bh_flat, sq // block_q, 1)
+        kv_index = lambda i, j, t: (i, j, 0)  # noqa: E731
+    else:
+        grid = (bh_flat, sq // block_q, sk // block_k)
+        kv_index = lambda i, j, t: (i, t, 0)  # noqa: E731
 
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
+        pl.BlockSpec((1, block_k, d), kv_index),
+        pl.BlockSpec((1, block_k, d), kv_index),
     ]
     args = [qf, kf, vf]
 
