@@ -60,7 +60,7 @@ class ExtractionConfig:
                                         # tfds_dense_descriptor.py:128) or
                                         # 'full' (whole-transformer dense
                                         # tokens — the TPU-native mode)
-    slice_batch: int = 8
+    slice_batch: int = 4          # B=4 is the measured throughput peak
     precision: str = "fast"
     use_flash: bool = True
     ct_window: tuple[float, float] = (800.0, 40.0)   # (width, level), ref :443
