@@ -25,7 +25,6 @@ import pandas as pd
 
 import jax
 
-from ..core.precision import get_policy
 from ..data.datasets import PETCTDataset, batch_items, prepare_windows
 from ..engine import checkpoint as ckpt
 from ..engine.train import FoldTrainer, TrainerConfig

@@ -10,10 +10,7 @@ the same patient-weighted report dict the trainer logs per epoch.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
-
-import jax
 
 from ..analysis import reports
 from ..data.datasets import PETCTDataset, batch_items, prepare_windows

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.precision import FAST, Policy, get_policy
+from ..core.precision import Policy, get_policy
 from ..data import feature_store
 from ..data.synthetic import read_isotropic_hdf5
 from ..models import convert as convert_mod

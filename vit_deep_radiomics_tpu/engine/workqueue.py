@@ -19,7 +19,7 @@ import json
 import time
 import traceback
 from pathlib import Path
-from typing import Callable, Iterable, Sequence
+from typing import Callable, Iterable
 
 __all__ = ["WorkQueue"]
 

@@ -32,8 +32,6 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..core.precision import FAST, Policy, get_policy
+from ..core.precision import FAST, Policy
 from ..ops.attention import attention_reference, flash_attention
 
 __all__ = ["ViTDenseConfig", "ViTDense", "SAM_VIT_B", "DINOV2_CONFIGS"]
