@@ -36,9 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=["santa_maria", "stanford"])
     p.add_argument("--precision", default="fast",
                    choices=["fast", "parity", "bf16", "fp32"])
-    p.add_argument("--slice-batch", type=int, default=8)
+    p.add_argument("--slice-batch", type=int, default=4)
     p.add_argument("--image-size", type=int, default=None)
     p.add_argument("--no-flash", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the sweep here")
     return p
 
 
@@ -59,12 +61,21 @@ def main(argv=None) -> int:
         use_flash=not args.no_flash,
     )
     extractor = DenseExtractor(cfg)
-    written = extract_isotropic_dataset(
-        args.hdf5_path, args.df_path, args.feature_folder, extractor,
-        modalities=("pet", args.modality),
-        datasets=tuple(args.datasets),
-        progress=print,
+    import contextlib
+
+    from ..utils.profiling import trace
+
+    profiler = (
+        trace(args.profile_dir) if args.profile_dir
+        else contextlib.nullcontext()
     )
+    with profiler:
+        written = extract_isotropic_dataset(
+            args.hdf5_path, args.df_path, args.feature_folder, extractor,
+            modalities=("pet", args.modality),
+            datasets=tuple(args.datasets),
+            progress=print,
+        )
     print(f"wrote {len(written)} patient parquets")
     return 0
 

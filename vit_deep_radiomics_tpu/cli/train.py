@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="fast")
     p.add_argument("--folds", nargs="*", type=int, default=None)
     p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of training here")
     return p
 
 
@@ -60,14 +62,24 @@ def main(argv=None) -> int:
         experiment=args.experiment, batch_size=max(1, batch_size),
         precision=args.precision, max_epochs=args.max_epochs,
     )
-    train_kfold(
-        df, cfg, tcfg,
-        hdf5_ct_path=os.path.join(
-            feature_dir, f"features_masks_{modality_b}.hdf5"),
-        hdf5_pet_path=os.path.join(feature_dir, "features_masks_pet.hdf5"),
-        models_dir=args.models_dir,
-        folds=args.folds,
+    import contextlib
+
+    from ..utils.profiling import trace
+
+    profiler = (
+        trace(args.profile_dir) if args.profile_dir
+        else contextlib.nullcontext()
     )
+    with profiler:
+        train_kfold(
+            df, cfg, tcfg,
+            hdf5_ct_path=os.path.join(
+                feature_dir, f"features_masks_{modality_b}.hdf5"),
+            hdf5_pet_path=os.path.join(
+                feature_dir, "features_masks_pet.hdf5"),
+            models_dir=args.models_dir,
+            folds=args.folds,
+        )
     return 0
 
 
