@@ -151,12 +151,13 @@ class PETCTDataset:
         self.hdf5_ct_path = hdf5_ct_path
         self.hdf5_pet_path = hdf5_pet_path
         self.rng = np.random.default_rng(seed)
-        # per-(store, patient) in-memory feature cache: the reference
-        # re-reads HDF5 for every item every epoch
-        # (train_models.py:147-157); ROI-cropped features are small
-        # enough to keep resident, so each patient is read once.
+        # (store, patient) in-memory feature cache: the reference re-reads
+        # HDF5 for every item every epoch (train_models.py:147-157), and
+        # lzf-decompressing a whole patient costs seconds.  The cache is
+        # CLASS-level (shared across the train/test datasets of every
+        # fold, which see the same patients) with LRU eviction to bound
+        # memory.
         self.cache_features = cache_features
-        self._cache: dict = {}
 
         df = dataframe
         self.slice_per_modality = df.groupby(
@@ -204,16 +205,30 @@ class PETCTDataset:
     def __len__(self):
         return len(self.items)
 
+    # shared across instances: every fold's train/test datasets read the
+    # same patients
+    _cache: "OrderedDict" = None  # type: ignore[assignment]
+    _cache_capacity: int = 128    # patients (per-store entries)
+
     def _read_features(self, hdf5_path, patient_id, feature_ids):
-        """Per-feature-id reads, via the whole-patient memory cache."""
+        """Per-feature-id reads, via the shared whole-patient LRU cache."""
         if not self.cache_features:
             return feature_store.read_patient_features(
                 hdf5_path, patient_id, feature_ids)
+        cls = PETCTDataset
+        if cls._cache is None:
+            from collections import OrderedDict
+
+            cls._cache = OrderedDict()
         key = (str(hdf5_path), patient_id)
-        if key not in self._cache:
-            self._cache[key] = feature_store.read_patient_features(
+        if key in cls._cache:
+            cls._cache.move_to_end(key)
+        else:
+            cls._cache[key] = feature_store.read_patient_features(
                 hdf5_path, patient_id)
-        feats_all, masks_all = self._cache[key]
+            while len(cls._cache) > cls._cache_capacity:
+                cls._cache.popitem(last=False)
+        feats_all, masks_all = cls._cache[key]
         return (
             [feats_all[i] for i in feature_ids],
             [masks_all[i] for i in feature_ids],
@@ -355,8 +370,11 @@ def batch_items(
     items: Sequence[TokenItem],
     batch_size: int,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
+    fixed_buckets: tuple[int, int] | None = None,
 ) -> Iterator[dict]:
-    """Group items into padded batches (bucket = max over the batch).
+    """Group items into padded batches (bucket = max over the batch, or
+    the fold-level ``fixed_buckets=(ct, pet)`` for shape-stable epochs —
+    one compiled step per split instead of one per bucket combination).
 
     Conv-arch items carry 4D (S, h, w, D) volumes whose shapes are
     data-dependent; those run unbatched (batch of 1, exact shapes) until
@@ -377,14 +395,17 @@ def batch_items(
     for start in range(0, len(items), batch_size):
         chunk = items[start:start + batch_size]
         n = len(chunk)
-        bucket_ct = max(
-            next((b for b in buckets if it.tokens_ct.shape[0] <= b),
-                 buckets[-1]) for it in chunk
-        )
-        bucket_pet = max(
-            next((b for b in buckets if it.tokens_pet.shape[0] <= b),
-                 buckets[-1]) for it in chunk
-        )
+        if fixed_buckets is not None:
+            bucket_ct, bucket_pet = fixed_buckets
+        else:
+            bucket_ct = max(
+                next((b for b in buckets if it.tokens_ct.shape[0] <= b),
+                     buckets[-1]) for it in chunk
+            )
+            bucket_pet = max(
+                next((b for b in buckets if it.tokens_pet.shape[0] <= b),
+                     buckets[-1]) for it in chunk
+            )
         d = chunk[0].tokens_ct.shape[-1]
         ct = np.zeros((n, bucket_ct, d), np.float32)
         mct = np.zeros((n, bucket_ct), bool)

@@ -358,9 +358,31 @@ def train_fold(
 
     best_target = -np.inf
     epochs_since_improvement = 0
+
+    def _bucket_sorted(items):
+        """Order items by their token buckets so batches are
+        length-homogeneous: few (bucket_ct, bucket_pet) combinations to
+        compile AND minimal padding compute (fold-level fixed buckets
+        were measured slower — padding waste beats compile savings)."""
+        from ..data.datasets import DEFAULT_BUCKETS
+
+        def bucket(n):
+            return next((b for b in DEFAULT_BUCKETS if n <= b),
+                        DEFAULT_BUCKETS[-1])
+
+        if not items or items[0].tokens_ct.ndim != 2:
+            return items
+        return sorted(
+            items,
+            key=lambda it: (bucket(it.tokens_ct.shape[0]),
+                            bucket(it.tokens_pet.shape[0])),
+        )
+
     for epoch in range(start_epoch, trainer.num_epochs):
-        train_items = [train_ds[i] for i in _draw_train_indices()]
-        test_items = [test_ds[i] for i in range(len(test_ds))]
+        train_items = _bucket_sorted(
+            [train_ds[i] for i in _draw_train_indices()])
+        test_items = _bucket_sorted(
+            [test_ds[i] for i in range(len(test_ds))])
         train_batches = list(batch_items(train_items, tcfg.batch_size))
         test_batches = list(batch_items(test_items, tcfg.batch_size))
 
