@@ -294,7 +294,7 @@ class TestTrainKfold:
         cfg = _small_cfg(extracted["folds"])
         tcfg = TrainerConfig(
             arch="conv", modality="ct", loss="focal",
-            dataset="stanford", batch_size=1, precision="parity",
+            dataset="stanford", batch_size=2, precision="parity",
             max_epochs=1,
         )
         models_dir = extracted["dir"] / "models3"

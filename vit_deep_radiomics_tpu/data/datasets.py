@@ -376,21 +376,13 @@ def batch_items(
     the fold-level ``fixed_buckets=(ct, pet)`` for shape-stable epochs —
     one compiled step per split instead of one per bucket combination).
 
-    Conv-arch items carry 4D (S, h, w, D) volumes whose shapes are
-    data-dependent; those run unbatched (batch of 1, exact shapes) until
-    masked conv batching lands — still strictly better than the
-    reference, which runs batch 1 for *both* archs.
+    Conv-arch items carry 4D (S, h, w, D) volumes; they batch into
+    shape buckets (slices → multiple of 2, spatial dims → multiple of 8)
+    with per-voxel validity masks consumed by the classifier's masked
+    pooling.  The reference runs batch 1 for both archs.
     """
     if items and items[0].tokens_ct.ndim == 4:
-        for it in items:
-            yield {
-                "ct": it.tokens_ct[None].astype(np.float32),
-                "pet": it.tokens_pet[None].astype(np.float32),
-                "ct_mask": np.ones((1, 1), bool),
-                "pet_mask": np.ones((1, 1), bool),
-                "labels": it.label_onehot[None],
-                "patient_ids": [it.patient_id],
-            }
+        yield from _batch_conv_items(items, batch_size)
         return
     for start in range(0, len(items), batch_size):
         chunk = items[start:start + batch_size]
@@ -425,3 +417,57 @@ def batch_items(
             "pet": pet, "pet_mask": mpet,
             "labels": labels, "patient_ids": pids,
         }
+
+
+def _conv_bucket(shape) -> tuple[int, int, int]:
+    """Shape bucket for a (S, h, w, D) conv volume: S → multiple of 2,
+    h/w → multiples of 8 (compile-stable groups, modest padding)."""
+    s, h, w = shape[0], shape[1], shape[2]
+    return (-(-s // 2) * 2, -(-h // 8) * 8, -(-w // 8) * 8)
+
+
+def _pad_conv(vol: np.ndarray, bucket) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a (S, h, w, D) volume to *bucket*; returns (vol, mask)."""
+    s, h, w = bucket
+    out = np.zeros((s, h, w, vol.shape[3]), np.float32)
+    out[: vol.shape[0], : vol.shape[1], : vol.shape[2]] = vol
+    mask = np.zeros((s, h, w), bool)
+    mask[: vol.shape[0], : vol.shape[1], : vol.shape[2]] = True
+    return out, mask
+
+
+def _batch_conv_items(
+    items: Sequence[TokenItem], batch_size: int
+) -> Iterator[dict]:
+    """Bucket-group conv volumes and emit padded batches with validity
+    masks (ct_vmask/pet_vmask) for masked pooling."""
+    groups: dict = {}
+    for it in items:
+        key = (_conv_bucket(it.tokens_ct.shape),
+               _conv_bucket(it.tokens_pet.shape))
+        groups.setdefault(key, []).append(it)
+    for (bct, bpet), members in groups.items():
+        for start in range(0, len(members), batch_size):
+            chunk = members[start:start + batch_size]
+            n = len(chunk)
+            ct = np.zeros((n,) + bct + (chunk[0].tokens_ct.shape[3],),
+                          np.float32)
+            mct = np.zeros((n,) + bct, bool)
+            pet = np.zeros((n,) + bpet + (chunk[0].tokens_pet.shape[3],),
+                           np.float32)
+            mpet = np.zeros((n,) + bpet, bool)
+            labels = np.zeros((n, chunk[0].label_onehot.shape[0]),
+                              np.float32)
+            pids = []
+            for i, it in enumerate(chunk):
+                ct[i], mct[i] = _pad_conv(it.tokens_ct, bct)
+                pet[i], mpet[i] = _pad_conv(it.tokens_pet, bpet)
+                labels[i] = it.label_onehot
+                pids.append(it.patient_id)
+            yield {
+                "ct": ct, "ct_vmask": mct,
+                "pet": pet, "pet_vmask": mpet,
+                "ct_mask": np.ones((n, 1), bool),
+                "pet_mask": np.ones((n, 1), bool),
+                "labels": labels, "patient_ids": pids,
+            }

@@ -144,8 +144,11 @@ class FoldTrainer:
     def _model_inputs(self, batch: dict, deterministic: bool = True):
         m = self.tcfg.modality
         if self.tcfg.arch == "conv":
-            x = batch["ct"] if m in ("ct", "chest") else batch["pet"]
-            return (jnp.asarray(x),), {"deterministic": deterministic}
+            key = "pet" if m == "pet" else "ct"
+            kwargs = {"deterministic": deterministic}
+            if f"{key}_vmask" in batch:
+                kwargs["valid_mask"] = jnp.asarray(batch[f"{key}_vmask"])
+            return (jnp.asarray(batch[key]),), kwargs
         if m in ("petct", "petchest"):
             return (
                 jnp.asarray(batch["ct"]), jnp.asarray(batch["pet"]),
