@@ -28,22 +28,14 @@ class TestBlockDiagonalWindows:
         n_win = 4                       # windows per (b, h): 2 blocks of G=2
         sq = n_win * win
         q, k, v = (_rand(rng, b, heads, sq, d) for _ in range(3))
-        # block-diag bias layout: bias_h width = block rows = G*kh with
-        # each window's values in its own row span
+        # per-window bias layout: each query row carries its OWN window's
+        # kh grid-row terms; the kernel expands window-locally
         bias_h_win = _rand(rng, b, heads, sq, kh) * 0.3
         bias_w = _rand(rng, b, heads, sq, kw) * 0.3
         block = g * win
-        rows_total = block // kw        # = g * kh
-        bh_scatter = np.zeros((b, heads, sq, rows_total), np.float32)
-        for blk in range(sq // block):
-            for gg in range(g):
-                q_lo = blk * block + gg * win
-                bh_scatter[:, :, q_lo:q_lo + win,
-                           gg * kh:(gg + 1) * kh] = np.asarray(
-                    bias_h_win[:, :, q_lo:q_lo + win])
         out = flash_attention(
             q, k, v,
-            bias_h=jnp.asarray(bh_scatter), bias_w=bias_w,
+            bias_h=bias_h_win, bias_w=bias_w,
             kv_grid=(6, 6),              # valid 6x6 of the padded 8x8
             window_tokens=win,
             block_q=block, block_k=block,

@@ -347,9 +347,10 @@ class WindowedAttention(nn.Module):
 
     def _flash_grouped(self, qp, kp, vp, bh, bw, grid_hw, win, interpret):
         """Batch `window_group` windows into one block-diagonal kernel
-        block: group along the windows axis, scatter each window's
-        bias_h into its own row span (zeros elsewhere are masked by the
-        kernel's block-diagonal kv_grid)."""
+        block by grouping along the windows axis.  bias_h stays in its
+        per-window (…, kh) layout: the kernel expands it window-locally
+        and its block-diagonal kv_grid mask kills cross-window entries,
+        so no host-side scatter is needed."""
         g = self.window_group
         b, nh, _, hd = qp.shape
         pad_b = (-b) % g
@@ -364,23 +365,13 @@ class WindowedAttention(nn.Module):
         qg, kg, vg = group(qp), group(kp), group(vp)
         bhg = group(bh)          # (bb, nh, g*win, kh)
         bwg = group(bw)          # (bb, nh, g*win, kw)
-        kh = bh.shape[-1]
-        bb = qg.shape[0]
-        # scatter bias_h block-diagonally to width g*kh
-        bh_diag = jnp.zeros(
-            (bb, nh, g * win, g * kh), bhg.dtype
-        )
-        for gg in range(g):
-            bh_diag = bh_diag.at[
-                :, :, gg * win:(gg + 1) * win, gg * kh:(gg + 1) * kh
-            ].set(bhg[:, :, gg * win:(gg + 1) * win, :])
-
         out = flash_attention(
-            qg, kg, vg, bias_h=bh_diag, bias_w=bwg,
+            qg, kg, vg, bias_h=bhg, bias_w=bwg,
             kv_grid=grid_hw, window_tokens=win,
             block_q=g * win, block_k=g * win,
             interpret=interpret,
         )
+        bb = qg.shape[0]
         out = out.reshape(bb, nh, g, win, hd).transpose(0, 2, 1, 3, 4)
         out = out.reshape(bb * g, nh, win, hd)
         return out[:b] if pad_b else out

@@ -114,23 +114,36 @@ def _flash_kernel(
         bias_h = bias_h_ref[0]                        # (bq, kh)
         kw = bias_w.shape[-1]
         kh = bias_h.shape[-1]
-        # Select this kv tile's key-grid rows from bias_h with a one-hot
-        # matmul (Mosaic cannot dynamically slice the lane dim), expand
-        # each across its kw keys, and tile bias_w with a lane concat.
-        # When one kv tile covers every key-grid row the select is the
-        # identity — skip it.
-        if rows != kh:
-            row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
-            col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
-            sel = (row_ids == kv_idx * rows + col_ids).astype(bias_h.dtype)
-            bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
-            bh = bh.astype(bias_h.dtype)
+        window = kv_grid[3] if kv_grid is not None else 0
+        if window:
+            # Block-diagonal mode: bias_h carries each query's OWN
+            # window's kh grid-row terms.  Expand them window-locally
+            # across the whole key tile — cross-window columns pick up
+            # meaningless values, but the block-diagonal kv_grid mask
+            # below overwrites them with -inf, so no scatter is needed
+            # (and the expand contraction is kh wide, not block_k//kw).
+            e_rows = lax.broadcasted_iota(jnp.int32, (kh, block_k), 0)
+            e_cols = lax.broadcasted_iota(jnp.int32, (kh, block_k), 1)
+            expand = ((e_cols % window) // kw == e_rows).astype(bias_h.dtype)
+            bh = jnp.dot(bias_h, expand, preferred_element_type=jnp.float32)
         else:
-            bh = bias_h
-        e_rows = lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
-        e_cols = lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
-        expand = (e_cols // kw == e_rows).astype(bh.dtype)
-        bh = jnp.dot(bh, expand, preferred_element_type=jnp.float32)
+            # Select this kv tile's key-grid rows from bias_h with a
+            # one-hot matmul (Mosaic cannot dynamically slice the lane
+            # dim), then expand each across its kw keys.  When one kv
+            # tile covers every key-grid row the select is the identity —
+            # skip it.
+            if rows != kh:
+                row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+                col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+                sel = (row_ids == kv_idx * rows + col_ids).astype(bias_h.dtype)
+                bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
+                bh = bh.astype(bias_h.dtype)
+            else:
+                bh = bias_h
+            e_rows = lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
+            e_cols = lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+            expand = (e_cols // kw == e_rows).astype(bh.dtype)
+            bh = jnp.dot(bh, expand, preferred_element_type=jnp.float32)
         bias_w_tiled = jnp.concatenate([bias_w] * rows, axis=1)
         s = s + bh + bias_w_tiled
 
@@ -223,11 +236,13 @@ def flash_attention(
         window_tokens: optional static window size for BLOCK-DIAGONAL
             attention: q/k are concatenations of independent windows of
             this many tokens (each a padded kv_grid grid); a window only
-            attends to itself.  Requires kv_grid, Sq == Sk, and
-            window_tokens | block; the kv tile follows the q tile so
-            several windows batch into one grid step — built for SAM
-            windowed layers where per-window grid rows are
-            step-overhead-bound.
+            attends to itself.  bias_h stays PER-WINDOW (Kh·Kw ==
+            window_tokens): the kernel expands it window-locally, with
+            cross-window entries overwritten by the block-diagonal mask.
+            Requires kv_grid, Sq == Sk, and window_tokens | block; the kv
+            tile follows the q tile so several windows batch into one
+            grid step — built for SAM windowed layers where per-window
+            grid rows are step-overhead-bound.
         scale: softmax scale, default 1/sqrt(D).
         interpret: run in Pallas interpreter mode (CPU tests).
     """
@@ -272,10 +287,10 @@ def flash_attention(
                 f" and block must divide seq {sq}"
             )
         kv_rows_per_block = block_k // kw
-        if kh != kv_rows_per_block:
+        if kh * kw != window_tokens:
             raise ValueError(
-                f"block-diagonal bias_h width {kh} must equal "
-                f"block_k // Kw = {kv_rows_per_block} (scattered layout)"
+                f"block-diagonal bias grid {kh}x{kw} must equal "
+                f"window_tokens = {window_tokens} (per-window bias layout)"
             )
 
     kv_grid_full = None
