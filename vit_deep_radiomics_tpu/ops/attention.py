@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["attention_reference", "flash_attention"]
 
 _NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
+_LOG2E = 1.4426950408889634  # scores are kept in log2 units inside the kernel
 
 
 def attention_reference(
@@ -106,46 +107,56 @@ def _flash_kernel(
     kblk = k_ref[0]                                   # (bk, d)
     vblk = v_ref[0]
 
+    # `scale` already carries log2(e): scores live in log2 units so the
+    # softmax uses raw exp2 (saves exp's internal multiply per element)
     s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
 
     if has_bias:
         rows = kv_rows_per_block
-        bias_w = bias_w_ref[0].astype(jnp.float32)    # (bq, kw)
+        bias_w = bias_w_ref[0]                        # (bq, kw)
         bias_h = bias_h_ref[0]                        # (bq, kh)
         kw = bias_w.shape[-1]
         kh = bias_h.shape[-1]
         window = kv_grid[3] if kv_grid is not None else 0
         if window:
             # Block-diagonal mode: bias_h carries each query's OWN
-            # window's kh grid-row terms.  Expand them window-locally
+            # window's kh grid-row terms; they expand window-locally
             # across the whole key tile — cross-window columns pick up
             # meaningless values, but the block-diagonal kv_grid mask
-            # below overwrites them with -inf, so no scatter is needed
-            # (and the expand contraction is kh wide, not block_k//kw).
-            e_rows = lax.broadcasted_iota(jnp.int32, (kh, block_k), 0)
-            e_cols = lax.broadcasted_iota(jnp.int32, (kh, block_k), 1)
-            expand = ((e_cols % window) // kw == e_rows).astype(bias_h.dtype)
-            bh = jnp.dot(bias_h, expand, preferred_element_type=jnp.float32)
+            # below overwrites them with -inf, so no scatter is needed.
+            bh_sel = bias_h
+            row_of_col = lambda cols: (cols % window) // kw  # noqa: E731
         else:
             # Select this kv tile's key-grid rows from bias_h with a
             # one-hot matmul (Mosaic cannot dynamically slice the lane
-            # dim), then expand each across its kw keys.  When one kv
-            # tile covers every key-grid row the select is the identity —
-            # skip it.
+            # dim).  When one kv tile covers every key-grid row the
+            # select is the identity — skip it.
             if rows != kh:
                 row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
                 col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
                 sel = (row_ids == kv_idx * rows + col_ids).astype(bias_h.dtype)
-                bh = jnp.dot(bias_h, sel, preferred_element_type=jnp.float32)
-                bh = bh.astype(bias_h.dtype)
+                bh_sel = jnp.dot(
+                    bias_h, sel, preferred_element_type=jnp.float32
+                ).astype(bias_h.dtype)
             else:
-                bh = bias_h
-            e_rows = lax.broadcasted_iota(jnp.int32, (rows, block_k), 0)
-            e_cols = lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
-            expand = (e_cols // kw == e_rows).astype(bh.dtype)
-            bh = jnp.dot(bh, expand, preferred_element_type=jnp.float32)
-        bias_w_tiled = jnp.concatenate([bias_w] * rows, axis=1)
-        s = s + bh + bias_w_tiled
+                bh_sel = bias_h
+            row_of_col = lambda cols: cols // kw  # noqa: E731
+        # Fused bias apply: one one-hot matmul [bh_sel | bias_w] @ M both
+        # expands bias_h across its kw keys and tiles bias_w across the
+        # key-grid rows — replacing an expand matmul + a block_k-wide
+        # lane concat + two full-tile adds with one dot and one add.
+        # log2(e) is folded into the (tiny) concatenated bias matrix.
+        nrows = bh_sel.shape[-1]
+        cat = jnp.concatenate([bh_sel, bias_w.astype(bh_sel.dtype)], axis=1)
+        cat = (cat.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+        e_rows = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 0)
+        e_cols = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 1)
+        expand = jnp.where(
+            e_rows < nrows,
+            (row_of_col(e_cols) == e_rows).astype(q.dtype),
+            (e_cols % kw == e_rows - nrows).astype(q.dtype),
+        )
+        s = s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
 
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
@@ -181,8 +192,9 @@ def _flash_kernel(
     # softmax weights in the input dtype: for bf16 inputs the (bq, bk)
     # exp is the VPU hot spot and bf16 halves it; running statistics
     # (m, l, acc) stay fp32.  fp32 inputs keep the fully-fp32 path.
-    p = jnp.exp((s - m_new).astype(q.dtype))
-    alpha = jnp.exp(m_prev - m_new)
+    # exp2 because scores are in log2 units (softmax is invariant).
+    p = jnp.exp2((s - m_new).astype(q.dtype))
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True,
                                      dtype=jnp.float32)
     m_scratch[...] = m_new
@@ -335,7 +347,9 @@ def flash_attention(
         _flash_kernel,
         block_k=block_k,
         kv_rows_per_block=kv_rows_per_block,
-        scale=scale,
+        # the kernel works in log2 units (exp2 softmax); biases get the
+        # same factor folded in inside the kernel
+        scale=scale * _LOG2E,
         has_bias=has_bias,
         has_kv_len=has_kv_len,
         kv_grid=kv_grid_full,
