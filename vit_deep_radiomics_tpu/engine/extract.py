@@ -290,6 +290,10 @@ class DenseExtractor:
 
         all_feats = stream.flush()  # (n_augs * s, g, g, C), ON DEVICE
         grid = all_feats.shape[1]
+        # Phase 1: DISPATCH every augmentation's device-side ROI crop
+        # (JAX dispatch is async — the slices+casts queue up behind the
+        # forwards without blocking the host)…
+        crop_devs: list[tuple] = []
         for a, (union_crop, m_crop) in enumerate(aug_crops):
             # ROI crop on device at a bucketed static size, then pull only
             # the crop (vs. the full g×g×C map — the host link is the
@@ -310,8 +314,14 @@ class DenseExtractor:
             )
             if self.policy.compute_dtype == jnp.bfloat16:
                 crop_dev = crop_dev.astype(jnp.bfloat16)  # halve transfer
+            crop_devs.append((crop_dev, ymin - y0, xmin - x0, ch, cw))
+        # …Phase 2: materialise them — the first pull blocks while the
+        # rest keep computing/transferring (one sync point per volume
+        # instead of one per augmentation).
+        for (crop_dev, oy, ox, ch, cw), (union_crop, m_crop) in zip(
+            crop_devs, aug_crops
+        ):
             crop = np.asarray(crop_dev).astype(np.float32)
-            oy, ox = ymin - y0, xmin - x0
             for i in range(s):
                 features_list.append(crop[i, oy:oy + ch, ox:ox + cw])
                 masks_list.append(
@@ -340,7 +350,14 @@ def extract_isotropic_dataset(
     work queue on top (engine/workqueue.py) so per-patient failures are
     recorded and retried instead of aborting the sweep.  Returns written
     parquet paths.
+
+    Host pipelining: upcoming volumes are read on a prefetch thread
+    (depth 2) and each patient's HDF5/parquet write runs as a deferred
+    WorkQueue finalizer on a writer thread — both overlap the device
+    forwards, which otherwise idle behind the (lzf-compressed) host I/O.
     """
+    from concurrent.futures import Future, ThreadPoolExecutor
+
     import pandas as pd
 
     from .workqueue import WorkQueue
@@ -367,13 +384,44 @@ def extract_isotropic_dataset(
 
     written: list[str] = []
 
-    def worker(key: str) -> None:
+    def _paths(key: str) -> tuple[Path, Path]:
         dataset_name, pid, label, modality, features_dir = meta[key]
-        df_path = features_dir / f"{pid}_{modality}.parquet"
-        h5_path = feature_folder / f"features_masks_{modality}.hdf5"
+        return (
+            features_dir / f"{pid}_{modality}.parquet",
+            feature_folder / f"features_masks_{modality}.hdf5",
+        )
+
+    # depth-2 read prefetch over the still-pending items (h5py calls hold
+    # a global lock, so reads serialise against the writer thread but
+    # still overlap device compute — the point of the exercise)
+    work_order = [k for k in items if not _paths(k)[0].exists()]
+    key_index = {k: i for i, k in enumerate(work_order)}
+    read_pool = ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="extract-read"
+    )
+    read_futs: dict[str, Future] = {}
+
+    def _submit_read(key: str) -> None:
+        if key not in read_futs:
+            _, pid, _, modality, _ = meta[key]
+            read_futs[key] = read_pool.submit(
+                read_isotropic_hdf5, hdf5_path, pid, modality
+            )
+
+    def worker(key: str):
+        dataset_name, pid, label, modality, features_dir = meta[key]
+        df_path, h5_path = _paths(key)
         if df_path.exists():
-            return  # idempotent resume (ref :425)
-        vol, mask, spatial_res = read_isotropic_hdf5(hdf5_path, pid, modality)
+            return None  # idempotent resume (ref :425)
+        idx = key_index.get(key)
+        if idx is not None:
+            for nxt in work_order[idx + 1:idx + 3]:
+                _submit_read(nxt)
+        fut = read_futs.pop(key, None)
+        vol, mask, spatial_res = (
+            fut.result() if fut is not None
+            else read_isotropic_hdf5(hdf5_path, pid, modality)
+        )
         if progress:
             progress(key)
         feats, masks, (sl, an, fl) = extractor.extract_volume(
@@ -384,14 +432,23 @@ def extract_isotropic_dataset(
             dataset=dataset_name, modality=modality,
             spatial_res=spatial_res,
         )
-        feature_store.save_features(h5_path, feats, masks, pid)
-        df.to_parquet(df_path)
-        written.append(str(df_path))
 
-    if use_queue:
-        queue = WorkQueue(feature_folder / "extract_queue.json")
-        queue.run(items, worker, log=progress or print)
-    else:
-        for key in items:
-            worker(key)
+        def finalize() -> None:
+            feature_store.save_features(h5_path, feats, masks, pid)
+            df.to_parquet(df_path)
+            written.append(str(df_path))
+
+        return finalize
+
+    try:
+        if use_queue:
+            queue = WorkQueue(feature_folder / "extract_queue.json")
+            queue.run(items, worker, log=progress or print)
+        else:
+            for key in items:
+                fin = worker(key)
+                if fin is not None:
+                    fin()
+    finally:
+        read_pool.shutdown(wait=False)
     return written

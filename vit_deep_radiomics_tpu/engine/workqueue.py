@@ -61,34 +61,75 @@ class WorkQueue:
 
         Failed items retry up to ``max_retries`` times across runs, then
         stay in ``failed`` with the last traceback.
+
+        Pipelining: if ``worker(key)`` returns a CALLABLE, it is treated
+        as a deferred finalizer (e.g. the HDF5/parquet write) and runs on
+        a background thread overlapped with the NEXT item's compute.  An
+        item is marked done only after its finalizer completes, and a
+        finalizer failure is recorded against its own key — crash-resume
+        semantics are identical to the synchronous path.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         stats = {"done": 0, "skipped": 0, "failed": 0}
-        for key in items:
-            if key in self.state["done"]:
-                stats["skipped"] += 1
-                continue
-            retries = self.state["retries"].get(key, 0)
-            if key in self.state["failed"] and retries >= self.max_retries:
-                stats["failed"] += 1
-                continue
-            try:
-                worker(key)
-            except KeyboardInterrupt:
-                raise
-            except Exception as exc:  # noqa: BLE001 - record, don't abort
-                self.state["retries"][key] = retries + 1
-                self.state["failed"][key] = {
-                    "error": repr(exc),
-                    "traceback": traceback.format_exc(limit=10),
-                    "time": time.time(),
-                    "retries": retries + 1,
-                }
-                self._save()
-                stats["failed"] += 1
-                log(f"FAILED {key} (attempt {retries + 1}): {exc!r}")
-                continue
+        pending: tuple | None = None  # (key, future, retries)
+
+        def _record_failure(key: str, retries: int, exc: Exception) -> None:
+            self.state["retries"][key] = retries + 1
+            self.state["failed"][key] = {
+                "error": repr(exc),
+                "traceback": traceback.format_exc(limit=10),
+                "time": time.time(),
+                "retries": retries + 1,
+            }
+            self._save()
+            stats["failed"] += 1
+            log(f"FAILED {key} (attempt {retries + 1}): {exc!r}")
+
+        def _mark_done(key: str) -> None:
             self.state["done"][key] = {"time": time.time()}
             self.state["failed"].pop(key, None)
             self._save()
             stats["done"] += 1
+
+        def _resolve_pending() -> None:
+            nonlocal pending
+            if pending is None:
+                return
+            p_key, fut, p_retries = pending
+            pending = None
+            try:
+                fut.result()
+            except Exception as exc:  # noqa: BLE001 - record, don't abort
+                _record_failure(p_key, p_retries, exc)
+            else:
+                _mark_done(p_key)
+
+        with ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="workqueue-finalize"
+        ) as pool:
+            for key in items:
+                if key in self.state["done"]:
+                    stats["skipped"] += 1
+                    continue
+                retries = self.state["retries"].get(key, 0)
+                if (
+                    key in self.state["failed"]
+                    and retries >= self.max_retries
+                ):
+                    stats["failed"] += 1
+                    continue
+                try:
+                    result = worker(key)
+                except KeyboardInterrupt:
+                    raise
+                except Exception as exc:  # noqa: BLE001
+                    _record_failure(key, retries, exc)
+                    continue
+                _resolve_pending()  # join the previous item's finalizer
+                if callable(result):
+                    pending = (key, pool.submit(result), retries)
+                else:
+                    _mark_done(key)
+            _resolve_pending()
         return stats
