@@ -250,15 +250,29 @@ class FoldTrainer:
     # -- epoch loops ----------------------------------------------------------
 
     def run_epoch(self, batches, epoch: int, train: bool, rng_seed: int = 0):
-        """One pass; returns (avg_loss, y_true, y_score, patient_ids)."""
+        """One pass; returns (avg_loss, y_true, y_score, patient_ids).
+
+        No per-step host sync: losses and logits stay on device until the
+        epoch ends (one materialisation point), and dropout keys are
+        pre-split in one call — each step is pure async dispatch, so the
+        device pipelines batches instead of waiting on the host round
+        trip (the dominant per-step cost through a high-latency link).
+        """
         lr = cosine_lr(epoch, self.lr0, self.num_epochs)
-        total_loss, n_batches = 0.0, 0
-        y_true, y_score, pids = [], [], []
-        rng = jax.random.PRNGKey(rng_seed * 100003 + epoch)
+        y_true, pids = [], []
+        losses, step_logits = [], []
 
         batches = list(batches)
         if train:
             accum = min(self.virtual_batch, max(1, len(batches)))
+            # host-side key table: rngs[i] below must not be a per-step
+            # device gather dispatch
+            rngs = np.asarray(jax.random.split(
+                jax.random.PRNGKey(rng_seed * 100003 + epoch), len(batches)
+            ))
+            # epoch-constant scalars pushed once, not once per step
+            lr_dev = jnp.float32(lr)
+            accum_dev = jnp.float32(1.0 / accum)
         for i, batch in enumerate(batches):
             dev_batch = {
                 k: v for k, v in batch.items() if isinstance(v, np.ndarray)
@@ -266,24 +280,39 @@ class FoldTrainer:
             dev_batch = self._shard(dev_batch)
             skey = self._shape_key(batch)
             if train:
-                rng, sub = jax.random.split(rng)
                 step = self._get_step(skey, True)
                 self.params, self.opt_state, loss, logits = step(
-                    self.params, self.opt_state, dev_batch, sub,
-                    jnp.float32(lr), jnp.float32(1.0 / accum),
+                    self.params, self.opt_state, dev_batch, rngs[i],
+                    lr_dev, accum_dev,
                 )
-                total_loss += float(loss) * accum
             else:
                 step = self._get_step(skey, False)
                 loss, logits = step(self.params, dev_batch)
-                total_loss += float(loss)
-            n_batches += 1
-            probs = jax.nn.softmax(jnp.asarray(logits, jnp.float32), axis=-1)
-            y_score.append(np.asarray(probs)[:, 1])
+            losses.append(loss)
+            step_logits.append(logits)
             y_true.append(np.argmax(batch["labels"], axis=-1))
             pids.extend(batch["patient_ids"])
+
+        n_batches = len(batches)
+        scale = accum if train else 1.0
+        if n_batches:
+            # two device calls for the whole epoch (losses, logits)
+            total_loss = float(jnp.stack(losses).sum()) * scale
+            lg = np.asarray(
+                jnp.concatenate(
+                    [l.astype(jnp.float32) for l in step_logits], axis=0
+                )
+            )
+            lg = lg - lg.max(axis=-1, keepdims=True)
+            e = np.exp(lg)
+            y_score = (e / e.sum(axis=-1, keepdims=True))[:, 1]
+            y_true = np.concatenate(y_true)
+        else:
+            total_loss = 0.0
+            y_score = np.empty((0,), np.float32)
+            y_true = np.empty((0,), np.int64)
         avg_loss = total_loss / max(1, n_batches)
-        return avg_loss, np.concatenate(y_true), np.concatenate(y_score), pids
+        return avg_loss, y_true, y_score, pids
 
 
 def train_fold(
