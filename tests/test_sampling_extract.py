@@ -229,3 +229,40 @@ class TestEndToEndExtraction:
         for ds in folds["ct"].values():
             for fold in ds.values():
                 assert set(fold) == {"train", "test"}
+
+
+class TestShardedExtraction:
+    def test_mesh_forward_matches_single_device(self, small_extractor):
+        """shard_map'd extractor over the 8-virtual-device mesh must
+        reproduce the single-device extraction exactly (params
+        replicated, slice batch split over the data axis)."""
+        from vit_deep_radiomics_tpu.core.mesh import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-virtual-device CPU mesh")
+
+        rng = np.random.default_rng(5)
+        vol, mask, _ = synthetic.synthetic_volume(rng, 64, 64, 4)
+        ref_feats, ref_masks, ref_meta = small_extractor.extract_volume(
+            vol, mask, "ct"
+        )
+
+        import copy
+
+        sharded = DenseExtractor.__new__(DenseExtractor)
+        sharded.config = copy.deepcopy(small_extractor.config)
+        sharded.policy = small_extractor.policy
+        sharded.backbone_cfg = small_extractor.backbone_cfg
+        sharded.model = small_extractor.model
+        sharded.image_size = small_extractor.image_size
+        sharded.params = small_extractor.params
+        sharded._setup_apply(make_mesh())
+        assert sharded.config.slice_batch % 8 == 0
+
+        feats, masks, meta = sharded.extract_volume(vol, mask, "ct")
+        assert meta == ref_meta
+        assert len(feats) == len(ref_feats)
+        for f, rf in zip(feats, ref_feats):
+            np.testing.assert_allclose(f, rf, atol=1e-5)
+        for m, rm in zip(masks, ref_masks):
+            np.testing.assert_array_equal(m, rm)

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-flash", action="store_true")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of the sweep here")
+    p.add_argument("--no-data-parallel", action="store_true",
+                   help="keep the forward on one device even when "
+                        "multiple devices are visible (default: shard "
+                        "the slice batch over a data mesh)")
     return p
 
 
@@ -60,7 +64,15 @@ def main(argv=None) -> int:
         precision=args.precision,
         use_flash=not args.no_flash,
     )
-    extractor = DenseExtractor(cfg)
+    mesh = None
+    if not args.no_data_parallel:
+        import jax
+
+        if jax.device_count() > 1:
+            from ..core.mesh import make_mesh
+
+            mesh = make_mesh()
+    extractor = DenseExtractor(cfg, mesh=mesh)
     import contextlib
 
     from ..utils.profiling import trace

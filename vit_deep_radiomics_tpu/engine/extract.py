@@ -101,7 +101,15 @@ class DenseExtractor:
         config: ExtractionConfig | None = None,
         params=None,
         rng_seed: int = 0,
+        mesh=None,
     ):
+        """With ``mesh`` given, the ViT forward runs under ``shard_map``
+        with the slice batch split over the ``data`` axis and params
+        replicated — each device executes the Pallas kernels on its local
+        shard (GSPMD cannot partition a custom call by itself), so the
+        extraction sweep scales across chips (SURVEY.md §5's sharded-
+        extraction equivalent).  ``slice_batch`` is rounded up to a
+        multiple of the data-axis size."""
         self.config = config or ExtractionConfig()
         self.policy: Policy = get_policy(self.config.precision)
         self.backbone_cfg, patch_only = _backbone_for(self.config)
@@ -128,7 +136,31 @@ class DenseExtractor:
                 jax.random.PRNGKey(rng_seed), dummy
             )
         self.params = params
-        self._apply = jax.jit(self.model.apply)
+        self._setup_apply(mesh)
+
+    def _setup_apply(self, mesh) -> None:
+        """Build the jitted forward; with a mesh, shard_map it over
+        ``data`` (params replicated, slice batch split per device)."""
+        self.mesh = mesh
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..core.mesh import DATA_AXIS, replicated
+
+            ndata = mesh.shape[DATA_AXIS]
+            sb = self.config.slice_batch
+            self.config.slice_batch = -(-sb // ndata) * ndata
+            self.params = jax.device_put(self.params, replicated(mesh))
+            self._apply = jax.jit(shard_map(
+                self.model.apply,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            ))
+        else:
+            self._apply = jax.jit(self.model.apply)
 
     # -- device helpers ----------------------------------------------------
 
