@@ -279,16 +279,25 @@ class WindowedAttention(nn.Module):
             return 1 << (n - 1).bit_length()
 
         def q_blocking(s):
-            """(padded len, block) minimising padding; ties → larger block.
+            """(padded len, block) trading padding against grid-step count.
 
-            e.g. 196 → (256, 256); 1370 → (1408, 128); 4096 → (4096, 512).
+            Attention work grows with padded², but every (q, kv) grid
+            step also pays a fixed dispatch/DMA overhead, so tiny blocks
+            with minimal padding lose to bigger blocks with a little
+            padding (measured: ViT-L@518's 1370 tokens run ~2× faster at
+            (1536, 512) than at the minimal-padding (1408, 128)).
+            Score = padded² · (1 + per-step overhead · steps).
+
+            e.g. 196 → (256, 256); 1370 → (1536, 512); 4096 → (4096, 512).
             """
             best = None
             for blk in (512, 256, 128):
                 padded = -(-s // blk) * blk
-                if best is None or padded < best[0]:
-                    best = (padded, blk)
-            return best
+                steps = (padded // blk) ** 2
+                score = padded * padded * (1 + 0.05 * steps)
+                if best is None or score < best[0]:
+                    best = (score, padded, blk)
+            return best[1], best[2]
 
         if bias_h is not None:
             # pad key grid: rows to a multiple of 8, cols to a power of two
