@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 import jax
+import jax.numpy as jnp
 
 from ..data.datasets import PETCTDataset, batch_items, prepare_windows
 from ..engine import checkpoint as ckpt
@@ -97,13 +98,28 @@ def extract_embeddings(
     )
     trainer.params = state["params"]
 
-    rows = []
+    @jax.jit
+    def _apply(params, args, kwargs):
+        outputs = trainer.model.apply(
+            params, *args, deterministic=True, **kwargs
+        )
+        return outputs[0].astype(jnp.float32), outputs[1].astype(jnp.float32)
+
+    # jitted forward, all batches dispatched before any pull (async
+    # dispatch pipelines the device; one materialisation pass at the end)
+    dev_outs = []
     for batch in batches:
         args, kwargs = trainer._model_inputs(batch, deterministic=True)
-        outputs = trainer.model.apply(trainer.params, *args, **kwargs)
-        logits = np.asarray(outputs[0], np.float32)
-        embeds = np.asarray(outputs[1], np.float32)
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        kwargs.pop("deterministic", None)
+        dev_outs.append(_apply(trainer.params, args, kwargs))
+
+    rows = []
+    for batch, (logits_d, embeds_d) in zip(batches, dev_outs):
+        logits = np.asarray(logits_d)
+        embeds = np.asarray(embeds_d)
+        lg = logits - logits.max(axis=-1, keepdims=True)
+        e = np.exp(lg)
+        probs = e / e.sum(axis=-1, keepdims=True)
         for i, pid in enumerate(batch["patient_ids"]):
             rows.append({
                 "patient_id": pid,
