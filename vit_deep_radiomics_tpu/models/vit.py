@@ -291,7 +291,7 @@ class WindowedAttention(nn.Module):
             e.g. 196 → (256, 256); 1370 → (1536, 512); 4096 → (4096, 512).
             """
             best = None
-            for blk in (512, 256, 128):
+            for blk in (1024, 512, 256, 128):
                 padded = -(-s // blk) * blk
                 steps = (padded // blk) ** 2
                 score = padded * padded * (1 + 0.05 * steps)
