@@ -261,6 +261,23 @@ class DenseExtractor:
         order of the reference, flips outer, angles inner, slices
         innermost — tfds_dense_descriptor.py:463-478) plus the metadata
         columns (slices, angles, flips).
+
+        Internally split into :meth:`dispatch_volume` (queue ALL device
+        work, pull only the tiny per-augmentation mask unions) and
+        :meth:`collect_volume` (materialise the bucketed feature/mask
+        crops and assemble the lists) — the sweep driver interleaves
+        them across patients so one patient's host assembly overlaps the
+        next one's forwards.
+        """
+        return self.collect_volume(self.dispatch_volume(vol, mask, modality))
+
+    def dispatch_volume(self, vol: np.ndarray, mask: np.ndarray,
+                        modality: str) -> dict:
+        """Queue every device op for one volume; returns the collect state.
+
+        The only host sync is the (n_augs, h, w) union-mask pull needed
+        to compute crop boxes — full transformed masks stay on device and
+        only bucketed crops are transferred later.
         """
         cfg = self.config
         h, w, s = vol.shape
@@ -271,31 +288,30 @@ class DenseExtractor:
         mask_dev = self._pad_volume(jnp.asarray(mask, jnp.float32))
         valid_hw = (jnp.int32(h), jnp.int32(w))
 
-        features_list: list[np.ndarray] = []
-        masks_list: list[np.ndarray] = []
         meta_slices: list[int] = []
         meta_angles: list[int] = []
         meta_flips: list[str | None] = []
-        aug_crops: list[tuple] = []  # (union_crop, m_crop) per augmentation
+        aug_entries: list[tuple] = []
 
         stream = self._SliceStream(self)
-        # all augmentations' mask transforms in ONE vmapped device call +
-        # one pull (instead of one round trip per augmentation)
+        # all augmentations' mask transforms in ONE vmapped device call;
+        # pull only the slice-union (needed host-side for the boxes)
         combos = [
             (flip, angle) for flip in cfg.flips for angle in cfg.angles
         ]
         angles_arr = jnp.asarray([a for _, a in combos], jnp.float32)
         fh_arr = jnp.asarray([f == "horizontal" for f, _ in combos])
         fv_arr = jnp.asarray([f == "vertical" for f, _ in combos])
-        m_rot_all = np.asarray(
-            jax.vmap(
-                lambda a, fh, fv: transform_mask(mask_dev, a, fh, fv, valid_hw)
-            )(angles_arr, fh_arr, fv_arr)
-        )[:, :h, :w]
+        m_rot_all = jax.vmap(
+            lambda a, fh, fv: transform_mask(mask_dev, a, fh, fv, valid_hw)
+        )(angles_arr, fh_arr, fv_arr)          # (A, Hp, Wp, S) ON DEVICE
+        unions = np.asarray(
+            m_rot_all[:, :h, :w].sum(axis=-1) > 0
+        )                                       # (A, h, w) — small pull
+        hp_m, wp_m = m_rot_all.shape[1], m_rot_all.shape[2]
 
         for ci, (flip, angle) in enumerate(combos):
-            m_rot = m_rot_all[ci]
-            union = m_rot.sum(axis=-1) > 0
+            union = unions[ci]
             if not union.any():
                 continue
             xmin, ymin, xmax, ymax = roi.square_crop_box(union, margin=2)
@@ -312,9 +328,18 @@ class DenseExtractor:
                 valid_hw, self.image_size,
             )
             stream.add(resampled)
-            aug_crops.append((
+            # bucketed device-side crop of the transformed mask (bool —
+            # 1 byte/voxel on the wire)
+            mbh = min(hp_m, max(8, -(-ch // 8) * 8))
+            mbw = min(wp_m, max(8, -(-cw // 8) * 8))
+            y0m = min(ymin_c, hp_m - mbh)
+            x0m = min(xmin_c, wp_m - mbw)
+            m_crop_dev = lax.dynamic_slice(
+                m_rot_all[ci], (y0m, x0m, 0), (mbh, mbw, s)
+            ) > 0
+            aug_entries.append((
                 union[ymin_c:ymax_c, xmin_c:xmax_c],
-                m_rot[ymin_c:ymax_c, xmin_c:xmax_c],
+                m_crop_dev, ymin_c - y0m, xmin_c - x0m, ch, cw,
             ))
             meta_slices.extend(range(s))
             meta_angles.extend([angle] * s)
@@ -322,16 +347,14 @@ class DenseExtractor:
 
         all_feats = stream.flush()  # (n_augs * s, g, g, C), ON DEVICE
         grid = all_feats.shape[1]
-        # Phase 1: DISPATCH every augmentation's device-side ROI crop
-        # (JAX dispatch is async — the slices+casts queue up behind the
-        # forwards without blocking the host)…
+        # dispatch every augmentation's device-side feature ROI crop at a
+        # bucketed static size — only the crop is transferred later (the
+        # host link is the bottleneck; in production this still saves
+        # PCIe bandwidth).  Geometry identical to roi.extract_roi via the
+        # shared scaled_roi_box arithmetic.
         crop_devs: list[tuple] = []
-        for a, (union_crop, m_crop) in enumerate(aug_crops):
-            # ROI crop on device at a bucketed static size, then pull only
-            # the crop (vs. the full g×g×C map — the host link is the
-            # bottleneck through this tunnel, and in production still
-            # saves PCIe bandwidth).  Geometry identical to
-            # roi.extract_roi via the shared scaled_roi_box arithmetic.
+        for a, entry in enumerate(aug_entries):
+            union_crop = entry[0]
             xmin, ymin, xmax, ymax = roi.scaled_roi_box(
                 (grid, grid), union_crop, margin=1
             )
@@ -347,20 +370,33 @@ class DenseExtractor:
             if self.policy.compute_dtype == jnp.bfloat16:
                 crop_dev = crop_dev.astype(jnp.bfloat16)  # halve transfer
             crop_devs.append((crop_dev, ymin - y0, xmin - x0, ch, cw))
-        # …Phase 2: materialise them — the first pull blocks while the
-        # rest keep computing/transferring (one sync point per volume
-        # instead of one per augmentation).
-        for (crop_dev, oy, ox, ch, cw), (union_crop, m_crop) in zip(
-            crop_devs, aug_crops
+
+        return {
+            "s": s,
+            "aug_entries": aug_entries,
+            "crop_devs": crop_devs,
+            "meta": (meta_slices, meta_angles, meta_flips),
+        }
+
+    def collect_volume(self, state: dict):
+        """Materialise a dispatched volume's crops and assemble outputs."""
+        s = state["s"]
+        features_list: list[np.ndarray] = []
+        masks_list: list[np.ndarray] = []
+        for (crop_dev, oy, ox, ch, cw), entry in zip(
+            state["crop_devs"], state["aug_entries"]
         ):
+            union_crop, m_crop_dev, oym, oxm, mch, mcw = entry
             crop = np.asarray(crop_dev).astype(np.float32)
+            m_crop = np.asarray(m_crop_dev)[
+                oym:oym + mch, oxm:oxm + mcw
+            ]
             for i in range(s):
                 features_list.append(crop[i, oy:oy + ch, ox:ox + cw])
                 masks_list.append(
-                    roi.extract_roi(m_crop[:, :, i] > 0, union_crop)
+                    roi.extract_roi(m_crop[:, :, i], union_crop)
                 )
-
-        return features_list, masks_list, (meta_slices, meta_angles, meta_flips)
+        return features_list, masks_list, state["meta"]
 
 
 def extract_isotropic_dataset(
@@ -440,6 +476,27 @@ def extract_isotropic_dataset(
                 read_isotropic_hdf5, hdf5_path, pid, modality
             )
 
+    # dispatch-ahead state: key → (collect state, spatial_res) or the
+    # exception its dispatch raised (re-raised under its own key)
+    dispatched: dict[str, object] = {}
+
+    def _dispatch(key: str) -> None:
+        if key in dispatched:
+            return
+        _, pid, _, modality, _ = meta[key]
+        try:
+            fut = read_futs.pop(key, None)
+            vol, mask, spatial_res = (
+                fut.result() if fut is not None
+                else read_isotropic_hdf5(hdf5_path, pid, modality)
+            )
+            state = extractor.dispatch_volume(vol, mask, modality)
+            dispatched[key] = (state, spatial_res)
+        except KeyboardInterrupt:
+            raise
+        except Exception as exc:  # noqa: BLE001 — attributed to key later
+            dispatched[key] = exc
+
     def worker(key: str):
         dataset_name, pid, label, modality, features_dir = meta[key]
         df_path, h5_path = _paths(key)
@@ -449,16 +506,27 @@ def extract_isotropic_dataset(
         if idx is not None:
             for nxt in work_order[idx + 1:idx + 3]:
                 _submit_read(nxt)
-        fut = read_futs.pop(key, None)
-        vol, mask, spatial_res = (
-            fut.result() if fut is not None
-            else read_isotropic_hdf5(hdf5_path, pid, modality)
-        )
         if progress:
             progress(key)
-        feats, masks, (sl, an, fl) = extractor.extract_volume(
-            vol, mask, modality
-        )
+        _dispatch(key)
+        # start this volume's device→host copies without blocking…
+        got = dispatched.get(key)
+        if not isinstance(got, Exception) and got is not None:
+            for crop_dev, *_ in got[0]["crop_devs"]:
+                crop_dev.copy_to_host_async()
+            for entry in got[0]["aug_entries"]:
+                entry[1].copy_to_host_async()
+        # …then queue the NEXT volume's device work before materialising
+        # this one: its transforms/forwards run behind this patient's
+        # ops, so the crop pulls + host-side mask/metadata assembly below
+        # overlap the next patient's compute instead of idling the device
+        if idx is not None and idx + 1 < len(work_order):
+            _dispatch(work_order[idx + 1])
+        got = dispatched.pop(key)
+        if isinstance(got, Exception):
+            raise got
+        state, spatial_res = got
+        feats, masks, (sl, an, fl) = extractor.collect_volume(state)
         df = feature_store.slice_metadata_frame(
             sl, an, fl, patient_id=pid, label=label,
             dataset=dataset_name, modality=modality,
