@@ -266,3 +266,49 @@ class TestShardedExtraction:
             np.testing.assert_allclose(f, rf, atol=1e-5)
         for m, rm in zip(masks, ref_masks):
             np.testing.assert_array_equal(m, rm)
+
+
+class TestDispatchAheadFailures:
+    def test_empty_mask_failure_attributed_to_own_patient(
+        self, small_extractor, tmp_path
+    ):
+        """With dispatch-ahead pipelining, a patient whose dispatch
+        raises (empty mask) must be recorded against ITS key while
+        neighbours still succeed."""
+        import h5py
+
+        from vit_deep_radiomics_tpu.engine.extract import (
+            extract_isotropic_dataset,
+        )
+        from vit_deep_radiomics_tpu.engine.workqueue import WorkQueue
+
+        cohort = synthetic.synthetic_cohort(
+            n_patients=3, seed=11, dataset="stanford",
+            height=64, width=64, ct_slices=3, pet_slices=2,
+        )
+        h5 = tmp_path / "iso.hdf5"
+        csv = tmp_path / "iso.csv"
+        synthetic.write_isotropic_hdf5(cohort, h5, csv)
+        # zero out the MIDDLE patient's ct mask so its dispatch raises
+        bad = "stanford_001"
+        with h5py.File(h5, "r+") as f:
+            grp = f[f"{bad}_ct/mask_exam"]
+            for k in grp:
+                data = grp[k][()]
+                del grp[k]
+                grp.create_dataset(k, data=np.zeros_like(data))
+
+        feat_dir = tmp_path / "features"
+        written = extract_isotropic_dataset(
+            h5, csv, feat_dir, small_extractor,
+            modalities=("pet", "ct"), datasets=("stanford",),
+            progress=lambda *_: None,
+        )
+        # 3 patients x 2 modalities - 1 failed ct
+        assert len(written) == 5
+        q = WorkQueue(feat_dir / "extract_queue.json")
+        assert list(q.failed) == [f"stanford/{bad}/ct"]
+        assert "empty nodule mask" in q.failed[f"stanford/{bad}/ct"]["error"]
+        assert f"stanford/{bad}/pet" in q.done
+        assert not (feat_dir / "stanford_dataset"
+                    / f"{bad}_ct.parquet").exists()
