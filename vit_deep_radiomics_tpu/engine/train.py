@@ -98,7 +98,15 @@ class FoldTrainer:
         mesh=None,
         modality_a: str = "pet",
         modality_b: str = "ct",
+        step_cache: dict | None = None,
     ):
+        """``step_cache`` shares compiled train/eval steps ACROSS folds:
+        the step closures are pure in their arguments (params/opt_state/
+        batch flow through), so trainers built from the same (cfg, tcfg)
+        can reuse each other's executables.  Compiles through this
+        environment's remote-compile tunnel cost ~50 s each regardless of
+        program size and cannot be cached across processes, so every
+        avoided recompile is ~50 s off a k-fold run."""
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -122,7 +130,7 @@ class FoldTrainer:
             optax.add_decayed_weights(0.01),
             optax.scale(-1.0),
         )
-        self._jit_cache: dict = {}
+        self._jit_cache: dict = {} if step_cache is None else step_cache
         self.params = None
         self.opt_state = None
 
@@ -329,11 +337,13 @@ def train_fold(
     modality_b: str = "ct",
     resume: bool = True,
     log=print,
+    step_cache: dict | None = None,
 ) -> pd.DataFrame:
     """Train one fold; returns the per-epoch metric dataframe."""
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
-    trainer = FoldTrainer(cfg, tcfg, mesh, modality_a, modality_b)
+    trainer = FoldTrainer(cfg, tcfg, mesh, modality_a, modality_b,
+                          step_cache=step_cache)
 
     ds_kwargs = dict(
         hdf5_ct_path=hdf5_ct_path, hdf5_pet_path=hdf5_pet_path,
@@ -507,6 +517,7 @@ def train_kfold(
         / f"{tcfg.backbone}_{tcfg.arch}_{tcfg.dataset}" / tcfg.modality
     )
     results = {}
+    step_cache: dict = {}  # compiled steps shared by every fold
     for kfold in folds:
         save_dir = base / f"kfold_{kfold}"
         train_p = fold_map[kfold]["train"]
@@ -518,5 +529,6 @@ def train_kfold(
             df_train, df_test, cfg, tcfg,
             hdf5_ct_path, hdf5_pet_path, save_dir, kfold,
             mesh=mesh, modality_a=modality_a, modality_b=modality_b, log=log,
+            step_cache=step_cache,
         )
     return results
