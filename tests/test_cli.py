@@ -116,6 +116,25 @@ class TestCliPipeline:
                     / "petct/kfold_0")
         assert (fold_dir / "losses.html").exists()
 
+    def test_04b_sweep(self, project):
+        """In-process grid sweep shares step caches across experiments
+        and writes the same artifact tree as per-experiment train
+        calls."""
+        from vit_deep_radiomics_tpu.cli import sweep as cli_sweep
+
+        rc = cli_sweep.main([
+            "-e", "sweep_test", "--precision", "parity",
+            "--max-epochs", "1", "--datasets", "stanford",
+            "--archs", "transformer",
+        ])
+        assert rc == 0
+        base = project / "models/sweep_test"
+        # transformer grid rows for stanford: pet, ct (focal), petct
+        for modality in ("pet", "ct", "petct"):
+            fold_dir = (base / "medsam_transformer_stanford"
+                        / modality / "kfold_0")
+            assert (fold_dir / "losses.html").exists(), modality
+
     def test_05_aggregate(self, project):
         assert cli_aggregate.main([
             "--models-dir", "models", "--metrics-dir", "metrics",

@@ -498,6 +498,7 @@ def train_kfold(
     mesh=None,
     folds: Sequence | None = None,
     log=print,
+    step_cache: dict | None = None,
 ) -> dict:
     """Reference __main__ equivalent: loop folds from the generated kfold
     YAML (cfg['kfold_patients'][modality_b][dataset], train_models.py:560-574),
@@ -517,7 +518,8 @@ def train_kfold(
         / f"{tcfg.backbone}_{tcfg.arch}_{tcfg.dataset}" / tcfg.modality
     )
     results = {}
-    step_cache: dict = {}  # compiled steps shared by every fold
+    if step_cache is None:
+        step_cache = {}  # compiled steps shared by every fold
     for kfold in folds:
         save_dir = base / f"kfold_{kfold}"
         train_p = fold_map[kfold]["train"]
