@@ -281,10 +281,23 @@ class FoldTrainer:
             # epoch-constant scalars pushed once, not once per step
             lr_dev = jnp.float32(lr)
             accum_dev = jnp.float32(1.0 / accum)
+        cast_bf16 = self.policy.compute_dtype == jnp.bfloat16
         for i, batch in enumerate(batches):
             dev_batch = {
                 k: v for k, v in batch.items() if isinstance(v, np.ndarray)
             }
+            if cast_bf16:
+                # token features are bf16-representable by construction
+                # (they come from bf16 device crops) and the fast policy
+                # casts them to bf16 on device anyway — pre-casting on
+                # host halves the per-step transfer, which dominates the
+                # warm epoch through a high-latency link.
+                import ml_dtypes
+
+                for k in ("ct", "pet"):
+                    v = dev_batch.get(k)
+                    if v is not None and v.dtype == np.float32:
+                        dev_batch[k] = v.astype(ml_dtypes.bfloat16)
             dev_batch = self._shard(dev_batch)
             skey = self._shape_key(batch)
             if train:
