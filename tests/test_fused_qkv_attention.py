@@ -1,0 +1,223 @@
+"""Fused-QKV flash attention: kernel-side layout (no XLA relayout ops).
+
+The kernel reads q/k/v straight out of the (B, S, 3·H·D) QKV-projection
+output via BlockSpec index maps and writes (B, S, H·D) in
+output-projection-ready layout; these tests pin its numerics to the
+per-head XLA oracle across global, padded, and block-diagonal-window
+modes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_deep_radiomics_tpu.ops.attention import (
+    attention_reference,
+    flash_attention_fused_qkv,
+    pack_rel_pos_bias,
+)
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERPRET = not ON_TPU
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+
+def _split_heads(qkv, num_heads):
+    """(B, S, 3HD) -> q, k, v each (B, H, S, D)."""
+    b, s, three_c = qkv.shape
+    d = three_c // (3 * num_heads)
+    parts = qkv.reshape(b, s, 3, num_heads, d)
+    return (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+
+
+class TestFusedQKVGlobal:
+    @pytest.mark.parametrize("s,block_q,block_k", [
+        (256, 128, 128), (512, 256, 128), (384, 384, 384),
+    ])
+    def test_matches_reference(self, rng, s, block_q, block_k):
+        b, heads, d = 2, 4, 32
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        out = flash_attention_fused_qkv(
+            qkv, num_heads=heads, block_q=block_q, block_k=block_k,
+            interpret=INTERPRET,
+        )
+        q, k, v = _split_heads(qkv, heads)
+        ref = attention_reference(q, k, v)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_kv_len_masking(self, rng):
+        b, heads, s, d = 2, 8, 256, 16
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        kv_len = jnp.asarray([100, 256], jnp.int32)
+        out = flash_attention_fused_qkv(
+            qkv, kv_len=kv_len, num_heads=heads, block_q=128, block_k=128,
+            interpret=INTERPRET,
+        )
+        q, k, v = _split_heads(qkv, heads)
+        ref = attention_reference(q, k, v, kv_len=kv_len)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_decomposed_rel_pos_bias(self, rng):
+        """Global mode with Kh·Kw == S and multi-row key tiles."""
+        b, heads, d = 2, 4, 32
+        kh = kw = 16
+        s = kh * kw
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        bias_h = _rand(rng, b, heads, s, kh) * 0.3
+        bias_w = _rand(rng, b, heads, s, kw) * 0.3
+        out = flash_attention_fused_qkv(
+            qkv, bias=pack_rel_pos_bias(bias_h, bias_w, qkv.dtype),
+            num_heads=heads, kh=kh, kw=kw,
+            block_q=128, block_k=64, interpret=INTERPRET,
+        )
+        q, k, v = _split_heads(qkv, heads)
+        dense = (
+            bias_h[..., :, None] + bias_w[..., None, :]
+        ).reshape(b, heads, s, s)
+        ref = attention_reference(q, k, v, bias=dense)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_bf16(self, rng):
+        b, heads, s, d = 1, 2, 256, 64
+        qkv = _rand(rng, b, s, 3 * heads * d).astype(jnp.bfloat16)
+        out = flash_attention_fused_qkv(
+            qkv, num_heads=heads, block_q=128, block_k=128,
+            interpret=INTERPRET,
+        )
+        assert out.dtype == jnp.bfloat16
+        q, k, v = _split_heads(qkv, heads)
+        ref = attention_reference(q, k, v)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+class TestFusedQKVWindowed:
+    def test_matches_per_window_attention(self, rng):
+        """Unpadded block-diagonal windows (e.g. SAM's 196-token 14x14)."""
+        b, heads, d = 2, 4, 32
+        ky, kx = 3, 5                   # non-square, non-pow2 window grid
+        win = ky * kx                   # 15 tokens per window
+        n_win = 8                       # per batch row: 2 blocks of 4
+        g = 4
+        s = n_win * win
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        bias_h = _rand(rng, b, heads, s, ky) * 0.3
+        bias_w = _rand(rng, b, heads, s, kx) * 0.3
+        out = flash_attention_fused_qkv(
+            qkv, bias=pack_rel_pos_bias(bias_h, bias_w, qkv.dtype),
+            num_heads=heads, kh=ky, kw=kx,
+            window_tokens=win, block_q=g * win, block_k=g * win,
+            interpret=INTERPRET,
+        )
+        q, k, v = _split_heads(qkv, heads)
+        for w_idx in range(n_win):
+            lo = w_idx * win
+            sl = slice(lo, lo + win)
+            dense = (
+                bias_h[:, :, sl, :, None] + bias_w[:, :, sl, None, :]
+            ).reshape(b, heads, win, win)
+            ref = attention_reference(
+                q[:, :, sl], k[:, :, sl], v[:, :, sl], bias=dense
+            )
+            ref = ref.transpose(0, 2, 1, 3).reshape(b, win, heads * d)
+            np.testing.assert_allclose(
+                np.asarray(out[:, sl]), np.asarray(ref),
+                atol=2e-5, rtol=2e-5,
+                err_msg=f"window {w_idx}",
+            )
+
+    def test_no_bias_windows(self, rng):
+        b, heads, d, win, n_win = 1, 8, 16, 32, 4
+        s = n_win * win
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        out = flash_attention_fused_qkv(
+            qkv, num_heads=heads, window_tokens=win,
+            block_q=2 * win, block_k=2 * win, interpret=INTERPRET,
+        )
+        q, k, v = _split_heads(qkv, heads)
+        for w_idx in range(n_win):
+            sl = slice(w_idx * win, (w_idx + 1) * win)
+            ref = attention_reference(q[:, :, sl], k[:, :, sl], v[:, :, sl])
+            ref = ref.transpose(0, 2, 1, 3).reshape(b, win, heads * d)
+            np.testing.assert_allclose(
+                np.asarray(out[:, sl]), np.asarray(ref),
+                atol=2e-5, rtol=2e-5,
+            )
+
+    def test_window_must_divide_block(self, rng):
+        qkv = _rand(rng, 1, 60, 3 * 8 * 16)
+        with pytest.raises(ValueError, match="must divide block"):
+            flash_attention_fused_qkv(
+                qkv, num_heads=8, window_tokens=7, block_q=60, block_k=60,
+                interpret=INTERPRET,
+            )
+
+    def test_incompatible_head_layout_raises(self, rng):
+        # 3 heads of 32 lanes cannot tile into 128-lane blocks
+        qkv = _rand(rng, 1, 64, 3 * 3 * 32)
+        with pytest.raises(ValueError, match="128-lane"):
+            flash_attention_fused_qkv(
+                qkv, num_heads=3, interpret=INTERPRET,
+            )
+
+    def test_bias_grid_must_match_window(self, rng):
+        heads, d, win = 8, 16, 16
+        qkv = _rand(rng, 1, 64, 3 * heads * d)
+        bias_h = _rand(rng, 1, heads, 64, 3)
+        bias_w = _rand(rng, 1, heads, 64, 3)
+        with pytest.raises(ValueError, match="per-window bias grid"):
+            flash_attention_fused_qkv(
+                qkv, bias=pack_rel_pos_bias(bias_h, bias_w, qkv.dtype),
+                num_heads=heads, kh=3, kw=3,
+                window_tokens=win, block_q=64, block_k=64,
+                interpret=INTERPRET,
+            )
+
+
+class TestFusedViTModel:
+    def test_sam_style_encoder_fused_vs_oracle(self, rng):
+        """Full mini SAM-style encoder: fused-QKV flash path must match the
+        XLA oracle path (TPU-legal head layout: D=64, even heads)."""
+        import jax.numpy as jnp
+
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.vit import ViTDense, ViTDenseConfig
+
+        cfg = ViTDenseConfig(
+            name="sam_fused_test",
+            image_size=64,
+            patch_size=8,
+            width=128,
+            depth=3,
+            num_heads=2,
+            window_size=4,
+            global_indexes=(1,),
+            use_rel_pos=True,
+            neck_channels=32,
+        )
+        images = jnp.asarray(
+            rng.uniform(size=(2, 64, 64, 3)).astype("float32"))
+        oracle = ViTDense(cfg, policy=PARITY, use_flash=False)
+        params = oracle.init(jax.random.PRNGKey(0), images)
+        want = oracle.apply(params, images)
+        flash = ViTDense(cfg, policy=PARITY, use_flash=True)
+        # window grids (4x4=16 tokens) take the fused window path; the
+        # 8x8=64-token global layer takes the fused window path too
+        # (s <= 1024); both must agree with the oracle
+        got = flash.apply(params, images)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)

@@ -8,10 +8,14 @@ Here the backbones are first-class Flax modules designed for TPU:
 
 * NHWC layout throughout (TPU-native conv layout); the patch embedding is
   a pure reshape+matmul so it lands on the MXU without a conv lowering,
-* windowed attention runs every 14×14 window padded to a 16×16 token grid
-  through the Pallas flash kernel (static ``kv_grid`` masking), global
-  layers run 4096-token flash attention with decomposed relative-position
-  bias reconstructed inside the kernel,
+* attention runs the fused-QKV Pallas kernels (ops/attention.py): the
+  kernel reads per-head q/k/v straight out of the QKV projection output
+  via BlockSpec index maps and writes projection-ready tokens — no
+  slice/transpose/pad relayouts at the XLA level.  Windowed layers run
+  UNPADDED 196-token windows (one window per grid step, single-pass
+  softmax); global layers run 4096-token online-softmax flash with the
+  decomposed relative-position bias expanded in-kernel from a packed
+  (B, H, S, 128) bias buffer,
 * precision is governed by :class:`~..core.precision.Policy`: ``parity``
   (fp32, HIGHEST matmul precision) reproduces the reference encoder
   bit-for-bit given converted weights; ``fast`` (bf16) is the production
@@ -36,7 +40,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.precision import FAST, Policy
-from ..ops.attention import attention_reference, flash_attention
+from ..ops.attention import (
+    attention_reference,
+    flash_attention,
+    flash_attention_fused_qkv,
+    pack_rel_pos_bias,
+)
 
 __all__ = ["ViTDenseConfig", "ViTDense", "SAM_VIT_B", "DINOV2_CONFIGS"]
 
@@ -154,6 +163,28 @@ class PatchEmbed(nn.Module):
         return x.astype(self.policy.compute_dtype)  # (B, hp, wp, width)
 
 
+def _q_blocking(s: int) -> tuple[int, int]:
+    """(padded len, block) trading padding against grid-step count.
+
+    Attention work grows with padded², but every (q, kv) grid step also
+    pays a fixed dispatch/DMA overhead, so tiny blocks with minimal
+    padding lose to bigger blocks with a little padding (measured:
+    ViT-L@518's 1370 tokens run ~2× faster at (1536, 512) than at the
+    minimal-padding (1408, 128)).
+    Score = padded² · (1 + per-step overhead · steps).
+
+    e.g. 196 → (256, 256); 1370 → (1536, 512); 4096 → (4096, 512).
+    """
+    best = None
+    for blk in (1024, 512, 256, 128):
+        padded = -(-s // blk) * blk
+        steps = (padded // blk) ** 2
+        score = padded * padded * (1 + 0.05 * steps)
+        if best is None or score < best[0]:
+            best = (score, padded, blk)
+    return best[1], best[2]
+
+
 def _rel_pos_table(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
     """Gather the (q_size, k_size, D) table from a (2·max-1, D) parameter.
 
@@ -168,10 +199,14 @@ def _rel_pos_table(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
 class WindowedAttention(nn.Module):
     """Multi-head attention over a (B, H, W, C) token grid.
 
-    Runs the Pallas flash kernel with decomposed rel-pos bias; the token
-    grid is zero-padded to TPU-friendly sizes and masked with the kernel's
-    static ``kv_grid``.  ``use_flash=False`` falls back to the XLA oracle
-    (used on CPU and in parity tests).
+    The default TPU path is the fused-QKV Pallas kernel (see
+    ``_fused_variant``): q/k/v stay inside the QKV-projection output and
+    the kernel emits projection-ready tokens, so the XLA graph around it
+    is nothing but the three matmuls and two small bias einsums.  Grids
+    the fused kernels cannot tile (odd head layouts, oversized rel-pos
+    grids) fall back to the padded ``flash_attention`` path;
+    ``use_flash=False`` falls back to the XLA oracle (used on CPU and in
+    parity tests).
     """
 
     cfg: ViTDenseConfig
@@ -207,10 +242,7 @@ class WindowedAttention(nn.Module):
             qkv_kernel.astype(dtype),
             preferred_element_type=jnp.float32,
         ) + qkv_bias.astype(jnp.float32)
-        qkv = qkv.astype(dtype).reshape(b, h * w, 3, nh, hd)
-        q, k, v = (
-            qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
-        )  # each (b, nh, hw, hd)
+        qkv = qkv.astype(dtype)                       # (b, hw, 3c)
 
         if cfg.use_rel_pos:
             rel_h = self.param(
@@ -221,6 +253,31 @@ class WindowedAttention(nn.Module):
                 "rel_pos_w", nn.initializers.zeros, (2 * w - 1, hd),
                 self.policy.param_dtype,
             )
+        else:
+            rel_h = rel_w = None
+
+        # Flash is the default for every grid size: the XLA batched
+        # fallback runs windowed (196-token) grids ~15% faster but costs
+        # a pathological 300-400s XLA/AOT compile at SAM scale on this
+        # stack — measured, not worth it.  use_flash=False remains the
+        # parity-oracle path for tests.
+        if self.use_flash and self._fused_variant(h, w) is not None:
+            # fused-QKV path: the Pallas kernel reads per-head q/k/v
+            # straight out of `qkv` via index maps and emits proj-ready
+            # (b, hw, c) — no slice/transpose/pad relayouts at all
+            out = self._fused_qkv(qkv, h, w, rel_h, rel_w)
+            out = jnp.dot(
+                out.astype(dtype), proj_kernel.astype(dtype),
+                preferred_element_type=jnp.float32,
+            ) + proj_bias.astype(jnp.float32)
+            return out.astype(dtype).reshape(b, h, w, c)
+
+        qkv5 = qkv.reshape(b, h * w, 3, nh, hd)
+        q, k, v = (
+            qkv5[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+        )  # each (b, nh, hw, hd)
+
+        if cfg.use_rel_pos:
             # bias_h[b,n,(qy,qx),ky] = q · Rh[qy, ky] — from the UNSCALED q
             # (the softmax scale applies to the QK scores only, per the
             # SAM decomposed-rel-pos spec).  Computed in the policy's
@@ -237,11 +294,6 @@ class WindowedAttention(nn.Module):
         else:
             bias_h = bias_w = None
 
-        # Flash is the default for every grid size: the XLA batched
-        # fallback runs windowed (196-token) grids ~15% faster but costs
-        # a pathological 300-400s XLA/AOT compile at SAM scale on this
-        # stack — measured, not worth it.  use_flash=False remains the
-        # parity-oracle path for tests.
         if self.use_flash:
             out = self._flash(q, k, v, bias_h, bias_w, h, w)
         else:
@@ -262,6 +314,109 @@ class WindowedAttention(nn.Module):
         ) + proj_bias.astype(jnp.float32)
         return out.astype(dtype).reshape(b, h, w, c)
 
+    def _fused_variant(self, h: int, w: int) -> str | None:
+        """Which fused-QKV kernel mode fits this token grid, if any.
+
+        * ``window`` — rel-pos grids of ≤1024 tokens (SAM's 14×14 windowed
+          layers): groups of ``window_group`` windows run block-diagonally
+          and UNPADDED in one kernel block.
+        * ``global`` — rel-pos grids whose token count divides into
+          tile-friendly blocks (SAM's 64×64 global layers).
+        * ``nobias`` — plain global attention (DINOv2), padded via kv_len.
+        """
+        from ..ops.attention import _head_group
+
+        if _head_group(self.cfg.num_heads, self.cfg.head_dim) is None:
+            return None
+        s = h * w
+        if self.cfg.use_rel_pos:
+            if h > 64 or w > 64:  # packed-bias 64-lane slots
+                return None
+            if s <= 1024:
+                return "window"
+            if any(s % blk == 0 and blk % w == 0
+                   for blk in (1024, 512, 256, 128)):
+                return "global"
+            return None
+        return "nobias"
+
+    def _fused_qkv(self, qkv, h, w, rel_h, rel_w):
+        """Run the fused-QKV Pallas kernel; returns (b, h·w, c) tokens."""
+        cfg = self.cfg
+        nh, hd = cfg.num_heads, cfg.head_dim
+        b, s, _ = qkv.shape
+        dtype = qkv.dtype
+        interpret = jax.default_backend() != "tpu"
+        variant = self._fused_variant(h, w)
+
+        if variant == "window":
+            # one window per grid step: zero block-diagonal FLOP waste
+            # (the in-kernel head loop amortises per-step overheads that
+            # used to motivate window grouping), and qkv feeds the kernel
+            # with no reshape at all
+            rh = _rel_pos_table(rel_h.astype(dtype), h, h)  # (h, h, hd)
+            rw = _rel_pos_table(rel_w.astype(dtype), w, w)
+            qg = qkv[..., : nh * hd].reshape(b, h, w, nh, hd)
+            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh,
+                                preferred_element_type=jnp.float32)
+            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw,
+                                preferred_element_type=jnp.float32)
+            bias = pack_rel_pos_bias(
+                bias_h.reshape(b, nh, s, h),
+                bias_w.reshape(b, nh, s, w),
+                dtype,
+            )
+            return flash_attention_fused_qkv(
+                qkv,
+                bias=bias,
+                num_heads=nh,
+                kh=h,
+                kw=w,
+                window_tokens=s,
+                block_q=s,
+                block_k=s,
+                interpret=interpret,
+            )
+
+        if variant == "global":
+            rh = _rel_pos_table(rel_h.astype(dtype), h, h)
+            rw = _rel_pos_table(rel_w.astype(dtype), w, w)
+            qg = qkv[..., : nh * hd].reshape(b, h, w, nh, hd)
+            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh,
+                                preferred_element_type=jnp.float32)
+            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw,
+                                preferred_element_type=jnp.float32)
+            block_q = next(blk for blk in (1024, 512, 256, 128)
+                           if s % blk == 0 and blk % w == 0)
+            bias = pack_rel_pos_bias(
+                bias_h.reshape(b, nh, s, h),
+                bias_w.reshape(b, nh, s, w),
+                dtype,
+            )
+            return flash_attention_fused_qkv(
+                qkv,
+                bias=bias,
+                num_heads=nh,
+                kh=h,
+                kw=w,
+                block_q=block_q,
+                block_k=block_q,
+                interpret=interpret,
+            )
+
+        # nobias: pad the token axis to a tile-friendly block multiple and
+        # mask the pads with kv_len (DINOv2's 1370 tokens → 1536)
+        sq_pad, bq = _q_blocking(s)
+        kv_len = None
+        if sq_pad != s:
+            qkv = jnp.pad(qkv, ((0, 0), (0, sq_pad - s), (0, 0)))
+            kv_len = jnp.full((b,), s, jnp.int32)
+        out = flash_attention_fused_qkv(
+            qkv, kv_len=kv_len, num_heads=nh,
+            block_q=bq, block_k=bq, interpret=interpret,
+        )
+        return out[:, :s]
+
     def _flash(self, q, k, v, bias_h, bias_w, h, w):
         """Pad token count / key grid to tiling-friendly sizes and run the
         Pallas kernel."""
@@ -278,33 +433,12 @@ class WindowedAttention(nn.Module):
         def next_pow2(n):
             return 1 << (n - 1).bit_length()
 
-        def q_blocking(s):
-            """(padded len, block) trading padding against grid-step count.
-
-            Attention work grows with padded², but every (q, kv) grid
-            step also pays a fixed dispatch/DMA overhead, so tiny blocks
-            with minimal padding lose to bigger blocks with a little
-            padding (measured: ViT-L@518's 1370 tokens run ~2× faster at
-            (1536, 512) than at the minimal-padding (1408, 128)).
-            Score = padded² · (1 + per-step overhead · steps).
-
-            e.g. 196 → (256, 256); 1370 → (1536, 512); 4096 → (4096, 512).
-            """
-            best = None
-            for blk in (1024, 512, 256, 128):
-                padded = -(-s // blk) * blk
-                steps = (padded // blk) ** 2
-                score = padded * padded * (1 + 0.05 * steps)
-                if best is None or score < best[0]:
-                    best = (score, padded, blk)
-            return best[1], best[2]
-
         if bias_h is not None:
             # pad key grid: rows to a multiple of 8, cols to a power of two
             # so block_k can stay a tile-friendly multiple of the grid width
             hp = -(-h // 8) * 8
             wp = max(8, next_pow2(w))
-            sq_pad, bq = q_blocking(s)
+            sq_pad, bq = _q_blocking(s)
             sk_pad = hp * wp
             qp = pad_to(q, sq_pad, 2)
             kp = pad_to(
@@ -339,7 +473,7 @@ class WindowedAttention(nn.Module):
                 )
             return out[:, :, :s].astype(q.dtype)
 
-        sq_pad, bq = q_blocking(s)
+        sq_pad, bq = _q_blocking(s)
         qp = pad_to(q, sq_pad, 2)
         kv_len = None
         if sq_pad != s:

@@ -36,7 +36,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["attention_reference", "flash_attention"]
+__all__ = [
+    "attention_reference",
+    "flash_attention",
+    "flash_attention_fused_qkv",
+    "pack_rel_pos_bias",
+]
 
 _NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
 _LOG2E = 1.4426950408889634  # scores are kept in log2 units inside the kernel
@@ -389,3 +394,406 @@ def flash_attention(
         interpret=interpret,
     )(*args)
     return out.reshape(b, h, sq, d)
+
+
+# --------------------------------------------------------------------------
+# Fused-QKV flash attention: kernel-side layout
+# --------------------------------------------------------------------------
+#
+# The standard path materialises per-head (B, H, S, D) q/k/v arrays from the
+# QKV projection's (B, S, 3·H·D) output — on TPU that costs a chain of
+# slice/transpose/pad relayout copies worth ~25% of the SAM encoder forward
+# (measured).  Here the Pallas kernel instead reads q, k and v directly out
+# of the projection output via BlockSpec index maps over the SAME array,
+# and writes its output straight into a (B, S, H·D) array — the exact
+# layout the output projection consumes.  No slice, transpose, pad or
+# relayout ops exist at the XLA level at all.
+#
+# Decomposed rel-pos biases travel as ONE pre-packed (B, H, S, 128) array,
+# ``bias_h`` in lanes [0:64) and ``bias_w`` in [64:128) — a single
+# lane-aligned ref instead of two narrow (…, 14)-lane arrays whose DMA
+# runs would be 28 bytes long, and with the bf16 cast fused into the pack
+# instead of standalone 50 MB convert passes.
+#
+# Two kernel bodies:
+#
+# * **window mode** (``window_tokens``) — SAM's windowed layers, UNPADDED:
+#   a grid row is a group of independent 14×14=196-token windows laid out
+#   consecutively along the token axis.  A token only attends inside its
+#   own window (block-diagonal iota mask), the kv tile IS the q tile, and
+#   softmax needs a single pass — no online-softmax scratch at all.  The
+#   kernel takes the FULL (block_q, 3·H·D) qkv rows in one ref (contiguous
+#   maximal-length DMA runs) and statically unrolls the head loop with
+#   64-lane in-register slices.  vs the padded 16×16 grouped path this
+#   also saves the 256²/196² ≈ 1.7× score-matrix inflation.
+# * **global mode** — online-softmax kv loop; Mosaic requires lane-dim
+#   block sizes to be multiples of 128, so a grid step covers a PAIR of
+#   64-wide heads and walks them with static lane slices.
+
+
+def _head_group(num_heads: int, head_dim: int) -> int | None:
+    """Heads per grid step so the lane block is a 128 multiple, or None."""
+    if head_dim % 128 == 0:
+        return 1
+    if 128 % head_dim == 0:
+        pair = 128 // head_dim
+        if num_heads % pair == 0:
+            return pair
+    return None
+
+
+def _expand_bias(bias_h, bias_w, s, *, block_k, kh, kw, row_of_col, dtype):
+    """(bq, block_k) bias tile from decomposed (bq, kh)/(bq, kw) terms via
+    the single fused [bias_h | bias_w] @ one-hot matmul (see _flash_kernel
+    for the derivation); log2(e) is folded into the tiny concatenated
+    matrix so the tile lands directly in the kernel's log2-unit scores."""
+    nrows = bias_h.shape[-1]
+    cat = jnp.concatenate([bias_h, bias_w.astype(bias_h.dtype)], axis=1)
+    cat = (cat.astype(jnp.float32) * _LOG2E).astype(dtype)
+    e_rows = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 0)
+    e_cols = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 1)
+    expand = jnp.where(
+        e_rows < nrows,
+        (row_of_col(e_cols) == e_rows).astype(dtype),
+        (e_cols % kw == e_rows - nrows).astype(dtype),
+    )
+    return s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
+
+
+def _fused_window_kernel(
+    qkv_ref, bias_ref, o_ref,
+    *, num_heads: int, head_dim: int, window_tokens: int,
+    kh: int, kw: int, scale: float,
+):
+    """Block-diagonal window attention over full qkv rows, single pass.
+
+    grid = (B, Sq/block_q); qkv_ref block is (block_q, 3·H·D) — every
+    head's q, k and v for this row range — so the head loop below runs on
+    VMEM-resident data with no HBM traffic of its own.
+    """
+    rows = qkv_ref[0]                                  # (bq, 3C)
+    bq = rows.shape[0]
+    c = num_heads * head_dim
+    has_bias = bias_ref is not None
+
+    if window_tokens < bq:
+        qidx = lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
+        kidx = lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
+        same_window = qidx // window_tokens == kidx // window_tokens
+        row_of_col = lambda cols: (cols % window_tokens) // kw  # noqa: E731
+    else:
+        # one window per block: no cross-window masking needed at all
+        same_window = None
+        row_of_col = lambda cols: cols // kw  # noqa: E731
+
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = rows[:, sl]
+        kblk = rows[:, c + h * head_dim:c + (h + 1) * head_dim]
+        vblk = rows[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+
+        s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            bias_h = bias_ref[0, h, :, :kh]            # packed lanes [0:64)
+            bias_w = bias_ref[0, h, :, 64:64 + kw]     # packed lanes [64:128)
+            s = _expand_bias(bias_h, bias_w, s, block_k=bq, kh=kh, kw=kw,
+                             row_of_col=row_of_col, dtype=q.dtype)
+        if same_window is not None:
+            s = jnp.where(same_window, s, _NEG_INF)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2((s - m).astype(q.dtype))
+        l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        acc = jnp.dot(p.astype(vblk.dtype), vblk,
+                      preferred_element_type=jnp.float32)
+        outs.append(acc / jnp.where(l > 0, l, 1.0))
+
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fused_global_kernel(
+    q_ref, k_ref, v_ref, bias_ref, kv_len_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, block_k: int, scale: float, has_kv_len: bool,
+    kh: int, kw: int, pair: int, head_dim: int,
+):
+    """Online-softmax kv loop; refs carry ``pair`` heads side by side.
+
+    grid = (B, H/pair, Sq/block_q, Sk/block_k); kv innermost,
+    ``arbitrary``; m/l/acc scratch persists across kv steps.
+    """
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+    has_bias = bias_ref is not None
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    rows_q = q_ref[0]                                  # (bq, pair·d)
+    rows_k = k_ref[0]                                  # (bk, pair·d)
+    rows_v = v_ref[0]
+    bq = rows_q.shape[0]
+
+    if has_kv_len:
+        kv_len = kv_len_ref[pl.program_id(0), 0]
+
+    outs = []
+    for hh in range(pair):
+        sl = slice(hh * head_dim, (hh + 1) * head_dim)
+        q = rows_q[:, sl]
+        kblk = rows_k[:, sl]
+        vblk = rows_v[:, sl]
+
+        s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
+
+        if has_bias:
+            bias_h = bias_ref[0, hh, :, :kh]
+            bias_w = bias_ref[0, hh, :, 64:64 + kw]
+            rows = block_k // kw
+            if rows != kh:
+                # select this kv tile's key-grid rows with a one-hot matmul
+                row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+                col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+                sel = (row_ids == kv_idx * rows + col_ids).astype(
+                    bias_h.dtype)
+                bias_h = jnp.dot(
+                    bias_h, sel, preferred_element_type=jnp.float32
+                ).astype(bias_h.dtype)
+            s = _expand_bias(bias_h, bias_w, s, block_k=block_k, kh=kh,
+                             kw=kw, row_of_col=lambda cols: cols // kw,
+                             dtype=q.dtype)
+
+        if has_kv_len:
+            kidx = kv_idx * block_k + lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(kidx < kv_len, s, _NEG_INF)
+
+        m_prev = m_scratch[hh]
+        l_prev = l_scratch[hh]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2((s - m_new).astype(q.dtype))
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True,
+                                         dtype=jnp.float32)
+        m_scratch[hh] = m_new
+        l_scratch[hh] = l_new
+        acc = acc_scratch[hh] * alpha + jnp.dot(
+            p.astype(vblk.dtype), vblk, preferred_element_type=jnp.float32
+        )
+        acc_scratch[hh] = acc
+        outs.append(acc / jnp.where(l_new > 0, l_new, 1.0))
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def pack_rel_pos_bias(bias_h: jax.Array, bias_w: jax.Array,
+                      dtype) -> jax.Array:
+    """Pack (B, H, S, Kh)/(B, H, S, Kw) rel-pos terms into the fused
+    kernel's (B, H, S, 128) lane layout: bias_h at [0:64), bias_w at
+    [64:128).  Requires Kh, Kw ≤ 64.  One fused pad+concat+cast pass."""
+    kh, kw = bias_h.shape[-1], bias_w.shape[-1]
+    if kh > 64 or kw > 64:
+        raise ValueError(f"rel-pos grid ({kh}, {kw}) exceeds the packed "
+                         "64-lane slots")
+    pad = [(0, 0)] * (bias_h.ndim - 1)
+    return jnp.concatenate([
+        jnp.pad(bias_h.astype(dtype), pad + [(0, 64 - kh)]),
+        jnp.pad(bias_w.astype(dtype), pad + [(0, 64 - kw)]),
+    ], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "kh", "kw", "window_tokens", "scale",
+                     "block_q", "block_k", "interpret"),
+)
+def flash_attention_fused_qkv(
+    qkv: jax.Array,
+    bias: jax.Array | None = None,
+    kv_len: jax.Array | None = None,
+    *,
+    num_heads: int,
+    kh: int = 0,
+    kw: int = 0,
+    window_tokens: int | None = None,
+    scale: float | None = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention reading q/k/v straight from the QKV projection.
+
+    Args:
+        qkv: (B, S, 3·H·D) projection output, columns ordered
+            [q·H heads | k·H heads | v·H heads], each head D wide — the
+            natural layout of ``x @ W_qkv`` with the standard weight order.
+        bias: optional (B, H, S, 128) packed rel-pos terms from
+            :func:`pack_rel_pos_bias`; requires ``kh``/``kw``.  In global
+            mode ``kh·kw == S``; in window mode ``kh·kw == window_tokens``
+            with the per-window bias layout (each query row carries its
+            own window's grid-row terms).
+        kv_len: optional (B,) int32 valid key counts (global mode only).
+        num_heads: H.  H·D and the per-grid-step head group (128/D heads)
+            must tile into 128-lane blocks: D ∈ {64, 128, 256, …} with H a
+            multiple of 128/D (``ValueError`` otherwise — callers fall
+            back to :func:`flash_attention`).
+        window_tokens: enable block-diagonal window mode — the token axis
+            is a concatenation of independent windows of this many tokens;
+            requires window_tokens | block_q (kv tile == q tile).
+        block_q / block_k: tile sizes; S must be divisible by both.
+
+    Returns:
+        (B, S, H·D) attention output in output-projection-ready layout.
+    """
+    b, s, three_c = qkv.shape
+    if three_c % (3 * num_heads):
+        raise ValueError(f"qkv width {three_c} != 3·H·D for H={num_heads}")
+    d = three_c // (3 * num_heads)
+    pair = _head_group(num_heads, d)
+    if pair is None:
+        raise ValueError(
+            f"head layout H={num_heads}, D={d} does not tile into 128-lane "
+            "blocks"
+        )
+    scale = (d ** -0.5) if scale is None else scale
+    has_bias = bias is not None
+    if has_bias and (not kh or not kw):
+        raise ValueError("packed bias requires kh and kw")
+    hd = num_heads * d
+    out_shape = jax.ShapeDtypeStruct((b, s, hd), qkv.dtype)
+    block_q = min(block_q, s)
+
+    if window_tokens:
+        if kv_len is not None:
+            raise ValueError("kv_len is not supported in window mode")
+        if block_q % window_tokens or s % block_q:
+            raise ValueError(
+                f"window_tokens {window_tokens} must divide block {block_q}"
+                f" and block must divide seq {s}"
+            )
+        if has_bias and kh * kw != window_tokens:
+            raise ValueError(
+                f"per-window bias grid {kh}x{kw} != window_tokens "
+                f"{window_tokens}"
+            )
+        in_specs = [
+            pl.BlockSpec((1, block_q, three_c), lambda bi, j: (bi, j, 0)),
+        ]
+        args = [qkv]
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((1, num_heads, block_q, 128),
+                             lambda bi, j: (bi, 0, j, 0)))
+            args.append(bias)
+
+        def wrapped_window(*refs):
+            it = iter(refs)
+            qkv_ref = next(it)
+            bias_ref = next(it) if has_bias else None
+            _fused_window_kernel(
+                qkv_ref, bias_ref, next(it),
+                num_heads=num_heads, head_dim=d,
+                window_tokens=window_tokens, kh=kh, kw=kw,
+                scale=scale * _LOG2E,
+            )
+
+        return pl.pallas_call(
+            wrapped_window,
+            grid=(b, s // block_q),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, j: (bi, j, 0)),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * num_heads * s * block_q * d,
+                bytes_accessed=qkv.size * qkv.dtype.itemsize,
+                transcendentals=b * num_heads * s * block_q,
+            ),
+            interpret=interpret,
+        )(*args)
+
+    # ---- global mode ----
+    block_k = min(block_k, s)
+    if has_bias:
+        if kh * kw != s:
+            raise ValueError(f"Kh*Kw = {kh}*{kw} != S = {s}")
+        if block_k % kw:
+            block_k = kw * max(1, block_k // kw) if block_k > kw else kw
+            if s % block_k:
+                block_k = kw
+    if s % block_q or s % block_k:
+        raise ValueError(
+            f"seq len {s} must divide blocks ({block_q}, {block_k})"
+        )
+    hp_count = num_heads // pair
+    lane = pair * d
+    grid = (b, hp_count, s // block_q, s // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, lane), lambda bi, hp, j, t: (bi, j, hp)),
+        pl.BlockSpec((1, block_k, lane),
+                     lambda bi, hp, j, t: (bi, t, hp_count + hp)),
+        pl.BlockSpec((1, block_k, lane),
+                     lambda bi, hp, j, t: (bi, t, 2 * hp_count + hp)),
+    ]
+    args = [qkv, qkv, qkv]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, pair, block_q, 128),
+                         lambda bi, hp, j, t: (bi, hp, j, 0)))
+        args.append(bias)
+    has_kv_len = kv_len is not None
+    if has_kv_len:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(kv_len.astype(jnp.int32).reshape(b, 1))
+
+    kernel = functools.partial(
+        _fused_global_kernel,
+        block_k=block_k,
+        scale=scale * _LOG2E,
+        has_kv_len=has_kv_len,
+        kh=kh,
+        kw=kw,
+        pair=pair,
+        head_dim=d,
+    )
+
+    def wrapped(*refs):
+        it = iter(refs)
+        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        bias_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        o_ref = next(it)
+        kernel(q_ref, k_ref, v_ref, bias_ref, kl_ref, o_ref, *it)
+
+    return pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, lane),
+                               lambda bi, hp, j, t: (bi, j, hp)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((pair, block_q, 1), jnp.float32),
+            pltpu.VMEM((pair, block_q, 1), jnp.float32),
+            pltpu.VMEM((pair, block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * s * s * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+        interpret=interpret,
+    )(*args)
