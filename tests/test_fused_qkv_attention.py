@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from vit_deep_radiomics_tpu.ops.attention import (
     attention_reference,
     flash_attention_fused_qkv,
-    pack_rel_pos_bias,
 )
 
 ON_TPU = jax.default_backend() == "tpu"
@@ -75,8 +74,7 @@ class TestFusedQKVGlobal:
         bias_h = _rand(rng, b, heads, s, kh) * 0.3
         bias_w = _rand(rng, b, heads, s, kw) * 0.3
         out = flash_attention_fused_qkv(
-            qkv, bias=pack_rel_pos_bias(bias_h, bias_w, qkv.dtype),
-            num_heads=heads, kh=kh, kw=kw,
+            qkv, bias_h=bias_h, bias_w=bias_w, num_heads=heads,
             block_q=128, block_k=64, interpret=INTERPRET,
         )
         q, k, v = _split_heads(qkv, heads)
@@ -118,8 +116,7 @@ class TestFusedQKVWindowed:
         bias_h = _rand(rng, b, heads, s, ky) * 0.3
         bias_w = _rand(rng, b, heads, s, kx) * 0.3
         out = flash_attention_fused_qkv(
-            qkv, bias=pack_rel_pos_bias(bias_h, bias_w, qkv.dtype),
-            num_heads=heads, kh=ky, kw=kx,
+            qkv, bias_h=bias_h, bias_w=bias_w, num_heads=heads,
             window_tokens=win, block_q=g * win, block_k=g * win,
             interpret=INTERPRET,
         )
@@ -181,8 +178,7 @@ class TestFusedQKVWindowed:
         bias_w = _rand(rng, 1, heads, 64, 3)
         with pytest.raises(ValueError, match="per-window bias grid"):
             flash_attention_fused_qkv(
-                qkv, bias=pack_rel_pos_bias(bias_h, bias_w, qkv.dtype),
-                num_heads=heads, kh=3, kw=3,
+                qkv, bias_h=bias_h, bias_w=bias_w, num_heads=heads,
                 window_tokens=win, block_q=64, block_k=64,
                 interpret=INTERPRET,
             )

@@ -44,7 +44,6 @@ from ..ops.attention import (
     attention_reference,
     flash_attention,
     flash_attention_fused_qkv,
-    pack_rel_pos_bias,
 )
 
 __all__ = ["ViTDenseConfig", "ViTDense", "SAM_VIT_B", "DINOV2_CONFIGS"]
@@ -330,8 +329,6 @@ class WindowedAttention(nn.Module):
             return None
         s = h * w
         if self.cfg.use_rel_pos:
-            if h > 64 or w > 64:  # packed-bias 64-lane slots
-                return None
             if s <= 1024:
                 return "window"
             if any(s % blk == 0 and blk % w == 0
@@ -357,21 +354,16 @@ class WindowedAttention(nn.Module):
             rh = _rel_pos_table(rel_h.astype(dtype), h, h)  # (h, h, hd)
             rw = _rel_pos_table(rel_w.astype(dtype), w, w)
             qg = qkv[..., : nh * hd].reshape(b, h, w, nh, hd)
-            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh,
-                                preferred_element_type=jnp.float32)
-            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw,
-                                preferred_element_type=jnp.float32)
-            bias = pack_rel_pos_bias(
-                bias_h.reshape(b, nh, s, h),
-                bias_w.reshape(b, nh, s, w),
-                dtype,
-            )
+            # MXU accumulates fp32 internally regardless of the output
+            # dtype, so emitting the compute dtype directly avoids a
+            # standalone convert pass over the bias arrays
+            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh)
+            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw)
             return flash_attention_fused_qkv(
                 qkv,
-                bias=bias,
+                bias_h=bias_h.reshape(b, nh, s, h),
+                bias_w=bias_w.reshape(b, nh, s, w),
                 num_heads=nh,
-                kh=h,
-                kw=w,
                 window_tokens=s,
                 block_q=s,
                 block_k=s,
@@ -382,25 +374,21 @@ class WindowedAttention(nn.Module):
             rh = _rel_pos_table(rel_h.astype(dtype), h, h)
             rw = _rel_pos_table(rel_w.astype(dtype), w, w)
             qg = qkv[..., : nh * hd].reshape(b, h, w, nh, hd)
-            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh,
-                                preferred_element_type=jnp.float32)
-            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw,
-                                preferred_element_type=jnp.float32)
-            block_q = next(blk for blk in (1024, 512, 256, 128)
+            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh)
+            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw)
+            block_k = next(blk for blk in (1024, 512, 256, 128)
                            if s % blk == 0 and blk % w == 0)
-            bias = pack_rel_pos_bias(
-                bias_h.reshape(b, nh, s, h),
-                bias_w.reshape(b, nh, s, w),
-                dtype,
-            )
+            # q blocks half the kv tile: fits the kernel's working set
+            # (q rows + pair-head scratch + score transient) in VMEM
+            block_q = min(512, block_k) if s % min(512, block_k) == 0 \
+                else block_k
             return flash_attention_fused_qkv(
                 qkv,
-                bias=bias,
+                bias_h=bias_h.reshape(b, nh, s, h),
+                bias_w=bias_w.reshape(b, nh, s, w),
                 num_heads=nh,
-                kh=h,
-                kw=w,
                 block_q=block_q,
-                block_k=block_q,
+                block_k=block_k,
                 interpret=interpret,
             )
 
@@ -543,7 +531,10 @@ class Mlp(nn.Module):
                         self.policy.param_dtype)
         x = jnp.dot(x.astype(dtype), w1.astype(dtype),
                     preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
-        x = jax.nn.gelu(x, approximate=False)
+        # exact (erf) gelu in parity mode; tanh approximation on the bf16
+        # fast path — the difference is below bf16 resolution and the erf
+        # rational approximation is a measurable VPU cost at SAM scale
+        x = jax.nn.gelu(x, approximate=dtype == jnp.bfloat16)
         x = jnp.dot(x.astype(dtype), w2.astype(dtype),
                     preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
         return x.astype(dtype)

@@ -40,7 +40,6 @@ __all__ = [
     "attention_reference",
     "flash_attention",
     "flash_attention_fused_qkv",
-    "pack_rel_pos_bias",
 ]
 
 _NEG_INF = -1e30  # large-negative instead of -inf: keeps fully-masked rows finite
@@ -409,12 +408,6 @@ def flash_attention(
 # layout the output projection consumes.  No slice, transpose, pad or
 # relayout ops exist at the XLA level at all.
 #
-# Decomposed rel-pos biases travel as ONE pre-packed (B, H, S, 128) array,
-# ``bias_h`` in lanes [0:64) and ``bias_w`` in [64:128) — a single
-# lane-aligned ref instead of two narrow (…, 14)-lane arrays whose DMA
-# runs would be 28 bytes long, and with the bf16 cast fused into the pack
-# instead of standalone 50 MB convert passes.
-#
 # Two kernel bodies:
 #
 # * **window mode** (``window_tokens``) — SAM's windowed layers, UNPADDED:
@@ -461,7 +454,7 @@ def _expand_bias(bias_h, bias_w, s, *, block_k, kh, kw, row_of_col, dtype):
 
 
 def _fused_window_kernel(
-    qkv_ref, bias_ref, o_ref,
+    qkv_ref, bias_h_ref, bias_w_ref, o_ref,
     *, num_heads: int, head_dim: int, window_tokens: int,
     kh: int, kw: int, scale: float,
 ):
@@ -474,7 +467,7 @@ def _fused_window_kernel(
     rows = qkv_ref[0]                                  # (bq, 3C)
     bq = rows.shape[0]
     c = num_heads * head_dim
-    has_bias = bias_ref is not None
+    has_bias = bias_h_ref is not None
 
     if window_tokens < bq:
         qidx = lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
@@ -495,8 +488,8 @@ def _fused_window_kernel(
 
         s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
         if has_bias:
-            bias_h = bias_ref[0, h, :, :kh]            # packed lanes [0:64)
-            bias_w = bias_ref[0, h, :, 64:64 + kw]     # packed lanes [64:128)
+            bias_h = bias_h_ref[0, h]                  # (bq, kh)
+            bias_w = bias_w_ref[0, h]                  # (bq, kw)
             s = _expand_bias(bias_h, bias_w, s, block_k=bq, kh=kh, kw=kw,
                              row_of_col=row_of_col, dtype=q.dtype)
         if same_window is not None:
@@ -513,7 +506,7 @@ def _fused_window_kernel(
 
 
 def _fused_global_kernel(
-    q_ref, k_ref, v_ref, bias_ref, kv_len_ref, o_ref,
+    q_ref, k_ref, v_ref, bias_h_ref, bias_w_ref, kv_len_ref, o_ref,
     m_scratch, l_scratch, acc_scratch,
     *, block_k: int, scale: float, has_kv_len: bool,
     kh: int, kw: int, pair: int, head_dim: int,
@@ -525,7 +518,7 @@ def _fused_global_kernel(
     """
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
-    has_bias = bias_ref is not None
+    has_bias = bias_h_ref is not None
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -541,7 +534,6 @@ def _fused_global_kernel(
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
 
-    outs = []
     for hh in range(pair):
         sl = slice(hh * head_dim, (hh + 1) * head_dim)
         q = rows_q[:, sl]
@@ -551,8 +543,8 @@ def _fused_global_kernel(
         s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
 
         if has_bias:
-            bias_h = bias_ref[0, hh, :, :kh]
-            bias_w = bias_ref[0, hh, :, 64:64 + kw]
+            bias_h = bias_h_ref[0, hh]                 # (bq, kh)
+            bias_w = bias_w_ref[0, hh]                 # (bq, kw)
             rows = block_k // kw
             if rows != kh:
                 # select this kv tile's key-grid rows with a one-hot matmul
@@ -582,46 +574,31 @@ def _fused_global_kernel(
                                          dtype=jnp.float32)
         m_scratch[hh] = m_new
         l_scratch[hh] = l_new
-        acc = acc_scratch[hh] * alpha + jnp.dot(
+        acc_scratch[hh] = acc_scratch[hh] * alpha + jnp.dot(
             p.astype(vblk.dtype), vblk, preferred_element_type=jnp.float32
         )
-        acc_scratch[hh] = acc
-        outs.append(acc / jnp.where(l_new > 0, l_new, 1.0))
 
     @pl.when(kv_idx == num_kv - 1)
     def _store():
+        outs = [
+            acc_scratch[hh] / jnp.where(l_scratch[hh] > 0, l_scratch[hh], 1.0)
+            for hh in range(pair)
+        ]
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-
-
-def pack_rel_pos_bias(bias_h: jax.Array, bias_w: jax.Array,
-                      dtype) -> jax.Array:
-    """Pack (B, H, S, Kh)/(B, H, S, Kw) rel-pos terms into the fused
-    kernel's (B, H, S, 128) lane layout: bias_h at [0:64), bias_w at
-    [64:128).  Requires Kh, Kw ≤ 64.  One fused pad+concat+cast pass."""
-    kh, kw = bias_h.shape[-1], bias_w.shape[-1]
-    if kh > 64 or kw > 64:
-        raise ValueError(f"rel-pos grid ({kh}, {kw}) exceeds the packed "
-                         "64-lane slots")
-    pad = [(0, 0)] * (bias_h.ndim - 1)
-    return jnp.concatenate([
-        jnp.pad(bias_h.astype(dtype), pad + [(0, 64 - kh)]),
-        jnp.pad(bias_w.astype(dtype), pad + [(0, 64 - kw)]),
-    ], axis=-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "kh", "kw", "window_tokens", "scale",
-                     "block_q", "block_k", "interpret"),
+    static_argnames=("num_heads", "window_tokens", "scale", "block_q",
+                     "block_k", "interpret"),
 )
 def flash_attention_fused_qkv(
     qkv: jax.Array,
-    bias: jax.Array | None = None,
+    bias_h: jax.Array | None = None,
+    bias_w: jax.Array | None = None,
     kv_len: jax.Array | None = None,
     *,
     num_heads: int,
-    kh: int = 0,
-    kw: int = 0,
     window_tokens: int | None = None,
     scale: float | None = None,
     block_q: int = 1024,
@@ -634,11 +611,13 @@ def flash_attention_fused_qkv(
         qkv: (B, S, 3·H·D) projection output, columns ordered
             [q·H heads | k·H heads | v·H heads], each head D wide — the
             natural layout of ``x @ W_qkv`` with the standard weight order.
-        bias: optional (B, H, S, 128) packed rel-pos terms from
-            :func:`pack_rel_pos_bias`; requires ``kh``/``kw``.  In global
-            mode ``kh·kw == S``; in window mode ``kh·kw == window_tokens``
-            with the per-window bias layout (each query row carries its
-            own window's grid-row terms).
+        bias_h: optional (B, H, S, Kh) decomposed rel-pos row terms;
+            blocks take the full Kh/Kw last axis, so no packing or
+            padding is needed.  In global mode ``Kh·Kw == S``; in window
+            mode ``Kh·Kw == window_tokens`` with the per-window bias
+            layout (each query row carries its own window's grid-row
+            terms).
+        bias_w: optional (B, H, S, Kw) column terms.
         kv_len: optional (B,) int32 valid key counts (global mode only).
         num_heads: H.  H·D and the per-grid-step head group (128/D heads)
             must tile into 128-lane blocks: D ∈ {64, 128, 256, …} with H a
@@ -663,9 +642,12 @@ def flash_attention_fused_qkv(
             "blocks"
         )
     scale = (d ** -0.5) if scale is None else scale
-    has_bias = bias is not None
-    if has_bias and (not kh or not kw):
-        raise ValueError("packed bias requires kh and kw")
+    has_bias = bias_h is not None
+    if has_bias != (bias_w is not None):
+        raise ValueError("bias_h and bias_w must be given together")
+    kh = kw = 0
+    if has_bias:
+        kh, kw = bias_h.shape[-1], bias_w.shape[-1]
     hd = num_heads * d
     out_shape = jax.ShapeDtypeStruct((b, s, hd), qkv.dtype)
     block_q = min(block_q, s)
@@ -688,17 +670,21 @@ def flash_attention_fused_qkv(
         ]
         args = [qkv]
         if has_bias:
-            in_specs.append(
-                pl.BlockSpec((1, num_heads, block_q, 128),
-                             lambda bi, j: (bi, 0, j, 0)))
-            args.append(bias)
+            in_specs += [
+                pl.BlockSpec((1, num_heads, block_q, kh),
+                             lambda bi, j: (bi, 0, j, 0)),
+                pl.BlockSpec((1, num_heads, block_q, kw),
+                             lambda bi, j: (bi, 0, j, 0)),
+            ]
+            args += [bias_h, bias_w]
 
         def wrapped_window(*refs):
             it = iter(refs)
             qkv_ref = next(it)
-            bias_ref = next(it) if has_bias else None
+            bh_ref = next(it) if has_bias else None
+            bw_ref = next(it) if has_bias else None
             _fused_window_kernel(
-                qkv_ref, bias_ref, next(it),
+                qkv_ref, bh_ref, bw_ref, next(it),
                 num_heads=num_heads, head_dim=d,
                 window_tokens=window_tokens, kh=kh, kw=kw,
                 scale=scale * _LOG2E,
@@ -746,10 +732,13 @@ def flash_attention_fused_qkv(
     ]
     args = [qkv, qkv, qkv]
     if has_bias:
-        in_specs.append(
-            pl.BlockSpec((1, pair, block_q, 128),
-                         lambda bi, hp, j, t: (bi, hp, j, 0)))
-        args.append(bias)
+        in_specs += [
+            pl.BlockSpec((1, pair, block_q, kh),
+                         lambda bi, hp, j, t: (bi, hp, j, 0)),
+            pl.BlockSpec((1, pair, block_q, kw),
+                         lambda bi, hp, j, t: (bi, hp, j, 0)),
+        ]
+        args += [bias_h, bias_w]
     has_kv_len = kv_len is not None
     if has_kv_len:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -769,10 +758,11 @@ def flash_attention_fused_qkv(
     def wrapped(*refs):
         it = iter(refs)
         q_ref, k_ref, v_ref = next(it), next(it), next(it)
-        bias_ref = next(it) if has_bias else None
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
         kl_ref = next(it) if has_kv_len else None
         o_ref = next(it)
-        kernel(q_ref, k_ref, v_ref, bias_ref, kl_ref, o_ref, *it)
+        kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, o_ref, *it)
 
     return pl.pallas_call(
         wrapped,
