@@ -435,22 +435,62 @@ def _head_group(num_heads: int, head_dim: int) -> int | None:
     return None
 
 
-def _expand_bias(bias_h, bias_w, s, *, block_k, kh, kw, row_of_col, dtype):
-    """(bq, block_k) bias tile from decomposed (bq, kh)/(bq, kw) terms via
-    the single fused [bias_h | bias_w] @ one-hot matmul (see _flash_kernel
-    for the derivation); log2(e) is folded into the tiny concatenated
-    matrix so the tile lands directly in the kernel's log2-unit scores."""
-    nrows = bias_h.shape[-1]
-    cat = jnp.concatenate([bias_h, bias_w.astype(bias_h.dtype)], axis=1)
-    cat = (cat.astype(jnp.float32) * _LOG2E).astype(dtype)
+def _bias_expand_matrix(nrows, kw, block_k, row_of_col, dtype):
+    """One-hot (nrows + kw, block_k) matrix so that
+    ``[bias_h | bias_w] @ expand`` both spreads each query's kh grid-row
+    terms across their kw keys and tiles the kw column terms across the
+    key-grid rows — one matmul instead of an expand matmul + lane concat +
+    two full-tile adds.  Head-independent: callers build it ONCE per grid
+    step and reuse it across the in-kernel head loop (it used to be
+    rebuilt per head — a measurable VPU cost at SAM-global scale)."""
     e_rows = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 0)
     e_cols = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 1)
-    expand = jnp.where(
+    return jnp.where(
         e_rows < nrows,
         (row_of_col(e_cols) == e_rows).astype(dtype),
         (e_cols % kw == e_rows - nrows).astype(dtype),
     )
+
+
+def _expand_bias(bias_h, bias_w, s, *, expand):
+    """Apply the decomposed bias to scores ``s`` via the fused one-hot
+    matmul; log2(e) is folded into the tiny concatenated matrix so the
+    tile lands directly in the kernel's log2-unit scores.  The dot
+    accumulates fp32 (Mosaic requires 32-bit matmul accumulators); add in
+    fp32 and cast once afterwards."""
+    cat = jnp.concatenate([bias_h, bias_w.astype(bias_h.dtype)], axis=1)
+    cat = (cat.astype(jnp.float32) * _LOG2E).astype(expand.dtype)
     return s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
+
+
+def _mxu_passes(k: int) -> int:
+    """MXU contraction passes for a K-deep matmul (128-deep per pass)."""
+    return -(-k // 128)
+
+
+def _bias_onehot_cols(nrows, kw, block_k, row_of_col, dtype):
+    """One-hot (block_k, nrows [+ kw]) matrix E so that folding the bias
+    terms into the QK contraction — ``[q·scale | bias] @ [k | E]ᵀ`` —
+    reproduces ``q·kᵀ·scale + bias_expand``.  E[j, t] selects key j's grid
+    row (t < nrows) and, when ``with_cols``, its grid column (t ≥ nrows).
+
+    This is the transpose of :func:`_bias_expand_matrix`, built directly
+    in (key, term) orientation so no in-kernel transpose is needed.  The
+    point: a d=64 head leaves half of the MXU's 128-deep contraction
+    idle, so the bias terms ride the SAME matmul pass as QK — the
+    full-score-tile bias expand matmul (as many MXU passes as QK itself)
+    disappears entirely."""
+    with_cols = kw > 0
+    width = nrows + (kw if with_cols else 0)
+    j_ids = lax.broadcasted_iota(jnp.int32, (block_k, width), 0)
+    t_ids = lax.broadcasted_iota(jnp.int32, (block_k, width), 1)
+    if not with_cols:
+        return (row_of_col(j_ids) == t_ids).astype(dtype)
+    return jnp.where(
+        t_ids < nrows,
+        (row_of_col(j_ids) == t_ids).astype(dtype),
+        (j_ids % kw == t_ids - nrows).astype(dtype),
+    )
 
 
 def _fused_window_kernel(
@@ -468,6 +508,10 @@ def _fused_window_kernel(
     bq = rows.shape[0]
     c = num_heads * head_dim
     has_bias = bias_h_ref is not None
+    # bf16 inputs run the whole score pipeline in bf16 (the (bq, bq)
+    # elementwise chain is the VPU hot spot and bf16 halves it); fp32
+    # inputs keep the exact path for parity.
+    sdtype = rows.dtype if rows.dtype == jnp.bfloat16 else jnp.float32
 
     if window_tokens < bq:
         qidx = lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
@@ -478,6 +522,23 @@ def _fused_window_kernel(
         # one window per block: no cross-window masking needed at all
         same_window = None
         row_of_col = lambda cols: cols // kw  # noqa: E731
+    # Contraction-folded bias (as in _fused_global_kernel) was tried here
+    # and measured SLOWER at window scale: with 196-token tiles the MXU
+    # passes it saves are tiny while the per-head qa/ka lane concats are
+    # real VPU work — the hoisted one-hot expand matmul wins.  Keep fold
+    # off; see git history for the experiment.
+    fold = False
+    expand = onehot = None
+    if has_bias:
+        if fold:
+            # head-independent: built once, reused across the head loop
+            onehot = _bias_onehot_cols(kh, kw, bq, row_of_col, rows.dtype)
+        else:
+            expand = _bias_expand_matrix(kh, kw, bq, row_of_col, rows.dtype)
+    # ones column rides the PV matmul so the softmax denominator comes out
+    # of the MXU for free (the out tile is lane-padded anyway) instead of
+    # costing a VPU reduction over the full (bq, bq) score tile
+    ones_col = jnp.ones((bq, 1), rows.dtype)
 
     outs = []
     for h in range(num_heads):
@@ -486,35 +547,52 @@ def _fused_window_kernel(
         kblk = rows[:, c + h * head_dim:c + (h + 1) * head_dim]
         vblk = rows[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
 
-        s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
-        if has_bias:
-            bias_h = bias_h_ref[0, h]                  # (bq, kh)
-            bias_w = bias_w_ref[0, h]                  # (bq, kw)
-            s = _expand_bias(bias_h, bias_w, s, block_k=bq, kh=kh, kw=kw,
-                             row_of_col=row_of_col, dtype=q.dtype)
+        if fold:
+            bias = jnp.concatenate(
+                [bias_h_ref[0, h], bias_w_ref[0, h]], axis=-1
+            )
+            bias = (bias.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+            # scale folds into q (a (bq, d) multiply instead of a
+            # (bq, bq) one on the score tile)
+            qa = jnp.concatenate([q * scale, bias], axis=-1)
+            ka = jnp.concatenate([kblk, onehot], axis=-1)
+            s = jnp.dot(qa, ka.T, preferred_element_type=jnp.float32)
+        else:
+            s = jnp.dot(q, kblk.T,
+                        preferred_element_type=jnp.float32) * scale
+            if has_bias:
+                bias_h = bias_h_ref[0, h]              # (bq, kh)
+                bias_w = bias_w_ref[0, h]              # (bq, kw)
+                s = _expand_bias(bias_h, bias_w, s, expand=expand)
+        s = s.astype(sdtype)
         if same_window is not None:
-            s = jnp.where(same_window, s, _NEG_INF)
+            s = jnp.where(same_window, s, jnp.asarray(_NEG_INF, sdtype))
 
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2((s - m).astype(q.dtype))
-        l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-        acc = jnp.dot(p.astype(vblk.dtype), vblk,
+        vaug = jnp.concatenate([vblk, ones_col], axis=-1)  # (bq, d+1)
+        acc = jnp.dot(p.astype(vblk.dtype), vaug,
                       preferred_element_type=jnp.float32)
-        outs.append(acc / jnp.where(l > 0, l, 1.0))
+        l = acc[:, head_dim:]
+        outs.append(acc[:, :head_dim] / jnp.where(l > 0, l, 1.0))
 
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _fused_global_kernel(
     q_ref, k_ref, v_ref, bias_h_ref, bias_w_ref, kv_len_ref, o_ref,
-    m_scratch, l_scratch, acc_scratch,
+    m_scratch, acc_scratch,
     *, block_k: int, scale: float, has_kv_len: bool,
     kh: int, kw: int, pair: int, head_dim: int,
 ):
     """Online-softmax kv loop; refs carry ``pair`` heads side by side.
 
     grid = (B, H/pair, Sq/block_q, Sk/block_k); kv innermost,
-    ``arbitrary``; m/l/acc scratch persists across kv steps.
+    ``arbitrary``; m/acc scratch persists across kv steps.  The softmax
+    denominator is NOT a separate reduction: a ones column rides the PV
+    matmul, so column ``head_dim`` of the accumulator is the running sum
+    (the out tile is lane-padded past head_dim anyway — the extra MXU
+    column is free, the removed (bq, block_k) VPU reduction is not).
     """
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -523,16 +601,53 @@ def _fused_global_kernel(
     @pl.when(kv_idx == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
-        l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     rows_q = q_ref[0]                                  # (bq, pair·d)
     rows_k = k_ref[0]                                  # (bk, pair·d)
     rows_v = v_ref[0]
     bq = rows_q.shape[0]
+    # bf16 inputs keep scores/max/exp in bf16 — the (bq, block_k)
+    # elementwise chain is the VPU hot spot and bf16 halves it; running
+    # statistics (m, acc incl. the sum column) stay fp32.  fp32 inputs
+    # keep the exact path for parity.
+    sdtype = rows_q.dtype if rows_q.dtype == jnp.bfloat16 else jnp.float32
 
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
+        kidx = kv_idx * block_k + lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1
+        )
+        kv_mask = kidx < kv_len
+
+    # Bias application, cheapest first (see _bias_onehot_cols): fold the
+    # FULL (un-row-selected) bias_h into the QK contraction's idle lanes
+    # when head_dim + kh fits the same MXU pass count as head_dim alone
+    # (SAM global: 64 + 64 = 128 → zero extra passes, and the per-kv-step
+    # row select disappears — the one-hot key matrix picks each key's
+    # global grid row directly).  bias_w is periodic with period kw across
+    # the key tile: pltpu.repeat tiles it block_k/kw times — a VPU add
+    # that overlaps the MXU instead of the old full-tile expand matmul.
+    fold = has_bias and _mxu_passes(head_dim + kh) == _mxu_passes(head_dim)
+    expand = sel = onehot = None
+    kv_rows = block_k // kw if has_bias else 0
+    if has_bias:
+        if fold:
+            base = kv_idx * kv_rows
+            onehot = _bias_onehot_cols(
+                kh, 0, block_k, lambda cols: base + cols // kw,
+                rows_q.dtype,
+            )                                          # (bk, kh)
+        else:
+            if kv_rows != kh:
+                row_ids = lax.broadcasted_iota(jnp.int32, (kh, kv_rows), 0)
+                col_ids = lax.broadcasted_iota(jnp.int32, (kh, kv_rows), 1)
+                sel = (row_ids == kv_idx * kv_rows + col_ids).astype(
+                    rows_q.dtype)
+            expand = _bias_expand_matrix(
+                kv_rows, kw, block_k, lambda cols: cols // kw, rows_q.dtype
+            )
+    ones_col = jnp.ones((block_k, 1), rows_v.dtype)
 
     for hh in range(pair):
         sl = slice(hh * head_dim, (hh + 1) * head_dim)
@@ -540,50 +655,55 @@ def _fused_global_kernel(
         kblk = rows_k[:, sl]
         vblk = rows_v[:, sl]
 
-        s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
-
-        if has_bias:
+        if fold:
             bias_h = bias_h_ref[0, hh]                 # (bq, kh)
+            bias_h = (bias_h.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+            qa = jnp.concatenate([q * scale, bias_h], axis=-1)
+            ka = jnp.concatenate([kblk, onehot], axis=-1)
+            s = jnp.dot(qa, ka.T, preferred_element_type=jnp.float32)
+            s = s.astype(sdtype)
             bias_w = bias_w_ref[0, hh]                 # (bq, kw)
-            rows = block_k // kw
-            if rows != kh:
-                # select this kv tile's key-grid rows with a one-hot matmul
-                row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
-                col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
-                sel = (row_ids == kv_idx * rows + col_ids).astype(
-                    bias_h.dtype)
-                bias_h = jnp.dot(
-                    bias_h, sel, preferred_element_type=jnp.float32
-                ).astype(bias_h.dtype)
-            s = _expand_bias(bias_h, bias_w, s, block_k=block_k, kh=kh,
-                             kw=kw, row_of_col=lambda cols: cols // kw,
-                             dtype=q.dtype)
+            bias_w = (bias_w.astype(jnp.float32) * _LOG2E).astype(sdtype)
+            s = s + pltpu.repeat(bias_w, block_k // kw, axis=1)
+        else:
+            s = jnp.dot(q, kblk.T,
+                        preferred_element_type=jnp.float32) * scale
+            if has_bias:
+                bias_h = bias_h_ref[0, hh]             # (bq, kh)
+                bias_w = bias_w_ref[0, hh]             # (bq, kw)
+                if sel is not None:
+                    # select this kv tile's key-grid rows via one-hot matmul
+                    bias_h = jnp.dot(
+                        bias_h, sel, preferred_element_type=jnp.float32
+                    ).astype(bias_h.dtype)
+                s = _expand_bias(bias_h, bias_w, s, expand=expand)
+            s = s.astype(sdtype)
 
         if has_kv_len:
-            kidx = kv_idx * block_k + lax.broadcasted_iota(
-                jnp.int32, (bq, block_k), 1
-            )
-            s = jnp.where(kidx < kv_len, s, _NEG_INF)
+            s = jnp.where(kv_mask, s, jnp.asarray(_NEG_INF, sdtype))
 
         m_prev = m_scratch[hh]
-        l_prev = l_scratch[hh]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp2((s - m_new).astype(q.dtype))
+        m_new = jnp.maximum(
+            m_prev, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+        )
+        # subtract m in the score dtype: bf16 m rounds at most one ulp off
+        # the true max, so s - m stays ≤ ~1e-2 — exp2 cannot overflow and
+        # the normalisation divides any constant offset back out
+        p = jnp.exp2((s - m_new.astype(sdtype)).astype(q.dtype))
         alpha = jnp.exp2(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True,
-                                         dtype=jnp.float32)
         m_scratch[hh] = m_new
-        l_scratch[hh] = l_new
+        vaug = jnp.concatenate([vblk, ones_col], axis=-1)  # (bk, d+1)
         acc_scratch[hh] = acc_scratch[hh] * alpha + jnp.dot(
-            p.astype(vblk.dtype), vblk, preferred_element_type=jnp.float32
+            p.astype(vblk.dtype), vaug, preferred_element_type=jnp.float32
         )
 
     @pl.when(kv_idx == num_kv - 1)
     def _store():
-        outs = [
-            acc_scratch[hh] / jnp.where(l_scratch[hh] > 0, l_scratch[hh], 1.0)
-            for hh in range(pair)
-        ]
+        outs = []
+        for hh in range(pair):
+            acc = acc_scratch[hh]
+            l = acc[:, head_dim:]
+            outs.append(acc[:, :head_dim] / jnp.where(l > 0, l, 1.0))
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -772,9 +892,10 @@ def flash_attention_fused_qkv(
                                lambda bi, hp, j, t: (bi, j, hp)),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((pair, block_q, 1), jnp.float32),
-            pltpu.VMEM((pair, block_q, 1), jnp.float32),
-            pltpu.VMEM((pair, block_q, d), jnp.float32),
+            pltpu.VMEM((pair, block_q, 1), jnp.float32),      # running max
+            # accumulator; column d is the running softmax sum (ones-column
+            # PV trick — see _fused_global_kernel)
+            pltpu.VMEM((pair, block_q, d + 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
