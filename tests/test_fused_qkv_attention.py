@@ -26,6 +26,14 @@ def _rand(rng, *shape):
     return jnp.asarray(rng.normal(size=shape).astype(np.float32))
 
 
+def _pack_pairs(bias, pair):
+    """(B, H, S, K) per-head bias -> (B, H/pair, S, pair*K) pair-merged
+    (the global-mode kernel layout)."""
+    b, h, s, k = bias.shape
+    return bias.reshape(b, h // pair, pair, s, k).transpose(
+        0, 1, 3, 2, 4).reshape(b, h // pair, s, pair * k)
+
+
 def _split_heads(qkv, num_heads):
     """(B, S, 3HD) -> q, k, v each (B, H, S, D)."""
     b, s, three_c = qkv.shape
@@ -71,15 +79,16 @@ class TestFusedQKVGlobal:
         kh = kw = 16
         s = kh * kw
         qkv = _rand(rng, b, s, 3 * heads * d)
-        bias_h = _rand(rng, b, heads, s, kh) * 0.3
-        bias_w = _rand(rng, b, heads, s, kw) * 0.3
+        bh = _rand(rng, b, heads, s, kh) * 0.3
+        bw = _rand(rng, b, heads, s, kw) * 0.3
+        pair = 128 // d
         out = flash_attention_fused_qkv(
-            qkv, bias_h=bias_h, bias_w=bias_w, num_heads=heads,
-            block_q=128, block_k=64, interpret=INTERPRET,
+            qkv, bias_h=_pack_pairs(bh, pair), bias_w=_pack_pairs(bw, pair),
+            num_heads=heads, block_q=128, block_k=64, interpret=INTERPRET,
         )
         q, k, v = _split_heads(qkv, heads)
         dense = (
-            bias_h[..., :, None] + bias_w[..., None, :]
+            bh[..., :, None] + bw[..., None, :]
         ).reshape(b, heads, s, s)
         ref = attention_reference(q, k, v, bias=dense)
         ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
@@ -115,8 +124,10 @@ class TestFusedQKVWindowed:
         qkv = _rand(rng, b, s, 3 * heads * d)
         bias_h = _rand(rng, b, heads, s, ky) * 0.3
         bias_w = _rand(rng, b, heads, s, kx) * 0.3
+        pair = 128 // d
         out = flash_attention_fused_qkv(
-            qkv, bias_h=bias_h, bias_w=bias_w, num_heads=heads,
+            qkv, bias_h=_pack_pairs(bias_h, pair),
+            bias_w=_pack_pairs(bias_w, pair), num_heads=heads,
             window_tokens=win, block_q=g * win, block_k=g * win,
             interpret=INTERPRET,
         )
@@ -174,8 +185,8 @@ class TestFusedQKVWindowed:
     def test_bias_grid_must_match_window(self, rng):
         heads, d, win = 8, 16, 16
         qkv = _rand(rng, 1, 64, 3 * heads * d)
-        bias_h = _rand(rng, 1, heads, 64, 3)
-        bias_w = _rand(rng, 1, heads, 64, 3)
+        bias_h = _rand(rng, 1, heads // 8, 64, 8 * 3)
+        bias_w = _rand(rng, 1, heads // 8, 64, 8 * 3)
         with pytest.raises(ValueError, match="per-window bias grid"):
             flash_attention_fused_qkv(
                 qkv, bias_h=bias_h, bias_w=bias_w, num_heads=heads,

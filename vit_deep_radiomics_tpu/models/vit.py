@@ -14,8 +14,10 @@ Here the backbones are first-class Flax modules designed for TPU:
   slice/transpose/pad relayouts at the XLA level.  Windowed layers run
   UNPADDED 196-token windows (one window per grid step, single-pass
   softmax); global layers run 4096-token online-softmax flash with the
-  decomposed relative-position bias expanded in-kernel from a packed
-  (B, H, S, 128) bias buffer,
+  full decomposed relative-position row bias riding the QK contraction's
+  idle lanes.  Both take the bias PAIR-MERGED, (B, H/pair, S, pair·K) —
+  the natural output of a block-diagonal-table einsum — so no
+  narrow-minor-dim relayout is ever materialised,
 * precision is governed by :class:`~..core.precision.Policy`: ``parity``
   (fp32, HIGHEST matmul precision) reproduces the reference encoder
   bit-for-bit given converted weights; ``fast`` (bf16) is the production
@@ -211,7 +213,7 @@ class WindowedAttention(nn.Module):
     cfg: ViTDenseConfig
     policy: Policy
     use_flash: bool = True
-    window_group: int = 4   # independent windows batched per kernel block
+    window_group: int = 1   # independent windows batched per kernel block
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -346,46 +348,74 @@ class WindowedAttention(nn.Module):
         interpret = jax.default_backend() != "tpu"
         variant = self._fused_variant(h, w)
 
-        if variant == "window":
-            # one window per grid step: zero block-diagonal FLOP waste
-            # (the in-kernel head loop amortises per-step overheads that
-            # used to motivate window grouping), and qkv feeds the kernel
-            # with no reshape at all
+        if variant in ("window", "global"):
+            from ..ops.attention import _head_group
+
+            pair = _head_group(nh, hd)
+            hp = nh // pair
             rh = _rel_pos_table(rel_h.astype(dtype), h, h)  # (h, h, hd)
             rw = _rel_pos_table(rel_w.astype(dtype), w, w)
-            qg = qkv[..., : nh * hd].reshape(b, h, w, nh, hd)
-            # MXU accumulates fp32 internally regardless of the output
-            # dtype, so emitting the compute dtype directly avoids a
-            # standalone convert pass over the bias arrays
-            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh)
-            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw)
-            return flash_attention_fused_qkv(
+
+            # Pair-merged bias einsum: a block-diagonal table pairs the
+            # 128/hd heads of a lane group along the K axis, so the
+            # einsum emits a (…, pair·K)-minor array — full(er) lane rows
+            # end to end.  byxpK is the einsum's NATURAL output order, so
+            # the only relayout left is the head-pair-major transpose,
+            # which moves MAJOR dims with the minor dim intact — unlike
+            # the old per-head-K-minor transposes, which relaid narrow
+            # (e.g. 14-lane) tiles at ~9× memory bloat (measured ~2 ms of
+            # the 45 ms forward as pure data formatting).
+            def pair_diag(t, k):
+                # eye-broadcast instead of zeros + per-pair update-slices:
+                # one fused multiply, no dynamic-update-slice passes
+                eye = jnp.eye(pair, dtype=dtype)
+                t2 = eye[None, :, None, :, None] * t[:, None, :, None, :]
+                return t2.reshape(t.shape[0], pair * k, pair * hd)
+
+            qg2 = qkv[..., : nh * hd].reshape(b, h, w, hp, pair * hd)
+            bias_h = jnp.einsum("byxpD,yKD->byxpK", qg2, pair_diag(rh, h))
+            bias_w = jnp.einsum("byxpD,xKD->byxpK", qg2, pair_diag(rw, w))
+            bias_h = bias_h.reshape(b, s, hp, pair * h)
+            bias_w = bias_w.reshape(b, s, hp, pair * w)
+
+        if variant == "window":
+            # `group` windows per kernel step by folding window-batch
+            # rows into the token axis (free reshapes).  One window per
+            # step measures fastest at SAM shapes: cross-window score
+            # waste (x4 at group 2) beats the dispatch overhead it saves,
+            # and group 4's 784-token blocks exceed the 16 MB VMEM scope.
+            group = self.window_group
+            while group > 1 and b % group:
+                group //= 2
+            if group > 1:
+                qkv = qkv.reshape(b // group, group * s, 3 * nh * hd)
+                bias_h = bias_h.reshape(b // group, group * s, hp, pair * h)
+                bias_w = bias_w.reshape(b // group, group * s, hp, pair * w)
+            out = flash_attention_fused_qkv(
                 qkv,
-                bias_h=bias_h.reshape(b, nh, s, h),
-                bias_w=bias_w.reshape(b, nh, s, w),
+                bias_h=bias_h.transpose(0, 2, 1, 3),
+                bias_w=bias_w.transpose(0, 2, 1, 3),
                 num_heads=nh,
                 window_tokens=s,
-                block_q=s,
-                block_k=s,
+                block_q=group * s,
+                block_k=group * s,
                 interpret=interpret,
             )
+            return out.reshape(b, s, nh * hd)
 
         if variant == "global":
-            rh = _rel_pos_table(rel_h.astype(dtype), h, h)
-            rw = _rel_pos_table(rel_w.astype(dtype), w, w)
-            qg = qkv[..., : nh * hd].reshape(b, h, w, nh, hd)
-            bias_h = jnp.einsum("byxnd,ykd->bnyxk", qg, rh)
-            bias_w = jnp.einsum("byxnd,xkd->bnyxk", qg, rw)
-            block_k = next(blk for blk in (1024, 512, 256, 128)
+            block_k = next(blk for blk in (2048, 1024, 512, 256, 128)
                            if s % blk == 0 and blk % w == 0)
-            # q blocks half the kv tile: fits the kernel's working set
-            # (q rows + pair-head scratch + score transient) in VMEM
+            # q blocks quarter the kv tile: fits the kernel's working set
+            # (q rows + score transient + pair-head scratch) in the 16 MB
+            # VMEM scope.  (4096, 256) single-kv-step measured the same;
+            # (2048, 512) keeps the smaller-grid headroom.
             block_q = min(512, block_k) if s % min(512, block_k) == 0 \
                 else block_k
             return flash_attention_fused_qkv(
                 qkv,
-                bias_h=bias_h.reshape(b, nh, s, h),
-                bias_w=bias_w.reshape(b, nh, s, w),
+                bias_h=bias_h.transpose(0, 2, 1, 3),
+                bias_w=bias_w.transpose(0, 2, 1, 3),
                 num_heads=nh,
                 block_q=block_q,
                 block_k=block_k,

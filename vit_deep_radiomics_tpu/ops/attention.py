@@ -496,13 +496,24 @@ def _bias_onehot_cols(nrows, kw, block_k, row_of_col, dtype):
 def _fused_window_kernel(
     qkv_ref, bias_h_ref, bias_w_ref, o_ref,
     *, num_heads: int, head_dim: int, window_tokens: int,
-    kh: int, kw: int, scale: float,
+    kh: int, kw: int, pair: int, scale: float,
 ):
     """Block-diagonal window attention over full qkv rows, single pass.
 
     grid = (B, Sq/block_q); qkv_ref block is (block_q, 3·H·D) — every
     head's q, k and v for this row range — so the head loop below runs on
     VMEM-resident data with no HBM traffic of its own.
+
+    Bias refs are PAIR-MERGED, (1, H/pair, block_q, pair·K): the bias
+    einsum emits 128/D heads side by side along the minor dim (full-width
+    lanes, no narrow-tile relayouts anywhere in XLA), and the kernel
+    applies each head's share via a one-hot expand matmul whose rows for
+    the OTHER head of the pair are zero — so the pair-merged
+    ``[bias_h | bias_w]`` concat feeds the matmul unsliced (an unaligned
+    kh-offset lane slice would cost a relayout; zero rows are free).
+    Contraction-folding the bias (as in the global kernel) was measured
+    SLOWER at 196-token tiles — per-head lane concats outweigh the tiny
+    MXU passes saved.
     """
     rows = qkv_ref[0]                                  # (bq, 3C)
     bq = rows.shape[0]
@@ -522,48 +533,54 @@ def _fused_window_kernel(
         # one window per block: no cross-window masking needed at all
         same_window = None
         row_of_col = lambda cols: cols // kw  # noqa: E731
-    # Contraction-folded bias (as in _fused_global_kernel) was tried here
-    # and measured SLOWER at window scale: with 196-token tiles the MXU
-    # passes it saves are tiny while the per-head qa/ka lane concats are
-    # real VPU work — the hoisted one-hot expand matmul wins.  Keep fold
-    # off; see git history for the experiment.
-    fold = False
-    expand = onehot = None
+    expands = None
     if has_bias:
-        if fold:
-            # head-independent: built once, reused across the head loop
-            onehot = _bias_onehot_cols(kh, kw, bq, row_of_col, rows.dtype)
-        else:
-            expand = _bias_expand_matrix(kh, kw, bq, row_of_col, rows.dtype)
+        # per-pair-slot expand matrices, built once and reused across the
+        # head loop: slot hh applies rows [hh·kh, (hh+1)·kh) of the
+        # pair-merged bias_h block and rows [pair·kh + hh·kw, …) of the
+        # bias_w block; all other rows are zero
+        width = pair * (kh + kw)
+        t_ids = lax.broadcasted_iota(jnp.int32, (width, bq), 0)
+        j_ids = lax.broadcasted_iota(jnp.int32, (width, bq), 1)
+        expands = []
+        for hh in range(pair):
+            h_lo = hh * kh
+            w_lo = pair * kh + hh * kw
+            expands.append(jnp.where(
+                (t_ids >= h_lo) & (t_ids < h_lo + kh),
+                (row_of_col(j_ids) == t_ids - h_lo).astype(rows.dtype),
+                jnp.where(
+                    (t_ids >= w_lo) & (t_ids < w_lo + kw),
+                    (j_ids % kw == t_ids - w_lo).astype(rows.dtype),
+                    jnp.zeros((), rows.dtype),
+                ),
+            ))
     # ones column rides the PV matmul so the softmax denominator comes out
     # of the MXU for free (the out tile is lane-padded anyway) instead of
     # costing a VPU reduction over the full (bq, bq) score tile
     ones_col = jnp.ones((bq, 1), rows.dtype)
 
     outs = []
+    cat = None
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = rows[:, sl]
         kblk = rows[:, c + h * head_dim:c + (h + 1) * head_dim]
         vblk = rows[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
 
-        if fold:
-            bias = jnp.concatenate(
-                [bias_h_ref[0, h], bias_w_ref[0, h]], axis=-1
-            )
-            bias = (bias.astype(jnp.float32) * _LOG2E).astype(q.dtype)
-            # scale folds into q (a (bq, d) multiply instead of a
-            # (bq, bq) one on the score tile)
-            qa = jnp.concatenate([q * scale, bias], axis=-1)
-            ka = jnp.concatenate([kblk, onehot], axis=-1)
-            s = jnp.dot(qa, ka.T, preferred_element_type=jnp.float32)
-        else:
-            s = jnp.dot(q, kblk.T,
-                        preferred_element_type=jnp.float32) * scale
-            if has_bias:
-                bias_h = bias_h_ref[0, h]              # (bq, kh)
-                bias_w = bias_w_ref[0, h]              # (bq, kw)
-                s = _expand_bias(bias_h, bias_w, s, expand=expand)
+        s = jnp.dot(q, kblk.T,
+                    preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            if h % pair == 0:
+                # this pair's merged [bias_h | bias_w] rows, log2(e)
+                # folded in; shared by both heads of the pair
+                cat = jnp.concatenate(
+                    [bias_h_ref[0, h // pair], bias_w_ref[0, h // pair]],
+                    axis=-1,
+                )                                      # (bq, pair·(kh+kw))
+                cat = (cat.astype(jnp.float32) * _LOG2E).astype(rows.dtype)
+            s = s + jnp.dot(cat, expands[h % pair],
+                            preferred_element_type=jnp.float32)
         s = s.astype(sdtype)
         if same_window is not None:
             s = jnp.where(same_window, s, jnp.asarray(_NEG_INF, sdtype))
@@ -648,6 +665,13 @@ def _fused_global_kernel(
                 kv_rows, kw, block_k, lambda cols: cols // kw, rows_q.dtype
             )
     ones_col = jnp.ones((block_k, 1), rows_v.dtype)
+    if has_bias:
+        # (bq, pair·kh): this head pair's bias rows, pair-merged along
+        # lanes by the block-diagonal bias einsum (see WindowedAttention);
+        # per-head access below is an ALIGNED kh-wide lane slice — the
+        # same pattern as the per-head qkv slices
+        bias_h_pair = bias_h_ref[0, 0]
+        bias_w_pair = bias_w_ref[0, 0]
 
     for hh in range(pair):
         sl = slice(hh * head_dim, (hh + 1) * head_dim)
@@ -656,21 +680,21 @@ def _fused_global_kernel(
         vblk = rows_v[:, sl]
 
         if fold:
-            bias_h = bias_h_ref[0, hh]                 # (bq, kh)
+            bias_h = bias_h_pair[:, hh * kh:(hh + 1) * kh]    # (bq, kh)
             bias_h = (bias_h.astype(jnp.float32) * _LOG2E).astype(q.dtype)
             qa = jnp.concatenate([q * scale, bias_h], axis=-1)
             ka = jnp.concatenate([kblk, onehot], axis=-1)
             s = jnp.dot(qa, ka.T, preferred_element_type=jnp.float32)
             s = s.astype(sdtype)
-            bias_w = bias_w_ref[0, hh]                 # (bq, kw)
+            bias_w = bias_w_pair[:, hh * kw:(hh + 1) * kw]    # (bq, kw)
             bias_w = (bias_w.astype(jnp.float32) * _LOG2E).astype(sdtype)
             s = s + pltpu.repeat(bias_w, block_k // kw, axis=1)
         else:
             s = jnp.dot(q, kblk.T,
                         preferred_element_type=jnp.float32) * scale
             if has_bias:
-                bias_h = bias_h_ref[0, hh]             # (bq, kh)
-                bias_w = bias_w_ref[0, hh]             # (bq, kw)
+                bias_h = bias_h_pair[:, hh * kh:(hh + 1) * kh]
+                bias_w = bias_w_pair[:, hh * kw:(hh + 1) * kw]
                 if sel is not None:
                     # select this kv tile's key-grid rows via one-hot matmul
                     bias_h = jnp.dot(
@@ -731,13 +755,15 @@ def flash_attention_fused_qkv(
         qkv: (B, S, 3·H·D) projection output, columns ordered
             [q·H heads | k·H heads | v·H heads], each head D wide — the
             natural layout of ``x @ W_qkv`` with the standard weight order.
-        bias_h: optional (B, H, S, Kh) decomposed rel-pos row terms;
-            blocks take the full Kh/Kw last axis, so no packing or
-            padding is needed.  In global mode ``Kh·Kw == S``; in window
+        bias_h: optional (B, S, H, Kh) decomposed rel-pos row terms —
+            the NATURAL layout of the ``byxnd,ykd->byxnk`` bias einsum
+            (token-major, head interior), so no XLA-side transpose of a
+            narrow-minor-dim array is ever materialised; blocks take the
+            full Kh/Kw last axis, so no packing or padding is needed.  In global mode ``Kh·Kw == S``; in window
             mode ``Kh·Kw == window_tokens`` with the per-window bias
             layout (each query row carries its own window's grid-row
             terms).
-        bias_w: optional (B, H, S, Kw) column terms.
+        bias_w: optional (B, S, H, Kw) column terms.
         kv_len: optional (B,) int32 valid key counts (global mode only).
         num_heads: H.  H·D and the per-grid-step head group (128/D heads)
             must tile into 128-lane blocks: D ∈ {64, 128, 256, …} with H a
@@ -766,8 +792,20 @@ def flash_attention_fused_qkv(
     if has_bias != (bias_w is not None):
         raise ValueError("bias_h and bias_w must be given together")
     kh = kw = 0
+    hp_count = num_heads // pair
     if has_bias:
-        kh, kw = bias_h.shape[-1], bias_w.shape[-1]
+        # both modes take PAIR-MERGED bias: (B, H/pair, S, pair·K)
+        if bias_h.shape[-1] % pair or bias_w.shape[-1] % pair:
+            raise ValueError(
+                f"bias trailing dims ({bias_h.shape[-1]}, "
+                f"{bias_w.shape[-1]}) must be pair-merged ({pair}·K)"
+            )
+        kh, kw = bias_h.shape[-1] // pair, bias_w.shape[-1] // pair
+        if bias_h.shape[:3] != (b, hp_count, s):
+            raise ValueError(
+                f"bias_h shape {bias_h.shape} != "
+                f"({b}, {hp_count}, {s}, {pair}·{kh})"
+            )
     hd = num_heads * d
     out_shape = jax.ShapeDtypeStruct((b, s, hd), qkv.dtype)
     block_q = min(block_q, s)
@@ -791,9 +829,9 @@ def flash_attention_fused_qkv(
         args = [qkv]
         if has_bias:
             in_specs += [
-                pl.BlockSpec((1, num_heads, block_q, kh),
+                pl.BlockSpec((1, hp_count, block_q, pair * kh),
                              lambda bi, j: (bi, 0, j, 0)),
-                pl.BlockSpec((1, num_heads, block_q, kw),
+                pl.BlockSpec((1, hp_count, block_q, pair * kw),
                              lambda bi, j: (bi, 0, j, 0)),
             ]
             args += [bias_h, bias_w]
@@ -806,7 +844,7 @@ def flash_attention_fused_qkv(
             _fused_window_kernel(
                 qkv_ref, bh_ref, bw_ref, next(it),
                 num_heads=num_heads, head_dim=d,
-                window_tokens=window_tokens, kh=kh, kw=kw,
+                window_tokens=window_tokens, kh=kh, kw=kw, pair=pair,
                 scale=scale * _LOG2E,
             )
 
@@ -840,23 +878,28 @@ def flash_attention_fused_qkv(
         raise ValueError(
             f"seq len {s} must divide blocks ({block_q}, {block_k})"
         )
-    hp_count = num_heads // pair
     lane = pair * d
-    grid = (b, hp_count, s // block_q, s // block_k)
+    # grid order (b, q, hp, kv): kv innermost (online-softmax scratch),
+    # head-pair second — the bias blocks carry ALL heads for a q row range
+    # (Pallas requires the trailing block dims to equal the array dims
+    # here), and with hp inside q their index map is constant across the
+    # hp·kv inner loops, so Pallas fetches each bias block once per
+    # (batch, q block) rather than once per head pair.
+    grid = (b, s // block_q, hp_count, s // block_k)
     in_specs = [
-        pl.BlockSpec((1, block_q, lane), lambda bi, hp, j, t: (bi, j, hp)),
+        pl.BlockSpec((1, block_q, lane), lambda bi, j, hp, t: (bi, j, hp)),
         pl.BlockSpec((1, block_k, lane),
-                     lambda bi, hp, j, t: (bi, t, hp_count + hp)),
+                     lambda bi, j, hp, t: (bi, t, hp_count + hp)),
         pl.BlockSpec((1, block_k, lane),
-                     lambda bi, hp, j, t: (bi, t, 2 * hp_count + hp)),
+                     lambda bi, j, hp, t: (bi, t, 2 * hp_count + hp)),
     ]
     args = [qkv, qkv, qkv]
     if has_bias:
         in_specs += [
-            pl.BlockSpec((1, pair, block_q, kh),
-                         lambda bi, hp, j, t: (bi, hp, j, 0)),
-            pl.BlockSpec((1, pair, block_q, kw),
-                         lambda bi, hp, j, t: (bi, hp, j, 0)),
+            pl.BlockSpec((1, 1, block_q, pair * kh),
+                         lambda bi, j, hp, t: (bi, hp, j, 0)),
+            pl.BlockSpec((1, 1, block_q, pair * kw),
+                         lambda bi, j, hp, t: (bi, hp, j, 0)),
         ]
         args += [bias_h, bias_w]
     has_kv_len = kv_len is not None
@@ -889,7 +932,7 @@ def flash_attention_fused_qkv(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, lane),
-                               lambda bi, hp, j, t: (bi, j, hp)),
+                               lambda bi, j, hp, t: (bi, j, hp)),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((pair, block_q, 1), jnp.float32),      # running max
