@@ -238,12 +238,28 @@ class WindowedAttention(nn.Module):
             "proj_bias", nn.initializers.zeros, (c,), self.policy.param_dtype
         )
 
-        qkv = jnp.dot(
-            x.reshape(b, h * w, c).astype(dtype),
-            qkv_kernel.astype(dtype),
-            preferred_element_type=jnp.float32,
-        ) + qkv_bias.astype(jnp.float32)
-        qkv = qkv.astype(dtype)                       # (b, hw, 3c)
+        tokens = x.reshape(b, h * w, c).astype(dtype)
+        if self.use_flash and self._fused_variant(h, w) is not None:
+            # split projection: q and kv as SEPARATE matmuls (same total
+            # FLOPs) so the bias einsum reads the q section with uniform
+            # strides — a packed (b, hw, 3c) output forces XLA to
+            # materialise a 25 MB slice copy of the q section per layer
+            q_arr = jnp.dot(
+                tokens, qkv_kernel[:, : c].astype(dtype),
+                preferred_element_type=jnp.float32,
+            ) + qkv_bias[: c].astype(jnp.float32)
+            kv_arr = jnp.dot(
+                tokens, qkv_kernel[:, c:].astype(dtype),
+                preferred_element_type=jnp.float32,
+            ) + qkv_bias[c:].astype(jnp.float32)
+            qkv = (q_arr.astype(dtype), kv_arr.astype(dtype))
+        else:
+            qkv = jnp.dot(
+                tokens,
+                qkv_kernel.astype(dtype),
+                preferred_element_type=jnp.float32,
+            ) + qkv_bias.astype(jnp.float32)
+            qkv = qkv.astype(dtype)                   # (b, hw, 3c)
 
         if cfg.use_rel_pos:
             rel_h = self.param(
@@ -340,11 +356,12 @@ class WindowedAttention(nn.Module):
         return "nobias"
 
     def _fused_qkv(self, qkv, h, w, rel_h, rel_w):
-        """Run the fused-QKV Pallas kernel; returns (b, h·w, c) tokens."""
+        """Run the fused-QKV Pallas kernel; returns (b, h·w, c) tokens.
+        ``qkv`` is the split-projection pair (q (b,s,c), kv (b,s,2c))."""
         cfg = self.cfg
         nh, hd = cfg.num_heads, cfg.head_dim
-        b, s, _ = qkv.shape
-        dtype = qkv.dtype
+        b, s, _ = qkv[0].shape
+        dtype = qkv[0].dtype
         interpret = jax.default_backend() != "tpu"
         variant = self._fused_variant(h, w)
 
@@ -372,7 +389,7 @@ class WindowedAttention(nn.Module):
                 t2 = eye[None, :, None, :, None] * t[:, None, :, None, :]
                 return t2.reshape(t.shape[0], pair * k, pair * hd)
 
-            qg2 = qkv[..., : nh * hd].reshape(b, h, w, hp, pair * hd)
+            qg2 = qkv[0].reshape(b, h, w, hp, pair * hd)
             bias_h = jnp.einsum("byxpD,yKD->byxpK", qg2, pair_diag(rh, h))
             bias_w = jnp.einsum("byxpD,xKD->byxpK", qg2, pair_diag(rw, w))
             bias_h = bias_h.reshape(b, s, hp, pair * h)
@@ -388,7 +405,10 @@ class WindowedAttention(nn.Module):
             while group > 1 and b % group:
                 group //= 2
             if group > 1:
-                qkv = qkv.reshape(b // group, group * s, 3 * nh * hd)
+                qkv = tuple(
+                    a.reshape(b // group, group * s, a.shape[-1])
+                    for a in qkv
+                )
                 bias_h = bias_h.reshape(b // group, group * s, hp, pair * h)
                 bias_w = bias_w.reshape(b // group, group * s, hp, pair * w)
             out = flash_attention_fused_qkv(
@@ -427,7 +447,9 @@ class WindowedAttention(nn.Module):
         sq_pad, bq = _q_blocking(s)
         kv_len = None
         if sq_pad != s:
-            qkv = jnp.pad(qkv, ((0, 0), (0, sq_pad - s), (0, 0)))
+            qkv = tuple(
+                jnp.pad(a, ((0, 0), (0, sq_pad - s), (0, 0))) for a in qkv
+            )
             kv_len = jnp.full((b,), s, jnp.int32)
         out = flash_attention_fused_qkv(
             qkv, kv_len=kv_len, num_heads=nh,

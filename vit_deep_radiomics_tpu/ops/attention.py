@@ -494,7 +494,7 @@ def _bias_onehot_cols(nrows, kw, block_k, row_of_col, dtype):
 
 
 def _fused_window_kernel(
-    qkv_ref, bias_h_ref, bias_w_ref, o_ref,
+    qkv_ref, kv_ref, bias_h_ref, bias_w_ref, o_ref,
     *, num_heads: int, head_dim: int, window_tokens: int,
     kh: int, kw: int, pair: int, scale: float,
 ):
@@ -515,7 +515,8 @@ def _fused_window_kernel(
     SLOWER at 196-token tiles — per-head lane concats outweigh the tiny
     MXU passes saved.
     """
-    rows = qkv_ref[0]                                  # (bq, 3C)
+    rows = qkv_ref[0]                    # (bq, 3C), or (bq, C) q rows
+    kv_rows = kv_ref[0] if kv_ref is not None else None   # (bq, 2C)
     bq = rows.shape[0]
     c = num_heads * head_dim
     has_bias = bias_h_ref is not None
@@ -565,8 +566,13 @@ def _fused_window_kernel(
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = rows[:, sl]
-        kblk = rows[:, c + h * head_dim:c + (h + 1) * head_dim]
-        vblk = rows[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+        if kv_rows is not None:
+            kblk = kv_rows[:, sl]
+            vblk = kv_rows[:, c + h * head_dim:c + (h + 1) * head_dim]
+        else:
+            kblk = rows[:, c + h * head_dim:c + (h + 1) * head_dim]
+            vblk = rows[:, 2 * c + h * head_dim:
+                        2 * c + (h + 1) * head_dim]
 
         s = jnp.dot(q, kblk.T,
                     preferred_element_type=jnp.float32) * scale
@@ -777,7 +783,22 @@ def flash_attention_fused_qkv(
     Returns:
         (B, S, H·D) attention output in output-projection-ready layout.
     """
-    b, s, three_c = qkv.shape
+    if isinstance(qkv, (tuple, list)):
+        # split projection: q (B, S, C) and kv (B, S, 2C) as separate
+        # arrays — lets the caller's bias einsum read the q section
+        # stride-uniformly instead of materialising a slice copy of the
+        # packed (B, S, 3C) output
+        q_arr, kv_arr = qkv
+        b, s, c_w = q_arr.shape
+        if kv_arr.shape != (b, s, 2 * c_w):
+            raise ValueError(
+                f"kv shape {kv_arr.shape} != ({b}, {s}, {2 * c_w})")
+        three_c = 3 * c_w
+        dtype_ref = q_arr
+    else:
+        q_arr = kv_arr = None
+        b, s, three_c = qkv.shape
+        dtype_ref = qkv
     if three_c % (3 * num_heads):
         raise ValueError(f"qkv width {three_c} != 3·H·D for H={num_heads}")
     d = three_c // (3 * num_heads)
@@ -807,7 +828,7 @@ def flash_attention_fused_qkv(
                 f"({b}, {hp_count}, {s}, {pair}·{kh})"
             )
     hd = num_heads * d
-    out_shape = jax.ShapeDtypeStruct((b, s, hd), qkv.dtype)
+    out_shape = jax.ShapeDtypeStruct((b, s, hd), dtype_ref.dtype)
     block_q = min(block_q, s)
 
     if window_tokens:
@@ -823,10 +844,20 @@ def flash_attention_fused_qkv(
                 f"per-window bias grid {kh}x{kw} != window_tokens "
                 f"{window_tokens}"
             )
-        in_specs = [
-            pl.BlockSpec((1, block_q, three_c), lambda bi, j: (bi, j, 0)),
-        ]
-        args = [qkv]
+        if q_arr is not None:
+            in_specs = [
+                pl.BlockSpec((1, block_q, three_c // 3),
+                             lambda bi, j: (bi, j, 0)),
+                pl.BlockSpec((1, block_q, 2 * (three_c // 3)),
+                             lambda bi, j: (bi, j, 0)),
+            ]
+            args = [q_arr, kv_arr]
+        else:
+            in_specs = [
+                pl.BlockSpec((1, block_q, three_c),
+                             lambda bi, j: (bi, j, 0)),
+            ]
+            args = [qkv]
         if has_bias:
             in_specs += [
                 pl.BlockSpec((1, hp_count, block_q, pair * kh),
@@ -839,10 +870,11 @@ def flash_attention_fused_qkv(
         def wrapped_window(*refs):
             it = iter(refs)
             qkv_ref = next(it)
+            kv_ref = next(it) if q_arr is not None else None
             bh_ref = next(it) if has_bias else None
             bw_ref = next(it) if has_bias else None
             _fused_window_kernel(
-                qkv_ref, bh_ref, bw_ref, next(it),
+                qkv_ref, kv_ref, bh_ref, bw_ref, next(it),
                 num_heads=num_heads, head_dim=d,
                 window_tokens=window_tokens, kh=kh, kw=kw, pair=pair,
                 scale=scale * _LOG2E,
@@ -859,7 +891,7 @@ def flash_attention_fused_qkv(
             ),
             cost_estimate=pl.CostEstimate(
                 flops=4 * b * num_heads * s * block_q * d,
-                bytes_accessed=qkv.size * qkv.dtype.itemsize,
+                bytes_accessed=b * s * three_c * dtype_ref.dtype.itemsize,
                 transcendentals=b * num_heads * s * block_q,
             ),
             interpret=interpret,
@@ -886,14 +918,26 @@ def flash_attention_fused_qkv(
     # hp·kv inner loops, so Pallas fetches each bias block once per
     # (batch, q block) rather than once per head pair.
     grid = (b, s // block_q, hp_count, s // block_k)
-    in_specs = [
-        pl.BlockSpec((1, block_q, lane), lambda bi, j, hp, t: (bi, j, hp)),
-        pl.BlockSpec((1, block_k, lane),
-                     lambda bi, j, hp, t: (bi, t, hp_count + hp)),
-        pl.BlockSpec((1, block_k, lane),
-                     lambda bi, j, hp, t: (bi, t, 2 * hp_count + hp)),
-    ]
-    args = [qkv, qkv, qkv]
+    if q_arr is not None:
+        in_specs = [
+            pl.BlockSpec((1, block_q, lane),
+                         lambda bi, j, hp, t: (bi, j, hp)),
+            pl.BlockSpec((1, block_k, lane),
+                         lambda bi, j, hp, t: (bi, t, hp)),
+            pl.BlockSpec((1, block_k, lane),
+                         lambda bi, j, hp, t: (bi, t, hp_count + hp)),
+        ]
+        args = [q_arr, kv_arr, kv_arr]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, block_q, lane),
+                         lambda bi, j, hp, t: (bi, j, hp)),
+            pl.BlockSpec((1, block_k, lane),
+                         lambda bi, j, hp, t: (bi, t, hp_count + hp)),
+            pl.BlockSpec((1, block_k, lane),
+                         lambda bi, j, hp, t: (bi, t, 2 * hp_count + hp)),
+        ]
+        args = [qkv, qkv, qkv]
     if has_bias:
         in_specs += [
             pl.BlockSpec((1, 1, block_q, pair * kh),
@@ -946,7 +990,7 @@ def flash_attention_fused_qkv(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * s * s * d,
-            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            bytes_accessed=b * s * three_c * dtype_ref.dtype.itemsize,
             transcendentals=b * num_heads * s * s,
         ),
         interpret=interpret,
