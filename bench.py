@@ -25,6 +25,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+
+def _enable_cache():
+    from vit_deep_radiomics_tpu.core.mesh import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+
 BASELINE_CACHE = REPO / "bench_baseline.json"
 BATCH = 4
 STEPS = 12
@@ -138,6 +146,7 @@ def get_baseline() -> float:
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    _enable_cache()
     if argv and argv[0] == "vitl14":
         value = measure_vitl14_dense()
         print(json.dumps({

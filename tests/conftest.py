@@ -30,6 +30,14 @@ import jax  # noqa: E402
 # var alone does NOT select CPU.  jax.config.update after import does.
 jax.config.update("jax_platforms", "cpu")
 
+# Share compiled executables across test processes (the same on-disk
+# cache the engine entry points use — see core.mesh).
+from vit_deep_radiomics_tpu.core.mesh import (  # noqa: E402
+    enable_persistent_compile_cache,
+)
+
+enable_persistent_compile_cache(str(REPO_ROOT / ".pytest_xla_cache"))
+
 import pytest  # noqa: E402
 
 

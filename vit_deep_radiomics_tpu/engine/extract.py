@@ -110,6 +110,9 @@ class DenseExtractor:
         extraction sweep scales across chips (SURVEY.md §5's sharded-
         extraction equivalent).  ``slice_batch`` is rounded up to a
         multiple of the data-axis size."""
+        from ..core.mesh import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         self.config = config or ExtractionConfig()
         self.policy: Policy = get_policy(self.config.precision)
         self.backbone_cfg, patch_only = _backbone_for(self.config)

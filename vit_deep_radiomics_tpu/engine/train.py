@@ -516,7 +516,10 @@ def train_kfold(
     """Reference __main__ equivalent: loop folds from the generated kfold
     YAML (cfg['kfold_patients'][modality_b][dataset], train_models.py:560-574),
     writing models/<experiment>/<backbone>_<arch>_<dataset>/<modality>/kfold_k."""
+    from ..core.mesh import enable_persistent_compile_cache
     from ..data.datasets import prepare_windows
+
+    enable_persistent_compile_cache()
 
     modality_a = "pet"
     modality_b = "chest" if "chest" in tcfg.modality else "ct"
