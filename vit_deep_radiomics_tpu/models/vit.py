@@ -451,9 +451,14 @@ class WindowedAttention(nn.Module):
                 jnp.pad(a, ((0, 0), (0, sq_pad - s), (0, 0))) for a in qkv
             )
             kv_len = jnp.full((b,), s, jnp.int32)
+        # kv tiles as wide as VMEM allows (the (block_q, block_k) fp32
+        # score transient is the limit): fewer grid steps per q block —
+        # measured 2x on ViT-L@518's 1536-padded tokens vs square 512
+        # blocks
+        block_k = min(2048, sq_pad)
         out = flash_attention_fused_qkv(
             qkv, kv_len=kv_len, num_heads=nh,
-            block_q=bq, block_k=bq, interpret=interpret,
+            block_q=min(bq, 512), block_k=block_k, interpret=interpret,
         )
         return out[:, :s]
 

@@ -638,8 +638,9 @@ def _fused_global_kernel(
 
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
+        # single iota row; the where below broadcasts it over q rows
         kidx = kv_idx * block_k + lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1
+            jnp.int32, (1, block_k), 1
         )
         kv_mask = kidx < kv_len
 
