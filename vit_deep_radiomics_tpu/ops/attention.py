@@ -425,11 +425,18 @@ def flash_attention(
 
 
 def _head_group(num_heads: int, head_dim: int) -> int | None:
-    """Heads per grid step so the lane block is a 128 multiple, or None."""
+    """Heads per grid step so the lane block is a 128 multiple, or None.
+
+    Prefers 256-lane groups (4 heads at D=64) when the head count
+    divides: the per-grid-step one-hot/expand builds and dispatch
+    overhead amortise over twice as many heads.
+    """
     if head_dim % 128 == 0:
         return 1
     if 128 % head_dim == 0:
         pair = 128 // head_dim
+        if num_heads % (2 * pair) == 0:
+            return 2 * pair
         if num_heads % pair == 0:
             return pair
     return None
