@@ -112,8 +112,9 @@ def _flash_kernel(
     vblk = v_ref[0]
 
     # `scale` already carries log2(e): scores live in log2 units so the
-    # softmax uses raw exp2 (saves exp's internal multiply per element)
-    s = jnp.dot(q, kblk.T, preferred_element_type=jnp.float32) * scale
+    # softmax uses raw exp2 (saves exp's internal multiply per element);
+    # it folds into q — a (bq, d) multiply, not a (bq, bk) one
+    s = jnp.dot(q * scale, kblk.T, preferred_element_type=jnp.float32)
 
     if has_bias:
         rows = kv_rows_per_block
@@ -581,8 +582,9 @@ def _fused_window_kernel(
             vblk = rows[:, 2 * c + h * head_dim:
                         2 * c + (h + 1) * head_dim]
 
-        s = jnp.dot(q, kblk.T,
-                    preferred_element_type=jnp.float32) * scale
+        # scale folds into q: a (bq, d) multiply instead of a (bq, bq)
+        # pass over the score tile
+        s = jnp.dot(q * scale, kblk.T, preferred_element_type=jnp.float32)
         if has_bias:
             if h % pair == 0:
                 # this pair's merged [bias_h | bias_w] rows, log2(e)
@@ -704,8 +706,9 @@ def _fused_global_kernel(
             bias_w = (bias_w.astype(jnp.float32) * _LOG2E).astype(sdtype)
             s = s + pltpu.repeat(bias_w, block_k // kw, axis=1)
         else:
-            s = jnp.dot(q, kblk.T,
-                        preferred_element_type=jnp.float32) * scale
+            # scale folds into q (see window kernel)
+            s = jnp.dot(q * scale, kblk.T,
+                        preferred_element_type=jnp.float32)
             if has_bias:
                 bias_h = bias_h_pair[:, hh * kh:(hh + 1) * kh]
                 bias_w = bias_w_pair[:, hh * kw:(hh + 1) * kw]
