@@ -19,8 +19,12 @@ first-class:
   - **key-padding masks** via per-sequence ``kv_len`` so padded token
     buckets work under static shapes.
 
-The frozen backbone only needs the forward, so no custom VJP yet; the
-trainable classifiers use the XLA path which XLA differentiates.
+The frozen backbone only needs the forward here; the trainable
+classifiers use the XLA path which XLA differentiates, and
+:mod:`.attention_grad` provides ``flash_attention_trainable`` — a
+memory-efficient custom-VJP flash attention (backward recomputes score
+tiles; decomposed-bias gradients included) for fine-tuning backbones at
+scales where a dense VJP would materialise the (Sq, Sk) score matrix.
 
 Shapes follow (B, H, S, D) with head dim last; fp32 accumulation always
 (``preferred_element_type``), inputs may be bf16.

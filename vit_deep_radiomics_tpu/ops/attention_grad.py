@@ -1,0 +1,624 @@
+"""Differentiable flash attention: forward + backward Pallas kernels.
+
+The inference path (ops/attention.py) serves the frozen backbones, which
+only need the forward.  Fine-tuning those backbones — a capability the
+reference cannot offer at all (its encoders live behind external frozen
+checkpoints, tfds_dense_descriptor.py:87/104) — needs the gradient, and
+a naive ``jax.vjp`` through dense attention materialises the (Sq, Sk)
+score matrix in HBM (800 MB per SAM-global layer at fp32).  Here the
+standard flash-attention backward recomputes score tiles on the fly:
+
+* :func:`flash_attention_trainable` — ``jax.custom_vjp`` wrapper.
+  Forward runs an online-softmax kernel that also emits the per-row
+  log-sum-exp; backward runs two kernels (dq + decomposed-bias grads
+  over the kv loop; dk/dv over the q loop).  Supports the decomposed
+  SAM relative-position bias — its gradient is two row/column-group
+  reductions of the score gradient, computed with the same one-hot
+  matmuls the forward uses to expand the bias.
+
+Numerics: fp32 score/statistics throughout (this is a training path;
+inputs may be bf16, matmuls accumulate fp32).  Scores are kept in log2
+units in the kernels (exp2 softmax); the backward converts to
+natural-units gradients by folding log2(e) into the recomputed
+probabilities only, so emitted gradients match ``jax.grad`` of the XLA
+reference within fp32 tolerance (see tests/test_attention_grad.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import (
+    _NEG_INF,
+    _LOG2E,
+    _bias_expand_matrix,
+    _bias_onehot_cols,
+)
+
+__all__ = ["flash_attention_trainable"]
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, bias_h_ref, bias_w_ref, kv_len_ref,
+    o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, block_k: int, scale2: float, kh: int, kw: int,
+    has_bias: bool, has_kv_len: bool,
+):
+    """Forward with residual: grid (BH, Sq/bq, Sk/bk), kv innermost."""
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]
+    bq = q.shape[0]
+    s = jnp.dot(q * scale2, k_ref[0].T, preferred_element_type=jnp.float32)
+
+    if has_bias:
+        rows = block_k // kw
+        bias_h = bias_h_ref[0]
+        if rows != kh:
+            row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+            col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+            sel = (row_ids == kv_idx * rows + col_ids).astype(bias_h.dtype)
+            bias_h = jnp.dot(
+                bias_h, sel, preferred_element_type=jnp.float32
+            ).astype(bias_h.dtype)
+        expand = _bias_expand_matrix(
+            rows, kw, block_k, lambda cols: cols // kw, q.dtype
+        )
+        cat = jnp.concatenate(
+            [bias_h, bias_w_ref[0].astype(bias_h.dtype)], axis=1)
+        cat = (cat.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+        s = s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
+
+    if has_kv_len:
+        kv_len = kv_len_ref[pl.program_id(0), 0]
+        kidx = kv_idx * block_k + lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        s = jnp.where(kidx < kv_len, s, _NEG_INF)
+
+    m_prev = m_scratch[...]
+    l_prev = l_scratch[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = m_new
+    l_scratch[...] = l_new
+    acc_scratch[...] = acc_scratch[...] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l = l_scratch[...]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
+        # log2-units log-sum-exp per q row, stored as a (1, block_q) lane
+        # row (the (…, 1, block_q) residual layout keeps the block's
+        # trailing dims Pallas-legal); one tiny transpose per q block
+        lse_ref[0, 0] = (m_scratch[...] + jnp.log2(safe_l)).T
+
+
+def _recompute_p_ds(
+    q, kblk, dout, vblk, lse_row, dcol_row, *, scale2, bias_tile,
+    kv_mask,
+):
+    """Shared tile math for both backward kernels.
+
+    ``lse_row``/``dcol_row`` are (1, bq) lane rows (the residual storage
+    layout); transposed once here to (bq, 1) columns.
+
+    Returns (p_norm, ds_e): normalised probabilities and the
+    natural-units score gradient  p ∘ (dO·Vᵀ − D)  for this tile.
+    """
+    s = jnp.dot(q * scale2, kblk.T, preferred_element_type=jnp.float32)
+    if bias_tile is not None:
+        s = s + bias_tile
+    if kv_mask is not None:
+        s = jnp.where(kv_mask, s, _NEG_INF)
+    p = jnp.exp2(s - lse_row.T)                        # (bq, bk) fp32
+    dp = jnp.dot(
+        dout.astype(vblk.dtype), vblk.T, preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dcol_row.T)                         # natural units
+    return p, ds
+
+
+def _bias_tile(bias_h_ref, bias_w_ref, kv_idx, *, block_k, kh, kw, dtype):
+    """(bq, block_k) fp32 bias tile in log2 units (matches the forward)."""
+    rows = block_k // kw
+    bias_h = bias_h_ref[0]
+    if rows != kh:
+        row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+        sel = (row_ids == kv_idx * rows + col_ids).astype(bias_h.dtype)
+        bias_h = jnp.dot(
+            bias_h, sel, preferred_element_type=jnp.float32
+        ).astype(bias_h.dtype)
+    expand = _bias_expand_matrix(
+        rows, kw, block_k, lambda cols: cols // kw, dtype
+    )
+    cat = jnp.concatenate(
+        [bias_h, bias_w_ref[0].astype(bias_h.dtype)], axis=1)
+    cat = (cat.astype(jnp.float32) * _LOG2E).astype(dtype)
+    tile = jnp.dot(cat, expand, preferred_element_type=jnp.float32)
+    return (tile,)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, bias_h_ref, bias_w_ref, kv_len_ref,
+    v_ref, do_ref, lse_ref, dcol_ref,
+    dq_ref, dbh_ref, dbw_ref,
+    dq_scratch, dbh_scratch, dbw_scratch,
+    *, block_k: int, scale: float, kh: int, kw: int,
+    has_bias: bool, has_kv_len: bool,
+):
+    """dq (+ decomposed bias grads — they are q-row-indexed too).
+
+    grid (BH, Sq/bq, Sk/bk); kv innermost, accumulating in scratch.
+    """
+    kv_idx = pl.program_id(2)
+    num_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+        if has_bias:
+            dbh_scratch[...] = jnp.zeros_like(dbh_scratch)
+            dbw_scratch[...] = jnp.zeros_like(dbw_scratch)
+
+    q = q_ref[0]
+    kblk = k_ref[0]
+    bias_tile = _bias_tile(
+        bias_h_ref, bias_w_ref, kv_idx,
+        block_k=block_k, kh=kh, kw=kw, dtype=q.dtype,
+    )[0] if has_bias else None
+    kv_mask = None
+    if has_kv_len:
+        kv_len = kv_len_ref[pl.program_id(0), 0]
+        kidx = kv_idx * block_k + lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        kv_mask = kidx < kv_len
+
+    p, ds = _recompute_p_ds(
+        q, kblk, do_ref[0], v_ref[0], lse_ref[0, 0], dcol_ref[0, 0],
+        scale2=scale * _LOG2E, bias_tile=bias_tile, kv_mask=kv_mask,
+    )
+    dq_scratch[...] += jnp.dot(
+        ds.astype(kblk.dtype), kblk, preferred_element_type=jnp.float32
+    ) * scale
+
+    if has_bias:
+        # group-reduce ds over this tile's key-grid rows / columns:
+        # _bias_onehot_cols builds the (block_k, rows + kw) one-hot
+        # directly in (key, group) orientation — ds @ E = [by-row|by-col]
+        rows = block_k // kw
+        onehot = _bias_onehot_cols(
+            rows, kw, block_k, lambda cols: cols // kw, q.dtype)
+        grouped = jnp.dot(
+            ds.astype(q.dtype), onehot,
+            preferred_element_type=jnp.float32,
+        )                                              # (bq, rows + kw)
+        dbw_scratch[...] += grouped[:, rows:]
+        if rows != kh:
+            # scatter this tile's row sums into their global row slots
+            row_ids = lax.broadcasted_iota(jnp.int32, (rows, kh), 0)
+            col_ids = lax.broadcasted_iota(jnp.int32, (rows, kh), 1)
+            put = (col_ids == kv_idx * rows + row_ids).astype(q.dtype)
+            dbh_scratch[...] += jnp.dot(
+                grouped[:, :rows].astype(q.dtype), put,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dbh_scratch[...] += grouped[:, :rows]
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
+        if has_bias:
+            dbh_ref[0] = dbh_scratch[...].astype(dbh_ref.dtype)
+            dbw_ref[0] = dbw_scratch[...].astype(dbw_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    k_ref, v_ref, q_ref, bias_h_ref, bias_w_ref, kv_len_ref,
+    do_ref, lse_ref, dcol_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, block_k: int, scale: float, kh: int, kw: int,
+    has_bias: bool, has_kv_len: bool,
+):
+    """dk/dv: grid (BH, Sk/bk, Sq/bq); q innermost, accumulating."""
+    q_idx = pl.program_id(2)
+    num_q = pl.num_programs(2)
+    kv_idx = pl.program_id(1)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0]
+    kblk = k_ref[0]
+    bias_tile = _bias_tile(
+        bias_h_ref, bias_w_ref, kv_idx,
+        block_k=block_k, kh=kh, kw=kw, dtype=q.dtype,
+    )[0] if has_bias else None
+    kv_mask = None
+    if has_kv_len:
+        kv_len = kv_len_ref[pl.program_id(0), 0]
+        kidx = kv_idx * block_k + lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        kv_mask = kidx < kv_len
+
+    p, ds = _recompute_p_ds(
+        q, kblk, do_ref[0], v_ref[0], lse_ref[0, 0], dcol_ref[0, 0],
+        scale2=scale * _LOG2E, bias_tile=bias_tile, kv_mask=kv_mask,
+    )
+    dk_scratch[...] += jnp.dot(
+        ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
+    ) * scale
+    dv_scratch[...] += jnp.dot(
+        p.T.astype(do_ref.dtype), do_ref[0],
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(q_idx == num_q - 1)
+    def _store():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _validate(q, k, v, bias_h, bias_w, block_q, block_k):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if sq % block_q or sk % block_k:
+        raise ValueError(
+            f"seq lens ({sq}, {sk}) must divide blocks ({block_q}, {block_k})"
+        )
+    if (bias_h is None) != (bias_w is None):
+        raise ValueError("bias_h and bias_w must be given together")
+    if bias_h is not None:
+        kh, kw = bias_h.shape[-1], bias_w.shape[-1]
+        if kh * kw != sk:
+            raise ValueError(f"Kh*Kw = {kh}*{kw} != Sk = {sk}")
+        if block_k % kw:
+            raise ValueError(
+                f"block_k {block_k} must be a multiple of Kw {kw}")
+        return kh, kw
+    return 0, 0
+
+
+def _fwd_impl(q, k, v, bias_h, bias_w, kv_len, *, scale, block_q, block_k,
+              interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    kh, kw = _validate(q, k, v, bias_h, bias_w, block_q, block_k)
+    has_bias = bias_h is not None
+    has_kv_len = kv_len is not None
+    bh_flat = b * h
+    qf = q.reshape(bh_flat, sq, d)
+    kf = k.reshape(bh_flat, sk, d)
+    vf = v.reshape(bh_flat, sk, d)
+
+    grid = (bh_flat, sq // block_q, sk // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
+    ]
+    args = [qf, kf, vf]
+    if has_bias:
+        in_specs += [
+            pl.BlockSpec((1, block_q, kh), lambda i, j, t: (i, j, 0)),
+            pl.BlockSpec((1, block_q, kw), lambda i, j, t: (i, j, 0)),
+        ]
+        args += [
+            bias_h.reshape(bh_flat, sq, kh),
+            bias_w.reshape(bh_flat, sq, kw),
+        ]
+    if has_kv_len:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(
+            jnp.repeat(kv_len.astype(jnp.int32), h).reshape(bh_flat, 1))
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        block_k=block_k,
+        scale2=scale * _LOG2E,
+        kh=kh, kw=kw,
+        has_bias=has_bias,
+        has_kv_len=has_kv_len,
+    )
+
+    def wrapped(*refs):
+        it = iter(refs)
+        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, *it)
+
+    out, lse = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
+            # (…, 1, block_q) keeps the trailing block dims Pallas-legal
+            pl.BlockSpec((1, 1, 1, block_q), lambda i, j, t: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_flat, sq, d), q.dtype),
+            jax.ShapeDtypeStruct(
+                (bh_flat, sq // block_q, 1, block_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, h, sq, d), lse
+
+
+def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
+    q, k, v, bias_h, bias_w, kv_len, out, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    kh, kw = _validate(q, k, v, bias_h, bias_w, block_q, block_k)
+    has_bias = bias_h is not None
+    has_kv_len = kv_len is not None
+    bh_flat = b * h
+    qf = q.reshape(bh_flat, sq, d)
+    kf = k.reshape(bh_flat, sk, d)
+    vf = v.reshape(bh_flat, sk, d)
+    dof = dout.reshape(bh_flat, sq, d)
+    # D[i] = Σ_d dO·O — tiny XLA reduce, shared by both kernels; stored
+    # in the same (…, 1, block_q) residual layout as lse
+    dcol = jnp.sum(
+        dof.astype(jnp.float32) * out.reshape(bh_flat, sq, d).astype(
+            jnp.float32),
+        axis=-1,
+    ).reshape(bh_flat, sq // block_q, 1, block_q)
+    kv_len_f = (
+        jnp.repeat(kv_len.astype(jnp.int32), h).reshape(bh_flat, 1)
+        if has_kv_len else None
+    )
+
+    # ---- dq (+ bias grads) ----
+    grid = (bh_flat, sq // block_q, sk // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
+    ]
+    args = [qf, kf]
+    if has_bias:
+        in_specs += [
+            pl.BlockSpec((1, block_q, kh), lambda i, j, t: (i, j, 0)),
+            pl.BlockSpec((1, block_q, kw), lambda i, j, t: (i, j, 0)),
+        ]
+        args += [
+            bias_h.reshape(bh_flat, sq, kh),
+            bias_w.reshape(bh_flat, sq, kw),
+        ]
+    if has_kv_len:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(kv_len_f)
+    in_specs += [
+        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),   # v
+        pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),   # dO
+        pl.BlockSpec((1, 1, 1, block_q),
+                     lambda i, j, t: (i, j, 0, 0)),                 # lse
+        pl.BlockSpec((1, 1, 1, block_q),
+                     lambda i, j, t: (i, j, 0, 0)),                 # D
+    ]
+    args += [vf, dof, lse, dcol]
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel,
+        block_k=block_k, scale=scale, kh=kh, kw=kw,
+        has_bias=has_bias, has_kv_len=has_kv_len,
+    )
+
+    def wrapped_dq(*refs):
+        it = iter(refs)
+        q_ref, k_ref = next(it), next(it)
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        v_ref, do_ref, lse_ref, dcol_ref = (
+            next(it), next(it), next(it), next(it))
+        dq_ref = next(it)
+        dbh_ref = next(it) if has_bias else None
+        dbw_ref = next(it) if has_bias else None
+        dq_s = next(it)
+        dbh_s = next(it) if has_bias else None
+        dbw_s = next(it) if has_bias else None
+        dq_kernel(q_ref, k_ref, bh_ref, bw_ref, kl_ref, v_ref, do_ref,
+                  lse_ref, dcol_ref, dq_ref, dbh_ref, dbw_ref,
+                  dq_s, dbh_s, dbw_s)
+
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh_flat, sq, d), q.dtype)]
+    scratch = [pltpu.VMEM((block_q, d), jnp.float32)]
+    if has_bias:
+        out_specs += [
+            pl.BlockSpec((1, block_q, kh), lambda i, j, t: (i, j, 0)),
+            pl.BlockSpec((1, block_q, kw), lambda i, j, t: (i, j, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((bh_flat, sq, kh), bias_h.dtype),
+            jax.ShapeDtypeStruct((bh_flat, sq, kw), bias_w.dtype),
+        ]
+        scratch += [
+            pltpu.VMEM((block_q, kh), jnp.float32),
+            pltpu.VMEM((block_q, kw), jnp.float32),
+        ]
+    dq_outs = pl.pallas_call(
+        wrapped_dq,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    if has_bias:
+        dq_f, dbh_f, dbw_f = dq_outs
+        dbh = dbh_f.reshape(b, h, sq, kh)
+        dbw = dbw_f.reshape(b, h, sq, kw)
+    else:
+        (dq_f,) = dq_outs if isinstance(dq_outs, (tuple, list)) else (
+            dq_outs,)
+        dbh = dbw = None
+    dq = dq_f.reshape(b, h, sq, d)
+
+    # ---- dk / dv ----
+    grid2 = (bh_flat, sk // block_k, sq // block_q)
+    in_specs2 = [
+        pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),   # k
+        pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),   # v
+        pl.BlockSpec((1, block_q, d), lambda i, t, j: (i, j, 0)),   # q
+    ]
+    args2 = [kf, vf, qf]
+    if has_bias:
+        in_specs2 += [
+            pl.BlockSpec((1, block_q, kh), lambda i, t, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, kw), lambda i, t, j: (i, j, 0)),
+        ]
+        args2 += [
+            bias_h.reshape(bh_flat, sq, kh),
+            bias_w.reshape(bh_flat, sq, kw),
+        ]
+    if has_kv_len:
+        in_specs2.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args2.append(kv_len_f)
+    in_specs2 += [
+        pl.BlockSpec((1, block_q, d), lambda i, t, j: (i, j, 0)),   # dO
+        pl.BlockSpec((1, 1, 1, block_q),
+                     lambda i, t, j: (i, j, 0, 0)),                 # lse
+        pl.BlockSpec((1, 1, 1, block_q),
+                     lambda i, t, j: (i, j, 0, 0)),                 # D
+    ]
+    args2 += [dof, lse, dcol]
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel,
+        block_k=block_k, scale=scale, kh=kh, kw=kw,
+        has_bias=has_bias, has_kv_len=has_kv_len,
+    )
+
+    def wrapped_dkv(*refs):
+        it = iter(refs)
+        k_ref, v_ref, q_ref = next(it), next(it), next(it)
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        do_ref, lse_ref, dcol_ref = next(it), next(it), next(it)
+        dk_ref, dv_ref = next(it), next(it)
+        dkv_kernel(k_ref, v_ref, q_ref, bh_ref, bw_ref, kl_ref,
+                   do_ref, lse_ref, dcol_ref, dk_ref, dv_ref, *it)
+
+    dk_f, dv_f = pl.pallas_call(
+        wrapped_dkv,
+        grid=grid2,
+        in_specs=in_specs2,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_flat, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh_flat, sk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args2)
+    dk = dk_f.reshape(b, h, sk, d)
+    dv = dv_f.reshape(b, h, sk, d)
+    return dq, dk, dv, dbh, dbw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_trainable(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias_h: jax.Array | None = None,
+    bias_w: jax.Array | None = None,
+    kv_len: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable flash attention over (B, H, S, D).
+
+    Same semantics as :func:`~.attention.flash_attention` in global mode
+    (optional decomposed bias with per-head (B, H, Sq, K) layout,
+    optional ``kv_len`` padding mask), plus a memory-efficient custom
+    VJP: the backward recomputes score tiles instead of saving the
+    (Sq, Sk) probability matrix, and emits gradients for q, k, v and the
+    decomposed bias factors (``kv_len`` is non-differentiable).
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def _attn(q, k, v, bias_h, bias_w, kv_len):
+        out, _ = _fwd_impl(
+            q, k, v, bias_h, bias_w, kv_len,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret,
+        )
+        return out
+
+    def _attn_fwd(q, k, v, bias_h, bias_w, kv_len):
+        out, lse = _fwd_impl(
+            q, k, v, bias_h, bias_w, kv_len,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret,
+        )
+        return out, (q, k, v, bias_h, bias_w, kv_len, out, lse)
+
+    def _attn_bwd(res, dout):
+        dq, dk, dv, dbh, dbw = _bwd_impl(
+            res, dout,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret,
+        )
+        return dq, dk, dv, dbh, dbw, None
+
+    _attn.defvjp(_attn_fwd, _attn_bwd)
+    return _attn(q, k, v, bias_h, bias_w, kv_len)
