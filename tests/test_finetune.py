@@ -1,0 +1,132 @@
+"""Backbone fine-tuning: differentiable flash path + FineTuner loop."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_deep_radiomics_tpu.core.precision import PARITY
+from vit_deep_radiomics_tpu.engine.finetune import (
+    FineTuneConfig,
+    FineTuner,
+)
+from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+TINY_SAM = dataclasses.replace(
+    SAM_VIT_B, image_size=64, width=128, depth=3, num_heads=2,
+    window_size=4, global_indexes=(1,), neck_channels=32,
+)
+
+
+class TestTrainableViT:
+    def test_forward_matches_oracle(self, rng):
+        imgs = jnp.asarray(
+            rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+        oracle = ViTDense(TINY_SAM, policy=PARITY, use_flash=False)
+        params = oracle.init(jax.random.PRNGKey(0), imgs)
+        want = oracle.apply(params, imgs)
+        got = ViTDense(
+            TINY_SAM, policy=PARITY, use_flash=True, trainable=True,
+        ).apply(params, imgs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    def test_grads_match_oracle(self, rng):
+        imgs = jnp.asarray(
+            rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+        oracle = ViTDense(TINY_SAM, policy=PARITY, use_flash=False)
+        params = oracle.init(jax.random.PRNGKey(0), imgs)
+        trainable = ViTDense(
+            TINY_SAM, policy=PARITY, use_flash=True, trainable=True)
+
+        def loss(model, p):
+            out = model.apply(p, imgs)
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        g_ref = jax.grad(lambda p: loss(oracle, p))(params)
+        g_fl = jax.grad(lambda p: loss(trainable, p))(params)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_fl = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(g_fl)
+        )
+        for key, ref in flat_ref:
+            ks = jax.tree_util.keystr(key)
+            np.testing.assert_allclose(
+                np.asarray(flat_fl[ks]), np.asarray(ref),
+                atol=5e-5, rtol=5e-4, err_msg=ks,
+            )
+
+
+class TestFineTuner:
+    def _batch(self, rng, b=2, size=64, grid=4):
+        images = rng.uniform(size=(b, size, size, 3)).astype(np.float32)
+        mask = np.zeros((b, grid, grid), bool)
+        mask[:, 1:3, 1:3] = True
+        labels = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=b)]
+        return images, mask, labels
+
+    def test_loss_decreases(self, rng):
+        cfg = FineTuneConfig(
+            num_classes=2, learning_rate=3e-3, precision="parity",
+            backbone_cfg=TINY_SAM,
+        )
+        tuner = FineTuner(cfg)
+        images, mask, labels = self._batch(rng)
+        state = tuner.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        state, losses = tuner.fit(
+            state, [(images, mask, labels)] * 6)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_freeze_below_keeps_early_blocks(self, rng):
+        cfg = FineTuneConfig(
+            num_classes=2, learning_rate=1e-2, freeze_below=2,
+            precision="parity", backbone_cfg=TINY_SAM,
+        )
+        tuner = FineTuner(cfg)
+        images, mask, labels = self._batch(rng)
+        state = tuner.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        before = jax.tree_util.tree_map(np.asarray, state["params"])
+        state, _, _ = tuner.step(state, images, mask, labels)
+        after = state["params"]
+
+        blocks = before["params"]["backbone"]["block_0"]["attn"]
+        blocks_after = after["params"]["backbone"]["block_0"]["attn"]
+        np.testing.assert_array_equal(
+            np.asarray(blocks_after["qkv_kernel"]),
+            blocks["qkv_kernel"],
+        )
+        # unfrozen block 2 must move
+        assert not np.array_equal(
+            np.asarray(after["params"]["backbone"]["block_2"]["attn"]
+                       ["qkv_kernel"]),
+            before["params"]["backbone"]["block_2"]["attn"]["qkv_kernel"],
+        )
+
+    def test_empty_mask_finite(self, rng):
+        cfg = FineTuneConfig(
+            num_classes=2, precision="parity", backbone_cfg=TINY_SAM)
+        tuner = FineTuner(cfg)
+        images, mask, labels = self._batch(rng)
+        mask[:] = False
+        state = tuner.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        state, loss, logits = tuner.step(state, images, mask, labels)
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_data_parallel_mesh(self, rng, devices):
+        from vit_deep_radiomics_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(devices[:8])
+        cfg = FineTuneConfig(
+            num_classes=2, precision="parity", backbone_cfg=TINY_SAM)
+        tuner = FineTuner(cfg, mesh=mesh)
+        images, mask, labels = self._batch(rng, b=8)
+        state = tuner.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        state, loss, logits = tuner.step(state, images, mask, labels)
+        assert np.isfinite(float(loss))
+        assert logits.shape == (8, 2)

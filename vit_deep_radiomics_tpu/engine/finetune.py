@@ -1,0 +1,203 @@
+"""End-to-end backbone fine-tuning: images → trainable ViT → classifier.
+
+A capability the reference pipeline cannot offer: its encoders are
+frozen external checkpoints (`segment_anything` / torch.hub DINOv2,
+tfds_dense_descriptor.py:87/104) and its trainers only ever see
+precomputed descriptors.  Here the ViT backbone itself is differentiable
+end to end — attention runs the custom-VJP flash kernels
+(ops/attention_grad.py), so the (Sq, Sk) score matrices are recomputed
+tile-wise in the backward instead of being checkpointed in HBM — and a
+masked-pool classification head trains on top with the reference's focal
+loss.
+
+Typical use::
+
+    tuner = FineTuner(FineTuneConfig(num_classes=2), mesh=mesh)
+    state = tuner.init(rng, example_images)
+    for images, masks, labels in batches:
+        state, loss = tuner.step(state, images, masks, labels, rng)
+
+``freeze_below`` keeps the first N transformer blocks frozen (their
+gradients are zeroed through an optax mask), the standard recipe for
+small medical cohorts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from ..core.mesh import DATA_AXIS, data_sharding, replicated
+from ..core.precision import Policy, get_policy
+from ..models.losses import focal_loss
+from ..models.vit import DINOV2_CONFIGS, SAM_VIT_B, ViTDense, ViTDenseConfig
+
+__all__ = ["FineTuneConfig", "FineTuner", "FineTuneModel"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FineTuneConfig:
+    backbone: str = "medsam"           # "medsam" | dinov2_* name
+    num_classes: int = 2
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.01
+    freeze_below: int = 0              # freeze blocks [0, N)
+    focal_gamma: float = 2.0
+    focal_alpha: tuple[float, ...] = (0.25, 0.75)
+    precision: str = "fast"
+    backbone_cfg: ViTDenseConfig | None = None   # override (tests)
+
+    def resolve_backbone(self) -> ViTDenseConfig:
+        if self.backbone_cfg is not None:
+            return self.backbone_cfg
+        if self.backbone == "medsam":
+            return SAM_VIT_B
+        return DINOV2_CONFIGS[self.backbone]
+
+
+class FineTuneModel(nn.Module):
+    """Trainable ViT + masked-average-pool + linear head.
+
+    ``mask`` selects the nodule ROI on the feature grid (nearest-resized
+    from image resolution); empty masks fall back to global average
+    pooling, so padded/degenerate samples stay finite.
+    """
+
+    cfg: ViTDenseConfig
+    num_classes: int
+    policy: Policy
+
+    @nn.compact
+    def __call__(self, images, mask):               # (B,H,W,3), (B,h,w)
+        feats = ViTDense(
+            self.cfg, policy=self.policy,
+            use_flash=True, trainable=True, name="backbone",
+        )(images)                                    # (B, h, w, C)
+        m = mask.astype(jnp.float32)[..., None]
+        denom = jnp.sum(m, axis=(1, 2))
+        pooled = jnp.where(
+            denom > 0,
+            jnp.sum(feats.astype(jnp.float32) * m, axis=(1, 2))
+            / jnp.maximum(denom, 1.0),
+            jnp.mean(feats.astype(jnp.float32), axis=(1, 2)),
+        )                                            # (B, C)
+        pooled = nn.LayerNorm(dtype=jnp.float32, name="head_norm")(pooled)
+        logits = nn.Dense(
+            self.num_classes, dtype=jnp.float32, name="head",
+        )(pooled)
+        return logits
+
+
+def _freeze_mask(params, freeze_below: int):
+    """Pytree of bools: True = trainable."""
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        frozen = any(
+            p.startswith("block_") and int(p.split("_")[1]) < freeze_below
+            for p in path
+        )
+        return not frozen
+    return walk(params)
+
+
+class FineTuner:
+    """Jitted fine-tuning loop around :class:`FineTuneModel`."""
+
+    def __init__(self, config: FineTuneConfig, mesh=None):
+        from ..core.mesh import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
+        self.config = config
+        self.policy = get_policy(config.precision)
+        self.backbone_cfg = config.resolve_backbone()
+        self.model = FineTuneModel(
+            self.backbone_cfg, config.num_classes, self.policy)
+        self.mesh = mesh
+        self._step = None
+
+    # -- state ------------------------------------------------------------
+    def init(self, rng_key, images, mask=None):
+        if mask is None:
+            g = self.backbone_cfg.grid
+            mask = jnp.ones((images.shape[0], g, g), bool)
+        params = jax.jit(self.model.init)(rng_key, images, mask)
+        tx = self._optimizer(params)
+        opt_state = tx.init(params)
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
+        return {"params": params, "opt_state": opt_state}
+
+    def _optimizer(self, params):
+        cfg = self.config
+        tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        if cfg.freeze_below:
+            # multi_transform, NOT optax.masked: masked passes the raw
+            # gradient through untouched for masked-out leaves — frozen
+            # parameters would still move
+            labels = jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze",
+                _freeze_mask(params, cfg.freeze_below),
+            )
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels)
+        return tx
+
+    # -- steps ------------------------------------------------------------
+    def _build_step(self, params):
+        cfg = self.config
+        tx = self._optimizer(params)
+        alpha = jnp.asarray(cfg.focal_alpha, jnp.float32)
+
+        def loss_fn(p, images, mask, labels):
+            logits = self.model.apply(p, images, mask)
+            loss = focal_loss(
+                logits, labels, alpha=alpha, gamma=cfg.focal_gamma,
+            ) / labels.shape[0]
+            return loss, logits
+
+        def step(state, images, mask, labels):
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state["params"], images, mask, labels)
+            updates, opt_state = tx.update(
+                grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "opt_state": opt_state}, loss, logits
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def step(self, state, images, mask, labels):
+        """One fine-tuning step; returns (state, loss, logits)."""
+        if self._step is None:
+            self._step = self._build_step(state["params"])
+        if self.mesh is not None:
+            sh = data_sharding(self.mesh)
+            images = jax.device_put(jnp.asarray(images), sh)
+            mask = jax.device_put(jnp.asarray(mask), sh)
+            labels = jax.device_put(jnp.asarray(labels), sh)
+        else:
+            images = jnp.asarray(images)
+            mask = jnp.asarray(mask)
+            labels = jnp.asarray(labels)
+        return self._step(state, images, mask, labels)
+
+    # -- convenience ------------------------------------------------------
+    def fit(self, state, batches, log=None):
+        """Run over an iterable of (images, mask, labels_onehot)."""
+        losses = []
+        for i, (images, mask, labels) in enumerate(batches):
+            state, loss, _ = self.step(state, images, mask, labels)
+            losses.append(float(loss))
+            if log:
+                log(f"step {i}: loss {losses[-1]:.4f}")
+        return state, np.asarray(losses)

@@ -214,6 +214,7 @@ class WindowedAttention(nn.Module):
     policy: Policy
     use_flash: bool = True
     window_group: int = 1   # independent windows batched per kernel block
+    trainable: bool = False  # route through the custom-VJP flash kernels
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -239,7 +240,11 @@ class WindowedAttention(nn.Module):
         )
 
         tokens = x.reshape(b, h * w, c).astype(dtype)
-        if self.use_flash and self._fused_variant(h, w) is not None:
+        use_fused = (
+            self.use_flash and not self.trainable
+            and self._fused_variant(h, w) is not None
+        )
+        if use_fused:
             # split projection: q and kv as SEPARATE matmuls (same total
             # FLOPs) so the bias einsum reads the q section with uniform
             # strides — a packed (b, hw, 3c) output forces XLA to
@@ -278,7 +283,7 @@ class WindowedAttention(nn.Module):
         # a pathological 300-400s XLA/AOT compile at SAM scale on this
         # stack — measured, not worth it.  use_flash=False remains the
         # parity-oracle path for tests.
-        if self.use_flash and self._fused_variant(h, w) is not None:
+        if use_fused:
             # fused-QKV path: the Pallas kernel reads per-head q/k/v
             # straight out of `qkv` via index maps and emits proj-ready
             # (b, hw, c) — no slice/transpose/pad relayouts at all
@@ -311,7 +316,13 @@ class WindowedAttention(nn.Module):
         else:
             bias_h = bias_w = None
 
-        if self.use_flash:
+        if self.trainable and self.use_flash:
+            # fine-tuning path: the custom-VJP flash kernels — windowed
+            # layers are just small per-window "global" attentions here
+            # (the partition puts windows on the batch axis, so
+            # Kh·Kw == S per entry)
+            out = self._trainable_flash(q, k, v, bias_h, bias_w)
+        elif self.use_flash:
             out = self._flash(q, k, v, bias_h, bias_w, h, w)
         else:
             if bias_h is not None:
@@ -461,6 +472,36 @@ class WindowedAttention(nn.Module):
             block_q=min(bq, 512), block_k=block_k, interpret=interpret,
         )
         return out[:, :s]
+
+    def _trainable_flash(self, q, k, v, bias_h, bias_w):
+        """Differentiable flash attention (ops/attention_grad.py)."""
+        from ..ops.attention_grad import flash_attention_trainable
+
+        b, nh, s, hd = q.shape
+        interpret = jax.default_backend() != "tpu"
+        if bias_h is not None:
+            # key tiles stay whole key-grid rows; small (window) grids
+            # take the single-tile path
+            bq = s if s <= 1024 else 512
+            bk = s if s <= 1024 else 1024
+            return flash_attention_trainable(
+                q, k, v, bias_h=bias_h, bias_w=bias_w,
+                block_q=bq, block_k=bk, interpret=interpret,
+            )
+        sq_pad, bq = _q_blocking(s)
+        kv_len = None
+        if sq_pad != s:
+            pad = ((0, 0), (0, 0), (0, sq_pad - s), (0, 0))
+            q = jnp.pad(q, pad)
+            k = jnp.pad(k, pad)
+            v = jnp.pad(v, pad)
+            kv_len = jnp.full((b,), s, jnp.int32)
+        out = flash_attention_trainable(
+            q, k, v, kv_len=kv_len,
+            block_q=min(bq, 512), block_k=min(1024, sq_pad),
+            interpret=interpret,
+        )
+        return out[:, :, :s]
 
     def _flash(self, q, k, v, bias_h, bias_w, h, w):
         """Pad token count / key grid to tiling-friendly sizes and run the
@@ -643,6 +684,7 @@ class Block(nn.Module):
     policy: Policy
     windowed: bool
     use_flash: bool
+    trainable: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -652,7 +694,8 @@ class Block(nn.Module):
         if self.windowed:
             y, dims = window_partition(y, cfg.window_size)
         y = WindowedAttention(
-            cfg, self.policy, use_flash=self.use_flash, name="attn"
+            cfg, self.policy, use_flash=self.use_flash,
+            trainable=self.trainable, name="attn"
         )(y)
         if self.windowed:
             y = window_unpartition(y, cfg.window_size, dims)
@@ -704,12 +747,15 @@ class SamNeck(nn.Module):
             "conv2_kernel", nn.initializers.lecun_normal(),
             (3, 3, out_c, out_c), self.policy.param_dtype,
         )
+        # output in the compute dtype directly: the MXU accumulates fp32
+        # internally either way, and a `preferred_element_type=fp32` here
+        # breaks the conv's VJP under bf16 (fp32 cotangent vs bf16
+        # operands in the transposed conv)
         x = jax.lax.conv_general_dilated(
             x.astype(dtype), w2.astype(dtype),
             window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        )
         x = LayerNorm(cfg.ln_eps, self.policy, name="ln2")(x)
         return x
 
@@ -733,6 +779,7 @@ class ViTDense(nn.Module):
     cfg: ViTDenseConfig
     policy: Policy = FAST
     use_flash: bool = True
+    trainable: bool = False
     patch_embed_only: bool = False
 
     @nn.compact
@@ -787,6 +834,7 @@ class ViTDense(nn.Module):
                 cfg, self.policy,
                 windowed=windowed,
                 use_flash=self.use_flash,
+                trainable=self.trainable,
                 name=f"block_{i}",
             )(x)
 
