@@ -206,3 +206,69 @@ class TestGSPMDTrainStepMultiDevice:
         )
         assert np.isfinite(float(loss))
         assert logits.shape == (8, 2)
+
+
+class TestSequenceParallelClassifier:
+    """Whole-volume mode: the downstream transformer over ring attention."""
+
+    def _inputs(self, rng, b=2, s=39, d=32):
+        # 39 real tokens + CLS = 40 → divisible by the 8-device ring
+        tokens = rng.normal(size=(b, s, d)).astype(np.float32)
+        mask = np.ones((b, s), bool)
+        mask[0, 30:] = False           # ragged volume
+        return jnp.asarray(tokens), jnp.asarray(mask)
+
+    def test_matches_unsharded(self, mesh8, rng):
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleClassifier,
+        )
+
+        tokens, mask = self._inputs(rng)
+        base = TransformerNoduleClassifier(
+            input_dim=32, ffn_dim=64, num_heads=4, num_classes=2,
+            num_layers=2, policy=PARITY,
+        )
+        params = base.init(jax.random.PRNGKey(0), tokens, mask)
+        want_logits, want_cls = base.apply(params, tokens, mask)
+
+        ring = TransformerNoduleClassifier(
+            input_dim=32, ffn_dim=64, num_heads=4, num_classes=2,
+            num_layers=2, policy=PARITY, seq_mesh=mesh8,
+        )
+        got_logits, got_cls = ring.apply(params, tokens, mask)
+        np.testing.assert_allclose(
+            np.asarray(got_logits), np.asarray(want_logits),
+            atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_cls), np.asarray(want_cls),
+            atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_unsharded(self, mesh8, rng):
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleClassifier,
+        )
+
+        tokens, mask = self._inputs(rng)
+        kw = dict(input_dim=32, ffn_dim=64, num_heads=4, num_classes=2,
+                  num_layers=1, policy=PARITY)
+        base = TransformerNoduleClassifier(**kw)
+        ring = TransformerNoduleClassifier(**kw, seq_mesh=mesh8)
+        params = base.init(jax.random.PRNGKey(0), tokens, mask)
+
+        def loss(model, p):
+            logits, _ = model.apply(p, tokens, mask)
+            return (logits.astype(jnp.float32) ** 2).sum()
+
+        g_ref = jax.grad(lambda p: loss(base, p))(params)
+        g_ring = jax.grad(lambda p: loss(ring, p))(params)
+        ref_flat = jax.tree_util.tree_leaves_with_path(g_ref)
+        ring_flat = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(g_ring))
+        for key, ref in ref_flat:
+            ks = jax.tree_util.keystr(key)
+            np.testing.assert_allclose(
+                np.asarray(ring_flat[ks]), np.asarray(ref),
+                atol=1e-4, rtol=1e-3, err_msg=ks)

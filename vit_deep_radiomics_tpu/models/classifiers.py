@@ -54,11 +54,19 @@ def _mask_bias(token_mask: jax.Array | None, dtype=jnp.float32):
 
 
 class MultiHeadAttention(nn.Module):
-    """Torch-``nn.MultiheadAttention``-compatible MHA (fused in-proj)."""
+    """Torch-``nn.MultiheadAttention``-compatible MHA (fused in-proj).
+
+    ``seq_mesh`` switches SELF-attention to sequence-parallel ring
+    attention (parallel/ring_attention.py): tokens shard over the mesh's
+    data axis, K/V shards rotate over ICI, and no device ever holds the
+    full score matrix — the whole-volume (no-chunking) mode the
+    reference bounds away by construction (SURVEY.md §5 long-context).
+    """
 
     dim: int
     num_heads: int
     policy: Policy
+    seq_mesh: object = None            # jax.sharding.Mesh | None
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None):
@@ -89,8 +97,17 @@ class MultiHeadAttention(nn.Module):
             b, s, _ = x.shape
             return x.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
-        bias = _mask_bias(key_padding_mask)
-        o = attention_reference(split(q), split(k), split(v), bias=bias)
+        if self.seq_mesh is not None and query is key is value:
+            from ..parallel.ring_attention import ring_attention
+
+            o = ring_attention(
+                split(q), split(k), split(v), self.seq_mesh,
+                token_mask=key_padding_mask,
+            )
+        else:
+            bias = _mask_bias(key_padding_mask)
+            o = attention_reference(
+                split(q), split(k), split(v), bias=bias)
         b, s = query.shape[:2]
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
         return proj(o, out_w, out_b)
@@ -126,12 +143,14 @@ class PostNormEncoderLayer(nn.Module):
     ffn_dim: int
     policy: Policy
     dropout_rate: float = 0.1
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, x, token_mask=None, deterministic: bool = True):
         dt = self.policy.compute_dtype
         attn = MultiHeadAttention(
-            self.dim, self.num_heads, self.policy, name="self_attn"
+            self.dim, self.num_heads, self.policy,
+            seq_mesh=self.seq_mesh, name="self_attn"
         )(x, x, x, key_padding_mask=token_mask)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=dt, param_dtype=self.policy.param_dtype,
@@ -155,13 +174,15 @@ class _Encoder(nn.Module):
     num_layers: int
     policy: Policy
     dropout_rate: float
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, x, token_mask=None, deterministic: bool = True):
         for i in range(self.num_layers):
             x = PostNormEncoderLayer(
                 self.dim, self.num_heads, self.ffn_dim, self.policy,
-                dropout_rate=self.dropout_rate, name=f"layer_{i}",
+                dropout_rate=self.dropout_rate, seq_mesh=self.seq_mesh,
+                name=f"layer_{i}",
             )(x, token_mask=token_mask, deterministic=deterministic)
         return x
 
@@ -191,6 +212,7 @@ class TransformerNoduleClassifier(nn.Module):
     num_layers: int
     policy: Policy = FAST
     dropout_rate: float = 0.1
+    seq_mesh: object = None            # whole-volume sequence parallelism
 
     @nn.compact
     def __call__(self, tokens, token_mask=None, deterministic: bool = True):
@@ -203,6 +225,7 @@ class TransformerNoduleClassifier(nn.Module):
                          epsilon=1e-5, name="norm")(x)
         x = _Encoder(self.input_dim, self.num_heads, self.ffn_dim,
                      self.num_layers, p, self.dropout_rate,
+                     seq_mesh=self.seq_mesh,
                      name="encoder")(x, token_mask, deterministic)
         cls_out = x[:, 0]
         logits = _MLPHead(self.input_dim * 2, self.num_classes, p,

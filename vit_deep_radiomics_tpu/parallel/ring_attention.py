@@ -29,7 +29,8 @@ __all__ = ["ring_attention"]
 _NEG_INF = -1e30
 
 
-def _ring_body(q, k_local, v_local, axis_name: str, scale: float):
+def _ring_body(q, k_local, v_local, mask_local, axis_name: str,
+               scale: float, has_mask: bool):
     n = jax.lax.psum(1, axis_name)
 
     # initial accumulators must carry the same varying-axis type as the
@@ -43,11 +44,15 @@ def _ring_body(q, k_local, v_local, axis_name: str, scale: float):
     qf = q.astype(jnp.float32) * scale
 
     def step(carry, _):
-        m, l, acc, k_blk, v_blk = carry
+        m, l, acc, k_blk, v_blk, mask_blk = carry
         s = jnp.einsum(
             "...qd,...kd->...qk", qf, k_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        if has_mask:
+            # mask_blk: (B, Sk_local) validity of the CURRENT k shard —
+            # it rotates around the ring together with k/v
+            s = jnp.where(mask_blk[:, None, None, :], s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -61,10 +66,12 @@ def _ring_body(q, k_local, v_local, axis_name: str, scale: float):
         perm = [(i, (i + 1) % n) for i in range(n)]
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return (m_new, l, acc, k_blk, v_blk), None
+        if has_mask:
+            mask_blk = jax.lax.ppermute(mask_blk, axis_name, perm)
+        return (m_new, l, acc, k_blk, v_blk, mask_blk), None
 
-    (m, l, acc, _, _), _ = jax.lax.scan(
-        step, (m, l, acc, k_local, v_local), None, length=n
+    (m, l, acc, _, _, _), _ = jax.lax.scan(
+        step, (m, l, acc, k_local, v_local, mask_local), None, length=n
     )
     safe_l = jnp.where(l > 0, l, 1.0)
     return (acc / safe_l).astype(q.dtype)
@@ -75,6 +82,7 @@ def ring_attention(
     k: jax.Array,
     v: jax.Array,
     mesh: Mesh,
+    token_mask: jax.Array | None = None,
     *,
     axis_name: str = DATA_AXIS,
     scale: float | None = None,
@@ -86,19 +94,28 @@ def ring_attention(
             Queries stay sharded (each device computes its S/N query
             rows); K/V shards rotate N-1 times so every query sees every
             key.
+        token_mask: optional (B, S) bool key validity (padding mask for
+            ragged whole-volume token sets); sharded with the sequence
+            and rotated with the K/V shards.
 
     Returns the same result as full attention, computed without any
     device ever holding the whole K/V.
     """
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
+    has_mask = token_mask is not None
 
-    body = functools.partial(_ring_body, axis_name=axis_name, scale=scale)
+    body = functools.partial(
+        _ring_body, axis_name=axis_name, scale=scale, has_mask=has_mask)
     spec = P(None, None, axis_name, None)
+    mask_spec = P(None, axis_name)
+    if not has_mask:
+        # shard_map needs a concrete operand; a dummy all-valid shard
+        token_mask = jnp.ones(q.shape[0:1] + q.shape[2:3], bool)
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, mask_spec),
         out_specs=spec,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, token_mask)
