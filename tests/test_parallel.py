@@ -272,3 +272,21 @@ class TestSequenceParallelClassifier:
             np.testing.assert_allclose(
                 np.asarray(ring_flat[ks]), np.asarray(ref),
                 atol=1e-4, rtol=1e-3, err_msg=ks)
+
+    def test_non_divisible_length_pads(self, mesh8, rng):
+        """S + CLS not divisible by the ring: the classifier pads."""
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleClassifier,
+        )
+
+        tokens, mask = self._inputs(rng, s=42)   # 43 with CLS: pads to 48
+        kw = dict(input_dim=32, ffn_dim=64, num_heads=4, num_classes=2,
+                  num_layers=1, policy=PARITY)
+        base = TransformerNoduleClassifier(**kw)
+        params = base.init(jax.random.PRNGKey(0), tokens, mask)
+        want, _ = base.apply(params, tokens, mask)
+        got, _ = TransformerNoduleClassifier(
+            **kw, seq_mesh=mesh8).apply(params, tokens, mask)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)

@@ -304,3 +304,42 @@ class TestTrainKfold:
             folds=[0], log=lambda *_: None,
         )
         assert np.isfinite(results[0]["train_loss"]).all()
+
+
+class TestWholeVolumeWindows:
+    def test_one_window_per_patient(self):
+        import pandas as pd
+
+        from vit_deep_radiomics_tpu.data.datasets import prepare_windows
+
+        rows = []
+        for pid, n_ct, n_pet in [("p0", 30, 8), ("p1", 17, 4)]:
+            for mod, n in (("ct", n_ct), ("pet", n_pet)):
+                for s in range(n):
+                    rows.append({
+                        "patient_id": pid, "modality": mod, "slice": s,
+                        "flip": "None", "angle": 0, "feature_id": f"{pid}_{s}",
+                        "label": 0, "dataset": "stanford",
+                    })
+        df = pd.DataFrame(rows)
+        out = prepare_windows(df, whole_volume=True)
+        ct = out[out["modality"] == "ct"]
+        # exactly one sub-volume id per patient, covering every slice
+        for pid, n_ct in [("p0", 30), ("p1", 17)]:
+            sub = ct[ct["patient_id"] == pid]
+            assert sub["patient_id_new"].nunique() == 1
+            assert sorted(sub["slice"].unique()) == list(range(n_ct))
+
+    def test_chunked_default_still_windows(self):
+        import pandas as pd
+
+        from vit_deep_radiomics_tpu.data.datasets import prepare_windows
+
+        rows = [
+            {"patient_id": "p0", "modality": "ct", "slice": s,
+             "flip": "None", "angle": 0, "feature_id": f"p0_{s}",
+             "label": 0, "dataset": "stanford"}
+            for s in range(30)
+        ]
+        out = prepare_windows(pd.DataFrame(rows))
+        assert out["patient_id_new"].nunique() > 1

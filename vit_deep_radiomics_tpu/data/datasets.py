@@ -59,19 +59,29 @@ def find_divisor(slice_count: int, modality: str) -> int:
 
 
 def prepare_windows(
-    df: pd.DataFrame, modality_a: str = "pet", modality_b: str = "ct"
+    df: pd.DataFrame, modality_a: str = "pet", modality_b: str = "ct",
+    whole_volume: bool = False,
 ) -> pd.DataFrame:
     """Assign ``patient_id_new`` sub-volume ids (train_models.py:416-448).
 
     PET rows get ``pid:ceil(slice/divisor)``; CT rows are duplicated into
     stride-1 sliding windows ``pid:sample_i`` covering slices
     [i, i+window].
+
+    ``whole_volume=True`` makes the window the full slice range (one
+    sample per patient per modality, no chunking) — pair it with the
+    classifiers' ``seq_mesh`` sequence parallelism for token sets that
+    exceed one chip.
     """
     df = df.copy()
     slices_max = df.groupby(["patient_id", "modality"])["slice"].max()
-    divisors = {
-        key: find_divisor(int(val), key[1]) for key, val in slices_max.items()
-    }
+    if whole_volume:
+        divisors = {key: int(val) + 1 for key, val in slices_max.items()}
+    else:
+        divisors = {
+            key: find_divisor(int(val), key[1])
+            for key, val in slices_max.items()
+        }
     df["divisor"] = [
         divisors[(p, m)] for p, m in zip(df["patient_id"], df["modality"])
     ]

@@ -69,6 +69,11 @@ class TrainerConfig:
                                          # WeightedRandomSampler,
                                          # train_models.py:624-632; off by
                                          # default there too, :521)
+    whole_volume: bool = False           # no slice chunking: one token set
+                                         # per patient volume; with a
+                                         # multi-device mesh the unimodal
+                                         # transformer runs ring-attention
+                                         # sequence parallelism
 
 
 def cosine_lr(epoch: int, lr0: float, num_epochs: int,
@@ -111,9 +116,18 @@ class FoldTrainer:
         self.tcfg = tcfg
         self.mesh = mesh
         self.policy: Policy = get_policy(tcfg.precision)
+        seq_mesh = None
+        if (
+            tcfg.whole_volume and mesh is not None
+            and tcfg.arch == "transformer"
+            and tcfg.modality not in ("petct", "petchest")
+            and np.prod(list(mesh.shape.values())) > 1
+        ):
+            seq_mesh = mesh
         self.model = build_classifier(
             cfg, tcfg.arch, tcfg.modality, modality_a, modality_b,
             num_classes=tcfg.num_classes, policy=self.policy,
+            seq_mesh=seq_mesh,
         )
         cfg_model = cfg["models"][tcfg.arch]
         self.lr0 = cfg_model["learning_rate"]
@@ -525,7 +539,8 @@ def train_kfold(
     modality_b = "chest" if "chest" in tcfg.modality else "ct"
     df = df.copy()
     df["flip"] = df["flip"].astype(str)
-    df = prepare_windows(df, modality_a, modality_b)
+    df = prepare_windows(df, modality_a, modality_b,
+                         whole_volume=tcfg.whole_volume)
 
     fold_map = cfg["kfold_patients"][modality_b][tcfg.dataset]
     folds = folds if folds is not None else list(fold_map.keys())

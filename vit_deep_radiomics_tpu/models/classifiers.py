@@ -221,6 +221,21 @@ class TransformerNoduleClassifier(nn.Module):
         cls = self.param("cls_token", nn.initializers.normal(1.0),
                          (1, 1, self.input_dim), p.param_dtype)
         x, token_mask = _prepend_cls(tokens, token_mask, cls)
+        orig_len = x.shape[1]
+        if self.seq_mesh is not None:
+            # ring attention shards the token axis: pad to a multiple of
+            # the ring size with masked tokens, sliced off after
+            from ..core.mesh import DATA_AXIS
+
+            ring = self.seq_mesh.shape[DATA_AXIS]
+            pad = (-orig_len) % ring
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+                if token_mask is None:
+                    token_mask = jnp.ones(x.shape[:2], bool).at[
+                        :, orig_len:].set(False)
+                else:
+                    token_mask = jnp.pad(token_mask, ((0, 0), (0, pad)))
         x = nn.LayerNorm(dtype=p.compute_dtype, param_dtype=p.param_dtype,
                          epsilon=1e-5, name="norm")(x)
         x = _Encoder(self.input_dim, self.num_heads, self.ffn_dim,
@@ -420,11 +435,14 @@ def build_classifier(
     cfg: dict, arch: str, modality: str,
     modality_a: str = "pet", modality_b: str = "ct",
     num_classes: int = 2, policy: Policy = FAST,
+    seq_mesh=None,
 ):
     """Instantiate a classifier from the merged config tree.
 
     Mirrors reference ``build_model`` (train_models.py:455-486): bimodal
     for petct/petchest, conv or unimodal transformer otherwise.
+    ``seq_mesh`` (unimodal transformer only) turns on whole-volume
+    sequence parallelism via ring attention.
     """
     cfg_model = cfg["models"][arch]
     feature_dim = cfg_model["feature_dim"]
@@ -456,4 +474,5 @@ def build_classifier(
         num_classes=num_classes,
         num_layers=m["num_layers"],
         policy=policy,
+        seq_mesh=seq_mesh,
     )
