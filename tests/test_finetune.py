@@ -130,3 +130,19 @@ class TestFineTuner:
         state, loss, logits = tuner.step(state, images, mask, labels)
         assert np.isfinite(float(loss))
         assert logits.shape == (8, 2)
+
+    def test_remat_matches_no_remat(self, rng):
+        cfg = FineTuneConfig(
+            num_classes=2, learning_rate=3e-3, precision="parity",
+            backbone_cfg=TINY_SAM, remat=True,
+        )
+        tuner = FineTuner(cfg)
+        images, mask, labels = self._batch(rng)
+        state = tuner.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        state, loss_r, _ = tuner.step(state, images, mask, labels)
+
+        cfg2 = dataclasses.replace(cfg, remat=False)
+        tuner2 = FineTuner(cfg2)
+        state2 = tuner2.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        state2, loss, _ = tuner2.step(state2, images, mask, labels)
+        np.testing.assert_allclose(float(loss_r), float(loss), rtol=1e-6)

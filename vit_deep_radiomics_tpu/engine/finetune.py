@@ -52,6 +52,7 @@ class FineTuneConfig:
     focal_gamma: float = 2.0
     focal_alpha: tuple[float, ...] = (0.25, 0.75)
     precision: str = "fast"
+    remat: bool = False                # recompute blocks in the backward
     backbone_cfg: ViTDenseConfig | None = None   # override (tests)
 
     def resolve_backbone(self) -> ViTDenseConfig:
@@ -73,12 +74,14 @@ class FineTuneModel(nn.Module):
     cfg: ViTDenseConfig
     num_classes: int
     policy: Policy
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, mask):               # (B,H,W,3), (B,h,w)
         feats = ViTDense(
             self.cfg, policy=self.policy,
-            use_flash=True, trainable=True, name="backbone",
+            use_flash=True, trainable=True, remat=self.remat,
+            name="backbone",
         )(images)                                    # (B, h, w, C)
         m = mask.astype(jnp.float32)[..., None]
         denom = jnp.sum(m, axis=(1, 2))
@@ -119,7 +122,8 @@ class FineTuner:
         self.policy = get_policy(config.precision)
         self.backbone_cfg = config.resolve_backbone()
         self.model = FineTuneModel(
-            self.backbone_cfg, config.num_classes, self.policy)
+            self.backbone_cfg, config.num_classes, self.policy,
+            remat=config.remat)
         self.mesh = mesh
         self._step = None
 

@@ -780,6 +780,7 @@ class ViTDense(nn.Module):
     policy: Policy = FAST
     use_flash: bool = True
     trainable: bool = False
+    remat: bool = False        # rematerialise blocks in the backward
     patch_embed_only: bool = False
 
     @nn.compact
@@ -826,11 +827,17 @@ class ViTDense(nn.Module):
             )
             x = x + pos.astype(x.dtype)
 
+        block_cls = Block
+        if self.remat and self.trainable:
+            # recompute each block's activations in the backward instead
+            # of keeping them: memory ∝ depth drops to ∝ 1 block, the
+            # standard trade for fine-tuning at larger batch sizes
+            block_cls = nn.remat(Block)
         for i in range(cfg.depth):
             windowed = (
                 cfg.window_size > 0 and i not in tuple(cfg.global_indexes)
             )
-            x = Block(
+            x = block_cls(
                 cfg, self.policy,
                 windowed=windowed,
                 use_flash=self.use_flash,
