@@ -74,6 +74,20 @@ class TestFusedSampling:
         np.testing.assert_allclose(np.asarray(out), np.asarray(base),
                                    atol=1e-6)
 
+    def test_bf16_output_is_rounded_f32(self, rng):
+        """out_dtype=bf16 must equal the f32 result rounded once at the
+        end (the same rounding the ViT's bf16 input cast would apply)."""
+        vol = rng.uniform(size=(30, 26, 2)).astype(np.float32)
+        box = (jnp.int32(2), jnp.int32(3), jnp.int32(20), jnp.int32(18))
+        args = (jnp.float32(45), jnp.bool_(True), jnp.bool_(False),
+                (jnp.int32(30), jnp.int32(26)), 48)
+        f32 = fused_flip_rotate_crop_resize(jnp.asarray(vol), box, *args)
+        bf16 = fused_flip_rotate_crop_resize(
+            jnp.asarray(vol), box, *args, out_dtype=jnp.bfloat16)
+        assert bf16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(bf16), np.asarray(f32.astype(jnp.bfloat16)))
+
     def test_transform_mask_90(self):
         mask = np.zeros((16, 16, 1), np.float32)
         mask[2:5, 7:9, 0] = 1

@@ -329,6 +329,7 @@ class DenseExtractor:
             resampled = fused_flip_rotate_crop_resize(
                 vol_dev, box, angles_arr[ci], fh_arr[ci], fv_arr[ci],
                 valid_hw, self.image_size,
+                out_dtype=self.policy.compute_dtype,
             )
             stream.add(resampled)
             # bucketed device-side crop of the transformed mask (bool —

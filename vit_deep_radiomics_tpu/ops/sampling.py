@@ -96,7 +96,7 @@ def _gather_bilinear(plane: jax.Array, ys, xs, hmax, wmax):
     return top * (1 - wy) + bot * wy
 
 
-@functools.partial(jax.jit, static_argnames=("out_size",))
+@functools.partial(jax.jit, static_argnames=("out_size", "out_dtype"))
 def fused_flip_rotate_crop_resize(
     volume: jax.Array,      # (H, W, S) or (H, W, S, C), normalized [0,1]
     box,                    # (ymin, xmin, crop_h, crop_w)
@@ -105,8 +105,14 @@ def fused_flip_rotate_crop_resize(
     flip_v,
     valid_hw,               # (height, width) of the real (unpadded) volume
     out_size: int,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
-    """→ (S, out_size, out_size[, C]) resampled slices, clipped to [0, 1]."""
+    """→ (S, out_size, out_size[, C]) resampled slices, clipped to [0, 1].
+
+    ``out_dtype=bf16`` halves the (S, out², C) output bandwidth — the
+    gather computes f32 internally and rounds once at the end, the same
+    rounding the downstream ViT's bf16 cast would apply, so descriptors
+    are unchanged."""
     ys, xs = _source_coords(
         out_size, out_size, box, angle_deg, flip_h, flip_v,
         valid_hw[0], valid_hw[1],
@@ -115,7 +121,7 @@ def fused_flip_rotate_crop_resize(
     wmax = volume.shape[1] - 1
     vol = jnp.moveaxis(volume.astype(jnp.float32), 2, 0)  # (S, H, W[, C])
     out = jax.vmap(lambda p: _gather_bilinear(p, ys, xs, hmax, wmax))(vol)
-    return jnp.clip(out, 0.0, 1.0)
+    return jnp.clip(out, 0.0, 1.0).astype(out_dtype)
 
 
 @jax.jit
