@@ -290,3 +290,70 @@ class TestSequenceParallelClassifier:
             **kw, seq_mesh=mesh8).apply(params, tokens, mask)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+class TestPipelineViT:
+    """GPipe pipeline parallelism over the model axis (parallel/pipeline.py)."""
+
+    def _sam_cfg(self):
+        import dataclasses
+
+        from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B
+
+        # depth 6 with globals at (2, 5): the [w, w, g] stage pattern of
+        # SAM ViT-B, so 2 stages are homogeneous and 3 are not
+        return dataclasses.replace(
+            SAM_VIT_B, image_size=32, width=64, depth=6, num_heads=2,
+            window_size=2, global_indexes=(2, 5), neck_channels=16,
+        )
+
+    def test_sam_matches_unpipelined(self, mesh_4x2, rng):
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.vit import ViTDense
+        from vit_deep_radiomics_tpu.parallel.pipeline import (
+            pipeline_vit_apply,
+        )
+
+        cfg = self._sam_cfg()
+        model = ViTDense(cfg, policy=PARITY, use_flash=False)
+        imgs = jnp.asarray(rng.uniform(size=(8, 32, 32, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+        base = model.apply(params, imgs)
+        out = pipeline_vit_apply(
+            cfg, params, imgs, mesh_4x2, policy=PARITY)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5)
+
+    def test_cls_token_model_matches_unpipelined(self, devices, rng):
+        """DINOv2-style (CLS token, layerscale, no windows), 4 stages x
+        2-way data parallel, 2 microbatches per stage count default."""
+        import dataclasses
+
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.vit import DINOV2_CONFIGS, ViTDense
+        from vit_deep_radiomics_tpu.parallel.pipeline import (
+            pipeline_vit_apply,
+        )
+
+        cfg = dataclasses.replace(
+            DINOV2_CONFIGS["dinov2_vits14"], image_size=28, width=48,
+            depth=4, num_heads=2,
+        )
+        mesh = make_mesh(devices[:8], model_parallel=4)
+        model = ViTDense(cfg, policy=PARITY, use_flash=False)
+        imgs = jnp.asarray(rng.uniform(size=(8, 28, 28, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+        base = model.apply(params, imgs)
+        out = pipeline_vit_apply(cfg, params, imgs, mesh, policy=PARITY)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5)
+
+    def test_heterogeneous_stage_pattern_rejected(self):
+        from vit_deep_radiomics_tpu.parallel.pipeline import stage_pattern
+
+        cfg = self._sam_cfg()
+        assert stage_pattern(cfg, 2) == [True, True, False]
+        with pytest.raises(ValueError, match="pattern"):
+            stage_pattern(cfg, 3)   # stages [w,w], [g,w], [w,g] differ
+        with pytest.raises(ValueError, match="divide"):
+            stage_pattern(cfg, 4)
