@@ -357,3 +357,36 @@ class TestPipelineViT:
             stage_pattern(cfg, 3)   # stages [w,w], [g,w], [w,g] differ
         with pytest.raises(ValueError, match="divide"):
             stage_pattern(cfg, 4)
+
+    def test_more_microbatches_than_stages(self, mesh_4x2, rng):
+        """M=4 microbatches on 2 stages (smaller bubble) stays exact."""
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.vit import ViTDense
+        from vit_deep_radiomics_tpu.parallel.pipeline import (
+            pipeline_vit_apply,
+        )
+
+        cfg = self._sam_cfg()
+        model = ViTDense(cfg, policy=PARITY, use_flash=False)
+        imgs = jnp.asarray(
+            rng.uniform(size=(16, 32, 32, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+        base = model.apply(params, imgs)
+        out = pipeline_vit_apply(
+            cfg, params, imgs, mesh_4x2, policy=PARITY, num_microbatches=4)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), atol=2e-5)
+
+    def test_batch_divisibility_error(self, mesh_4x2, rng):
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.vit import ViTDense
+        from vit_deep_radiomics_tpu.parallel.pipeline import (
+            pipeline_vit_apply,
+        )
+
+        cfg = self._sam_cfg()
+        model = ViTDense(cfg, policy=PARITY, use_flash=False)
+        imgs = jnp.asarray(rng.uniform(size=(6, 32, 32, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+        with pytest.raises(ValueError, match="microbatch"):
+            pipeline_vit_apply(cfg, params, imgs, mesh_4x2, policy=PARITY)
