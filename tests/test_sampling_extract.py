@@ -326,3 +326,68 @@ class TestDispatchAheadFailures:
         assert f"stanford/{bad}/pet" in q.done
         assert not (feat_dir / "stanford_dataset"
                     / f"{bad}_ct.parquet").exists()
+
+
+class TestPipelineExtraction:
+    def test_pipelined_matches_unmeshed(self, small_extractor, devices):
+        """Extraction with the ViT pipelined over a (4 data x 2 model)
+        mesh must reproduce the single-device extractor exactly."""
+        import dataclasses
+
+        from vit_deep_radiomics_tpu.core.mesh import make_mesh
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+        # depth 4, globals (1, 3): the [w, g] stage pattern repeats at
+        # 2 stages (the module-scope fixture's depth 2 cannot split)
+        small = dataclasses.replace(
+            SAM_VIT_B, image_size=64, width=96, depth=4, num_heads=3,
+            window_size=2, global_indexes=(1, 3), neck_channels=32,
+        )
+        cfg = ExtractionConfig(
+            model_name="medsam", image_size=64, slice_batch=4,
+            precision="parity", use_flash=False, volume_bucket=32,
+            flips=(None,), angles=(0, 90), pipeline=True,
+        )
+        ex = DenseExtractor.__new__(DenseExtractor)
+        ex.config = cfg
+        ex.policy = get_policy(cfg.precision)
+        ex.backbone_cfg = small
+        ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
+        ex.image_size = 64
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        ex.params = jax.jit(ex.model.init)(jax.random.PRNGKey(0), dummy)
+        mesh = make_mesh(devices[:8], model_parallel=2)
+        ex._setup_apply(mesh)
+        assert ex.config.slice_batch == 8  # rounded to stages x data
+
+        rng = np.random.default_rng(2)
+        vol, mask, _ = synthetic.synthetic_volume(rng, 64, 64, 3)
+        feats, masks, meta = ex.extract_volume(vol, mask, "ct")
+
+        base = DenseExtractor.__new__(DenseExtractor)
+        base.config = dataclasses.replace(cfg, pipeline=False,
+                                          slice_batch=4)
+        base.policy = ex.policy
+        base.backbone_cfg = small
+        base.model = ex.model
+        base.image_size = 64
+        base.params = ex.params
+        base._setup_apply(None)
+        bfeats, bmasks, bmeta = base.extract_volume(vol, mask, "ct")
+
+        assert meta == bmeta and len(feats) == len(bfeats)
+        for f, bf, m, bm in zip(feats, bfeats, masks, bmasks):
+            np.testing.assert_allclose(f, bf, atol=2e-5)
+            np.testing.assert_array_equal(m, bm)
+
+    def test_pipeline_rejects_patch_embed_only(self, devices):
+        from vit_deep_radiomics_tpu.core.mesh import make_mesh
+
+        cfg = ExtractionConfig(
+            model_name="dinov2_vits14", dinov2_mode="patch_embed",
+            image_size=28, pipeline=True,
+        )
+        mesh = make_mesh(devices[:8], model_parallel=2)
+        with pytest.raises(ValueError, match="patch_embed"):
+            DenseExtractor(cfg, mesh=mesh)

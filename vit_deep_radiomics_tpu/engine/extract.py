@@ -63,6 +63,11 @@ class ExtractionConfig:
     slice_batch: int = 4          # B=4 is the measured throughput peak
     precision: str = "fast"
     use_flash: bool = True
+    pipeline: bool = False        # with a (data, model>1) mesh: pipeline
+                                  # the ViT depth over the model axis
+                                  # (GPipe, parallel/pipeline.py) instead
+                                  # of replicating params on every device
+                                  # — for backbones that don't fit a chip
     ct_window: tuple[float, float] = (800.0, 40.0)   # (width, level), ref :443
     volume_bucket: int = 32             # pad H/W to a multiple (compile reuse)
     flips: tuple = FLIPS
@@ -143,9 +148,34 @@ class DenseExtractor:
 
     def _setup_apply(self, mesh) -> None:
         """Build the jitted forward; with a mesh, shard_map it over
-        ``data`` (params replicated, slice batch split per device)."""
+        ``data`` (params replicated, slice batch split per device), or —
+        with ``config.pipeline`` and a ``model`` axis > 1 — pipeline the
+        ViT depth over the model axis (DP × PP on one mesh)."""
         self.mesh = mesh
-        if mesh is not None:
+        if mesh is not None and self.config.pipeline:
+            from ..core.mesh import DATA_AXIS, MODEL_AXIS
+            from ..parallel.pipeline import (
+                pipeline_vit_apply,
+                stage_pattern,
+            )
+
+            if self.model.patch_embed_only:
+                raise ValueError(
+                    "pipeline extraction needs transformer blocks; the "
+                    "dinov2 patch_embed mode has none")
+            n_stages = mesh.shape[MODEL_AXIS]
+            stage_pattern(self.backbone_cfg, n_stages)  # validate early
+            ndata = mesh.shape.get(DATA_AXIS, 1)
+            # batch must split into n_stages microbatches × data shards
+            q = n_stages * ndata
+            self.config.slice_batch = (
+                -(-self.config.slice_batch // q) * q)
+            cfg, policy, flash = (
+                self.backbone_cfg, self.policy, self.config.use_flash)
+            self._apply = jax.jit(
+                lambda p, x: pipeline_vit_apply(
+                    cfg, p, x, mesh, policy=policy, use_flash=flash))
+        elif mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
