@@ -213,3 +213,32 @@ def test_top_level_dispatcher():
 
     assert dispatch([]) == 2
     assert dispatch(["--help"]) == 0
+
+
+def test_extract_cli_pipelined_full_dinov2(tmp_path):
+    """--pipeline-stages 2 with the full-transformer dinov2 mode: the
+    ViT depth splits over the model mesh axis (parallel/pipeline.py)."""
+    cohort = synthetic.synthetic_cohort(
+        n_patients=2, seed=3, dataset="stanford",
+        height=48, width=48, ct_slices=2, pet_slices=2,
+    )
+    h5 = tmp_path / "iso.hdf5"
+    csv = tmp_path / "iso.csv"
+    synthetic.write_isotropic_hdf5(cohort, h5, csv)
+    rc = cli_extract.main([
+        "-mn", "dinov2_vits14",
+        "--dinov2-mode", "full",
+        "-h5", str(h5),
+        "-df", str(csv),
+        "-f", str(tmp_path / "features"),
+        "-mod", "ct",
+        "--datasets", "stanford",
+        "--precision", "parity",
+        "--image-size", "28",
+        "--no-flash",
+        "--pipeline-stages", "2",
+    ])
+    assert rc == 0
+    assert (tmp_path / "features" / "features_masks_ct.hdf5").exists()
+    pq = list((tmp_path / "features").glob("*/*.parquet"))
+    assert len(pq) == 4  # 2 patients x 2 modalities

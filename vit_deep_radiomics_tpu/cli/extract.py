@@ -45,6 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep the forward on one device even when "
                         "multiple devices are visible (default: shard "
                         "the slice batch over a data mesh)")
+    p.add_argument("--dinov2-mode", default="patch_embed",
+                   choices=["patch_embed", "full"],
+                   help="dinov2 backbones: patch-embed-only tokens "
+                        "(reference parity) or full-transformer dense "
+                        "tokens (the TPU-native mode)")
+    p.add_argument("--pipeline-stages", type=int, default=1,
+                   help="pipeline the ViT depth over this many devices "
+                        "(GPipe over the model mesh axis; for backbones "
+                        "too large for one chip).  Must divide both the "
+                        "device count and the transformer depth")
     return p
 
 
@@ -63,9 +73,15 @@ def main(argv=None) -> int:
         slice_batch=args.slice_batch,
         precision=args.precision,
         use_flash=not args.no_flash,
+        dinov2_mode=args.dinov2_mode,
+        pipeline=args.pipeline_stages > 1,
     )
     mesh = None
-    if not args.no_data_parallel:
+    if args.pipeline_stages > 1:
+        from ..core.mesh import make_mesh
+
+        mesh = make_mesh(model_parallel=args.pipeline_stages)
+    elif not args.no_data_parallel:
         import jax
 
         if jax.device_count() > 1:
