@@ -242,3 +242,32 @@ def test_extract_cli_pipelined_full_dinov2(tmp_path):
     assert (tmp_path / "features" / "features_masks_ct.hdf5").exists()
     pq = list((tmp_path / "features").glob("*/*.parquet"))
     assert len(pq) == 4  # 2 patients x 2 modalities
+
+
+def test_finetune_cli(tmp_path):
+    """Backbone fine-tuning CLI on a tiny cohort + smoke-scale ViT."""
+    from vit_deep_radiomics_tpu.cli import finetune as cli_finetune
+
+    cohort = synthetic.synthetic_cohort(
+        n_patients=2, seed=5, dataset="stanford",
+        height=48, width=48, ct_slices=3, pet_slices=2,
+    )
+    h5 = tmp_path / "iso.hdf5"
+    csv = tmp_path / "iso.csv"
+    synthetic.write_isotropic_hdf5(cohort, h5, csv)
+    rc = cli_finetune.main([
+        "-h5", str(h5),
+        "-df", str(csv),
+        "-s", str(tmp_path / "ckpt"),
+        "--datasets", "stanford",
+        "--epochs", "1",
+        "--batch-size", "2",
+        "--precision", "parity",
+        "--image-size", "64",
+        "--depth", "2",
+        "--width", "128",
+        "--num-heads", "2",
+        "--window-size", "2",
+    ])
+    assert rc == 0
+    assert (tmp_path / "ckpt" / "model_epoch_0000.msgpack").exists()

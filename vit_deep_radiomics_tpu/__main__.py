@@ -13,6 +13,7 @@ COMMANDS = {
     "merge": "vit_deep_radiomics_tpu.cli.merge",
     "split": "vit_deep_radiomics_tpu.cli.split",
     "train": "vit_deep_radiomics_tpu.cli.train",
+    "finetune": "vit_deep_radiomics_tpu.cli.finetune",
     "sweep": "vit_deep_radiomics_tpu.cli.sweep",
     "aggregate": "vit_deep_radiomics_tpu.cli.aggregate",
     "umap": "vit_deep_radiomics_tpu.cli.umap_embed",
