@@ -390,3 +390,29 @@ class TestPipelineViT:
         params = model.init(jax.random.PRNGKey(0), imgs)
         with pytest.raises(ValueError, match="microbatch"):
             pipeline_vit_apply(cfg, params, imgs, mesh_4x2, policy=PARITY)
+
+    def test_gradients_match_unpipelined(self, mesh_4x2, rng):
+        """Autodiff through the GPipe scan/ppermute schedule is the
+        reverse pipeline; grads must equal the single-device oracle."""
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+        from vit_deep_radiomics_tpu.models.vit import ViTDense
+        from vit_deep_radiomics_tpu.parallel.pipeline import (
+            pipeline_vit_apply,
+        )
+
+        cfg = self._sam_cfg()
+        model = ViTDense(cfg, policy=PARITY, use_flash=False)
+        imgs = jnp.asarray(rng.uniform(size=(8, 32, 32, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+        g_base = jax.grad(lambda p: model.apply(p, imgs).sum())(params)
+        g_pipe = jax.grad(lambda p: pipeline_vit_apply(
+            cfg, p, imgs, mesh_4x2, policy=PARITY).sum())(params)
+        flat_b = jax.tree_util.tree_leaves_with_path(g_base)
+        flat_p = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(g_pipe))
+        for k, vb in flat_b:
+            ks = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(flat_p[ks]), np.asarray(vb),
+                atol=1e-5, rtol=1e-4, err_msg=ks)

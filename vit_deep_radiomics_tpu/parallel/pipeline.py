@@ -28,9 +28,14 @@ Design (idiomatic TPU, single-controller):
 * the batch dimension additionally shards over the ``data`` axis inside
   the same shard_map, so DP x PP composes on one 2D mesh.
 
-Forward-only (inference/serving and the frozen-backbone extraction
-path — the reference freezes its backbones too); the fine-tuning engine
-uses data parallelism + rematerialisation instead (engine/finetune.py).
+Differentiable end to end: the schedule is a ``lax.scan`` over
+``ppermute`` ticks, so autodiff produces the reverse pipeline
+automatically — gradients through :func:`pipeline_vit_apply` match the
+unpipelined oracle exactly (tests/test_parallel.py).  The backward
+stores per-tick stage activations; wrap the stage in ``jax.checkpoint``
+for depth-independent memory at production scale (the fine-tuning
+engine's default recipe is data parallelism + remat,
+engine/finetune.py).
 """
 
 from __future__ import annotations
