@@ -125,6 +125,10 @@ def main(argv=None) -> int:
     enable_persistent_compile_cache()
     bcfg, images, masks, onehot = _load_samples(args)
     n = images.shape[0]
+    if n < args.batch_size:
+        raise SystemExit(
+            f"only {n} slices with nodule masks; need at least "
+            f"--batch-size ({args.batch_size})")
     print(f"{n} slices, backbone {bcfg.name} @{bcfg.image_size}")
 
     # data-parallel mesh only when the batch splits evenly over devices
