@@ -20,6 +20,16 @@ TINY_SAM = dataclasses.replace(
     window_size=4, global_indexes=(1,), neck_channels=32,
 )
 
+# cls-token / no-rel-pos config whose token count (33² + cls = 1090)
+# pads to 1536 — NOT a multiple of 1024.  Regression guard for the
+# block_k divisor bug: min(1024, sq_pad) does not divide 1536 and the
+# kernel raised ValueError on any dinov2_* forward at this scale.
+TINY_DINO_1536 = dataclasses.replace(
+    SAM_VIT_B, image_size=462, patch_size=14, width=128, depth=1,
+    num_heads=2, window_size=0, global_indexes=(0,), use_rel_pos=False,
+    neck_channels=0, use_cls_token=True, layerscale_init=1e-5,
+)
+
 
 class TestTrainableViT:
     def test_forward_matches_oracle(self, rng):
@@ -33,6 +43,24 @@ class TestTrainableViT:
         ).apply(params, imgs)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    def test_nonpow2_padded_len_forward(self, rng):
+        """1090 tokens pad to 1536 (not a 1024 multiple): both the
+        inference and the trainable no-bias flash paths must pick a
+        block_k that divides the padded length (ADVICE r1, high)."""
+        imgs = jnp.asarray(
+            rng.uniform(size=(1, 462, 462, 3)).astype(np.float32))
+        oracle = ViTDense(TINY_DINO_1536, policy=PARITY, use_flash=False)
+        params = oracle.init(jax.random.PRNGKey(0), imgs)
+        want = np.asarray(oracle.apply(params, imgs))
+        for trainable in (False, True):
+            got = ViTDense(
+                TINY_DINO_1536, policy=PARITY, use_flash=True,
+                trainable=trainable,
+            ).apply(params, imgs)
+            np.testing.assert_allclose(
+                np.asarray(got), want, atol=2e-5, rtol=2e-5,
+                err_msg=f"trainable={trainable}")
 
     def test_grads_match_oracle(self, rng):
         imgs = jnp.asarray(

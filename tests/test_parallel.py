@@ -200,12 +200,20 @@ class TestGSPMDTrainStepMultiDevice:
         dev = trainer._shard(
             {k: v for k, v in batch.items() if isinstance(v, np.ndarray)})
         step = trainer._get_step(trainer._shape_key(batch), train=True)
-        params, opt_state, loss, logits = step(
-            trainer.params, trainer.opt_state, dev,
-            jax.random.PRNGKey(0), jnp.float32(1e-3), jnp.float32(1.0),
+        grad_accum = jax.tree.map(jnp.zeros_like, trainer.params["params"])
+        grad_accum, loss, logits = step(
+            trainer.params, grad_accum, dev,
+            jax.random.PRNGKey(0), jnp.float32(1.0),
+        )
+        params, opt_state, grad_accum = trainer._get_apply_step()(
+            trainer.params, trainer.opt_state, grad_accum,
+            jnp.float32(1e-3),
         )
         assert np.isfinite(float(loss))
         assert logits.shape == (8, 2)
+        assert all(
+            np.isfinite(np.asarray(g)).all()
+            for g in jax.tree_util.tree_leaves(params))
 
 
 class TestSequenceParallelClassifier:

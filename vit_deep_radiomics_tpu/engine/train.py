@@ -229,7 +229,11 @@ class FoldTrainer:
             return outputs
 
         if train:
-            def step(params, opt_state, batch, rng, lr, accum_scale):
+            def step(params, grad_accum, batch, rng, accum_scale):
+                """Micro-batch: accumulate scaled grads, no optimizer
+                update (the reference's virtual batch — loss divided by
+                iters_to_accumulate, grads summed across micro-batches,
+                train_models.py:655, 674, 683)."""
                 def loss_fn(p):
                     outputs = forward(p, batch, rng)
                     loss = self._loss_from_outputs(
@@ -240,16 +244,12 @@ class FoldTrainer:
                 (loss, logits), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
-                updates, opt_state = self.tx.update(
-                    grads["params"], opt_state, params["params"]
+                grad_accum = jax.tree.map(
+                    jnp.add, grad_accum, grads["params"]
                 )
-                updates = jax.tree.map(lambda u: u * lr, updates)
-                new_params = {
-                    "params": optax.apply_updates(params["params"], updates)
-                }
-                return new_params, opt_state, loss, logits
+                return grad_accum, loss, logits
 
-            fn = jax.jit(step, donate_argnums=(0, 1))
+            fn = jax.jit(step, donate_argnums=(1,))
         else:
             def step(params, batch):
                 outputs = forward(params, batch, None)
@@ -259,6 +259,29 @@ class FoldTrainer:
                 return loss, outputs[0]
 
             fn = jax.jit(step)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_apply_step(self):
+        """Optimizer application, once per virtual batch
+        (train_models.py:685-688): AdamW update from the accumulated
+        grads, then a zeroed accumulator for the next group."""
+        key = ("apply_accum",)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def apply(params, opt_state, grad_accum, lr):
+            updates, opt_state = self.tx.update(
+                grad_accum, opt_state, params["params"]
+            )
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            new_params = {
+                "params": optax.apply_updates(params["params"], updates)
+            }
+            zeros = jax.tree.map(jnp.zeros_like, grad_accum)
+            return new_params, opt_state, zeros
+
+        fn = jax.jit(apply, donate_argnums=(0, 1, 2))
         self._jit_cache[key] = fn
         return fn
 
@@ -295,6 +318,17 @@ class FoldTrainer:
             # epoch-constant scalars pushed once, not once per step
             lr_dev = jnp.float32(lr)
             accum_dev = jnp.float32(1.0 / accum)
+            # fresh accumulator each epoch (reference zero_grads at epoch
+            # start, train_models.py:653)
+            grad_accum = jax.tree.map(
+                jnp.zeros_like, self.params["params"]
+            )
+            if self.mesh is not None:
+                from ..core.mesh import replicated
+
+                grad_accum = jax.device_put(
+                    grad_accum, replicated(self.mesh))
+            apply_step = self._get_apply_step()
         cast_bf16 = self.policy.compute_dtype == jnp.bfloat16
         for i, batch in enumerate(batches):
             dev_batch = {
@@ -316,10 +350,16 @@ class FoldTrainer:
             skey = self._shape_key(batch)
             if train:
                 step = self._get_step(skey, True)
-                self.params, self.opt_state, loss, logits = step(
-                    self.params, self.opt_state, dev_batch, rngs[i],
-                    lr_dev, accum_dev,
+                grad_accum, loss, logits = step(
+                    self.params, grad_accum, dev_batch, rngs[i],
+                    accum_dev,
                 )
+                # optimizer fires per virtual batch AND on the trailing
+                # remainder (train_models.py:685)
+                if (i + 1) % accum == 0 or i + 1 == len(batches):
+                    self.params, self.opt_state, grad_accum = apply_step(
+                        self.params, self.opt_state, grad_accum, lr_dev,
+                    )
             else:
                 step = self._get_step(skey, False)
                 loss, logits = step(self.params, dev_batch)

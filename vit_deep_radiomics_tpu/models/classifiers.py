@@ -243,7 +243,12 @@ class TransformerNoduleClassifier(nn.Module):
                      seq_mesh=self.seq_mesh,
                      name="encoder")(x, token_mask, deterministic)
         cls_out = x[:, 0]
+        # reference MLPLayer fixes its own dropout at 0.1
+        # (models_archs.py:186) — here the classifier's rate propagates so
+        # dropout_rate=0.0 really disables all stochasticity (the default
+        # 0.1 matches the reference)
         logits = _MLPHead(self.input_dim * 2, self.num_classes, p,
+                          dropout_rate=min(self.dropout_rate, 0.1),
                           name="head")(cls_out, deterministic)
         return p.cast_output(logits), p.cast_output(cls_out)
 
@@ -290,8 +295,14 @@ class TransformerNoduleBimodalClassifier(nn.Module):
         cls_pet = self.param("cls_token_pet", nn.initializers.normal(1.0),
                              (1, 1, d), p.param_dtype)
 
-        head_ct = _MLPHead(d * 2, self.num_classes, p, name="classifier_ct")
-        head_pet = _MLPHead(d * 2, self.num_classes, p, name="classifier_pet")
+        # reference MLPLayer fixes its own dropout at 0.1
+        # (models_archs.py:186); min() keeps that at the 0.5-encoder
+        # default while letting dropout_rate=0.0 disable everything
+        head_rate = min(self.dropout_rate, 0.1)
+        head_ct = _MLPHead(d * 2, self.num_classes, p,
+                           dropout_rate=head_rate, name="classifier_ct")
+        head_pet = _MLPHead(d * 2, self.num_classes, p,
+                            dropout_rate=head_rate, name="classifier_pet")
 
         x_ct = x_pet = None
         if ct_tokens is not None:
@@ -328,10 +339,12 @@ class TransformerNoduleBimodalClassifier(nn.Module):
             logits_pet = head_pet(pet_cls, deterministic)
 
             joint = jnp.concatenate([ct_cls, pet_cls], axis=-1)
-            joint = _MLPHead(d, d, p, name="projection_petct")(
+            joint = _MLPHead(d, d, p, dropout_rate=head_rate,
+                             name="projection_petct")(
                 joint, deterministic
             )
             logits_joint = _MLPHead(d * 2, self.num_classes, p,
+                                    dropout_rate=head_rate,
                                     name="classifier_petct")(
                 joint, deterministic
             )

@@ -465,8 +465,10 @@ class WindowedAttention(nn.Module):
         # kv tiles as wide as VMEM allows (the (block_q, block_k) fp32
         # score transient is the limit): fewer grid steps per q block —
         # measured 2x on ViT-L@518's 1536-padded tokens vs square 512
-        # blocks
-        block_k = min(2048, sq_pad)
+        # blocks.  Must divide sq_pad: _q_blocking can pad to e.g. 1536
+        # or 3072, which a raw min() cap does not divide.
+        block_k = max(bk for bk in (2048, 1024, 512, 256, 128)
+                      if sq_pad % bk == 0)
         out = flash_attention_fused_qkv(
             qkv, kv_len=kv_len, num_heads=nh,
             block_q=min(bq, 512), block_k=block_k, interpret=interpret,
@@ -496,9 +498,13 @@ class WindowedAttention(nn.Module):
             k = jnp.pad(k, pad)
             v = jnp.pad(v, pad)
             kv_len = jnp.full((b,), s, jnp.int32)
+        # block_k must divide sq_pad (1370 tokens pad to 1536, which a
+        # raw min(1024, ·) cap does not divide)
+        block_k = max(bk for bk in (1024, 512, 256, 128)
+                      if sq_pad % bk == 0)
         out = flash_attention_trainable(
             q, k, v, kv_len=kv_len,
-            block_q=min(bq, 512), block_k=min(1024, sq_pad),
+            block_q=min(bq, 512), block_k=block_k,
             interpret=interpret,
         )
         return out[:, :, :s]

@@ -731,9 +731,13 @@ def _fused_global_kernel(
         m_new = jnp.maximum(
             m_prev, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
         )
-        # subtract m in the score dtype: bf16 m rounds at most one ulp off
-        # the true max, so s - m stays ≤ ~1e-2 — exp2 cannot overflow and
-        # the normalisation divides any constant offset back out
+        # quantise the running max through the score dtype so the SAME
+        # value feeds p, alpha and the stored max: tiles accumulated
+        # under different running maxima then carry no differential
+        # rounding offset (in bf16 mode the max of bf16 scores is already
+        # bf16-representable, so this is a numerical no-op that makes the
+        # invariant explicit; in fp32 mode sdtype is fp32)
+        m_new = m_new.astype(sdtype).astype(jnp.float32)
         p = jnp.exp2((s - m_new.astype(sdtype)).astype(q.dtype))
         alpha = jnp.exp2(m_prev - m_new)
         m_scratch[hh] = m_new
