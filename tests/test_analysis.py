@@ -179,11 +179,53 @@ class TestFusion:
 
 
 class TestEmbeddingsProjection:
-    def test_pca_fallback_shape(self):
+    def test_projection_shape_and_name(self):
         rng = np.random.default_rng(1)
         emb = rng.normal(size=(20, 16)).astype(np.float32)
-        out = embeddings.project_3d(emb)
+        out, projector = embeddings.project_3d(emb)
         assert out.shape == (20, 3)
+        assert projector in ("umap", "umap-minimal")
+
+    def test_minimal_umap_separates_clusters(self):
+        """The vendored UMAP must behave like a UMAP: two well-separated
+        Gaussian clusters stay separated in the 3D layout (a projector
+        stub would not guarantee this under the kNN-graph pipeline)."""
+        from vit_deep_radiomics_tpu.analysis.umap_minimal import (
+            umap_project,
+        )
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(0.0, 0.3, size=(30, 8))
+        b = rng.normal(6.0, 0.3, size=(30, 8))
+        x = np.vstack([a, b])
+        out = umap_project(x, n_epochs=200, random_state=42)
+        ca, cb = out[:30].mean(axis=0), out[30:].mean(axis=0)
+        between = np.linalg.norm(ca - cb)
+        within = max(
+            np.linalg.norm(out[:30] - ca, axis=1).mean(),
+            np.linalg.norm(out[30:] - cb, axis=1).mean(),
+        )
+        assert between > 2.0 * within, (between, within)
+
+    def test_minimal_umap_deterministic(self):
+        from vit_deep_radiomics_tpu.analysis.umap_minimal import (
+            umap_project,
+        )
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(25, 6))
+        o1 = umap_project(x, n_epochs=50, random_state=7)
+        o2 = umap_project(x, n_epochs=50, random_state=7)
+        np.testing.assert_array_equal(o1, o2)
+
+    def test_minimal_umap_tiny_inputs(self):
+        from vit_deep_radiomics_tpu.analysis.umap_minimal import (
+            umap_project,
+        )
+
+        out = umap_project(np.zeros((2, 4)), n_components=3)
+        assert out.shape == (2, 3)
+        assert np.isfinite(out).all()
 
     def test_scatter_html(self, tmp_path):
         rng = np.random.default_rng(2)

@@ -1,0 +1,57 @@
+"""End-to-end AUC-parity north star (BASELINE.json): reference vs ours.
+
+Runs the reference's OWN ``train_models.py`` k-fold loop (CPU oracle via
+tools/ref_oracle.py — stubbed viz deps, cuda→cpu) and this framework's
+``train_kfold`` over IDENTICAL artifacts (HDF5 feature stores, merged
+parquet, generated kfold YAML) from a synthetic cohort with a planted
+class signal, and asserts per-fold test AUC within 0.5%
+(train_models.py:744-745 metric).  The checked-in ``PARITY_AUC.json`` is
+the full 5-fold version of the same harness (tools/auc_parity.py --full).
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from auc_parity import (  # noqa: E402
+    build_parity_project,
+    compare_aucs,
+    run_our_trainer,
+    run_reference_trainer,
+)
+
+
+@pytest.fixture(scope="module")
+def parity_runs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("parity") / "proj"
+    project, df = build_parity_project(
+        root, n_patients=12, n_folds=2, num_epochs=6,
+    )
+    ref = run_reference_trainer(project["root"])
+    ours = run_our_trainer(project, df)
+    return ref, ours
+
+
+class TestAUCParityNorthStar:
+    def test_per_fold_auc_within_half_percent(self, parity_runs):
+        ref, ours = parity_runs
+        result = compare_aucs(ref, ours, tol=0.005)
+        assert result["all_within_tol"], result
+
+    def test_both_trainers_learn(self, parity_runs):
+        """Guard against vacuous parity: the planted signal must actually
+        be learned (final AUC ≫ chance) by BOTH trainers."""
+        ref, ours = parity_runs
+        for fold in ref:
+            assert ref[fold][-1] > 0.9, (fold, ref[fold])
+            assert ours[fold][-1] > 0.9, (fold, ours[fold])
+
+    def test_reference_epochs_complete(self, parity_runs):
+        ref, _ = parity_runs
+        assert all(len(v) == 6 for v in ref.values()), {
+            k: len(v) for k, v in ref.items()}

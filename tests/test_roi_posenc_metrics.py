@@ -184,3 +184,30 @@ class TestMetrics:
         assert ours["macro_f1"] == pytest.approx(
             ref["macro avg"]["f1-score"], abs=1e-6
         )
+
+    @pytest.mark.parametrize("weighted", [False, True])
+    def test_device_epoch_report_equals_sklearn_report(self, weighted):
+        """The live trainer path (device kernels) must emit the exact
+        JSON the sklearn renderer produces (VERDICT r1 next-step #3)."""
+        from vit_deep_radiomics_tpu.analysis.reports import (
+            device_epoch_report,
+            epoch_report,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 80
+        y = (rng.uniform(size=n) > 0.45).astype(int)
+        s = rng.uniform(size=n)
+        w = rng.uniform(0.5, 1.5, size=n) if weighted else None
+        kw = dict(kfold=2, loss=0.31, epoch=4, split="test")
+        dev = device_epoch_report(y, s, w, **kw)
+        ref = epoch_report(y, s, w, **kw)
+        assert set(dev) == set(ref)
+        for key in ("0", "1", "macro avg", "weighted avg"):
+            for field in ("precision", "recall", "f1-score", "support"):
+                assert dev[key][field] == pytest.approx(
+                    ref[key][field], abs=1e-5), (key, field)
+        for key in ("accuracy", "ROC AUC", "loss"):
+            assert dev[key] == pytest.approx(ref[key], abs=1e-5), key
+        for key in ("kfold", "epoch", "split"):
+            assert dev[key] == ref[key]

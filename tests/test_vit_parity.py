@@ -84,6 +84,49 @@ class TestSamParity:
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
+    def test_original_sam_naming_matches_transformers_naming(
+        self, sam_oracle
+    ):
+        """A real ``medsam_vit_b.pth`` ships segment_anything naming
+        (``image_encoder.blocks.N.*`` / ``neck.0-3``, reference loads it
+        at tfds_dense_descriptor.py:104); converting the SAME weights
+        under either naming must give identical params (VERDICT r1 #6)."""
+        state = {k: v.numpy() for k, v in sam_oracle.state_dict().items()}
+
+        def to_original(key):
+            k = key.replace("vision_encoder.", "image_encoder.")
+            k = k.replace("patch_embed.projection.", "patch_embed.proj.")
+            k = k.replace(".layers.", ".blocks.")
+            # neck first: its LN keys would otherwise be caught by the
+            # block-LN rename below
+            k = k.replace("neck.conv1.weight", "neck.0.weight")
+            k = k.replace("neck.layer_norm1.weight", "neck.1.weight")
+            k = k.replace("neck.layer_norm1.bias", "neck.1.bias")
+            k = k.replace("neck.conv2.weight", "neck.2.weight")
+            k = k.replace("neck.layer_norm2.weight", "neck.3.weight")
+            k = k.replace("neck.layer_norm2.bias", "neck.3.bias")
+            k = k.replace(".layer_norm1.", ".norm1.")
+            k = k.replace(".layer_norm2.", ".norm2.")
+            return k
+
+        original_state = {to_original(k): v for k, v in state.items()}
+        # the fabricated dict really uses the original-SAM key shapes
+        assert any(
+            k.startswith("image_encoder.blocks.0.") for k in original_state)
+        assert "image_encoder.neck.0.weight" in original_state
+
+        want = convert.sam_params_from_torch(state, SMALL_SAM)
+        got = convert.sam_params_from_torch(original_state, SMALL_SAM)
+        flat_want = jax.tree_util.tree_leaves_with_path(want)
+        flat_got = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(got))
+        assert len(flat_want) == len(flat_got)
+        for key, w in flat_want:
+            np.testing.assert_array_equal(
+                flat_got[jax.tree_util.keystr(key)], w,
+                err_msg=jax.tree_util.keystr(key))
+
     def test_patch_embed_matches(self, sam_oracle):
         state = {k: v.numpy() for k, v in sam_oracle.state_dict().items()}
         params = convert.sam_params_from_torch(state, SMALL_SAM)

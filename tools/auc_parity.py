@@ -1,0 +1,227 @@
+"""End-to-end k-fold AUC parity: this framework vs the reference trainer.
+
+The BASELINE.json north star is "k-fold AUC within 0.5% of reference".
+This harness demonstrates it end to end:
+
+1. :func:`build_parity_project` writes a sandbox project in the
+   reference's on-disk layout — ``.git/`` marker, ``conf/parameters_models
+   .yaml`` + generated ``parameters_kfold.yaml`` (config_manager.py:28-44,
+   split_patients.py:39-43), and a synthetic descriptor cohort with a
+   planted class signal under ``data/features/`` (HDF5 + parquet in the
+   reference contract) — identical artifacts for both trainers.
+2. :func:`run_reference_trainer` executes the reference's OWN
+   ``train_models.py`` __main__ loop (CPU, via tools/ref_oracle.py) over
+   those artifacts and parses its per-epoch ``test_metrics_E.json``.
+3. :func:`run_our_trainer` runs :func:`engine.train.train_kfold` on the
+   same files.
+4. :func:`compare_aucs` lines up per-fold test AUC (final epoch) and
+   checks ``|Δ| ≤ 0.005``.
+
+CLI: ``python tools/auc_parity.py [--full]`` writes ``PARITY_AUC.json``
+at the repo root (the full 5-fold run takes a few CPU minutes).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+REPO = Path(__file__).resolve().parent.parent
+REF_SRC = "/root/reference/src"
+sys.path.insert(0, str(REPO))
+
+
+def build_parity_project(
+    root: Path,
+    n_patients: int = 20,
+    ct_slices: int = 16,
+    pet_slices: int = 4,
+    feat_dim: int = 32,
+    n_folds: int = 5,
+    num_epochs: int = 10,
+    virtual_batch: int = 4,
+    learning_rate: float = 1e-3,
+    signal: float = 1.5,
+    seed: int = 0,
+):
+    """Sandbox project dir both trainers consume; returns (paths, df)."""
+    from vit_deep_radiomics_tpu.data.splits import (
+        build_kfold_patients,
+        write_kfold_yaml,
+    )
+    from vit_deep_radiomics_tpu.data.synthetic import (
+        write_synthetic_feature_store,
+    )
+
+    root = Path(root)
+    for sub in (".git", "src", "conf", "models"):
+        (root / sub).mkdir(parents=True, exist_ok=True)
+    feature_dir = root / "data" / "features"
+    df = write_synthetic_feature_store(
+        feature_dir, n_patients=n_patients, ct_slices=ct_slices,
+        pet_slices=pet_slices, feat_dim=feat_dim, signal=signal, seed=seed,
+    )
+    folds = build_kfold_patients(df, n_splits=n_folds)
+    write_kfold_yaml(folds, root / "conf")
+
+    models_cfg = {
+        "models": {
+            "transformer": {
+                "learning_rate": learning_rate, "feature_dim": feat_dim,
+                "batch_size": 1, "virtual_batch_size": virtual_batch,
+                "num_epochs": num_epochs, "patience": 100,
+                "chest": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
+                "ct": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
+                "pet": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
+            },
+            "conv": {
+                "learning_rate": learning_rate, "feature_dim": feat_dim,
+                "batch_size": 1, "virtual_batch_size": virtual_batch,
+                "num_epochs": num_epochs, "patience": 100,
+                "ct": {"div": 2}, "pet": {"div": 2},
+            },
+        },
+    }
+    with open(root / "conf" / "parameters_models.yaml", "w") as f:
+        yaml.safe_dump(models_cfg, f)
+    cfg = dict(models_cfg)
+    cfg["kfold_patients"] = folds
+    return {"root": root, "feature_dir": feature_dir, "cfg": cfg}, df
+
+
+def run_reference_trainer(
+    root: Path,
+    arch: str = "transformer",
+    dataset: str = "stanford",
+    modality: str = "ct",
+    loss: str = "focal",
+    experiment: str = "parity",
+    timeout: int = 3600,
+) -> dict[int, list[float]]:
+    """Reference __main__ on CPU → {fold: [test AUC per epoch]}."""
+    cmd = [
+        sys.executable, str(REPO / "tools" / "ref_oracle.py"),
+        str(root), REF_SRC,
+        "-a", arch, "-d", dataset, "-m", modality, "-l", loss,
+        "-e", experiment,
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference trainer failed:\n{proc.stdout[-2000:]}\n"
+            f"{proc.stderr[-4000:]}"
+        )
+    base = (
+        Path(root) / "models" / experiment
+        / f"medsam_{arch}_{dataset}" / modality
+    )
+    out: dict[int, list[float]] = {}
+    for fold_dir in sorted(base.glob("kfold_*")):
+        fold = int(fold_dir.name.split("_")[-1])
+        epochs = sorted(
+            fold_dir.glob("test_metrics_*.json"),
+            key=lambda p: int(p.stem.split("_")[-1]),
+        )
+        out[fold] = [
+            json.load(open(p))["ROC AUC"] for p in epochs
+        ]
+    if not out:
+        raise RuntimeError(f"no reference metrics under {base}")
+    return out
+
+
+def run_our_trainer(
+    project,
+    df,
+    arch: str = "transformer",
+    dataset: str = "stanford",
+    modality: str = "ct",
+    loss: str = "focal",
+    folds=None,
+) -> dict[int, list[float]]:
+    """train_kfold on the same artifacts → {fold: [test AUC per epoch]}."""
+    from vit_deep_radiomics_tpu.engine.train import (
+        TrainerConfig,
+        train_kfold,
+    )
+
+    tcfg = TrainerConfig(
+        arch=arch, modality=modality, loss=loss, dataset=dataset,
+        batch_size=1, precision="parity",
+    )
+    results = train_kfold(
+        df, project["cfg"], tcfg,
+        project["feature_dir"] / "features_masks_ct.hdf5",
+        project["feature_dir"] / "features_masks_pet.hdf5",
+        project["root"] / "models_ours",
+        folds=folds, log=lambda *_: None,
+    )
+    return {
+        int(k): list(hist["test_auc"]) for k, hist in results.items()
+    }
+
+
+def compare_aucs(
+    ref: dict[int, list[float]],
+    ours: dict[int, list[float]],
+    tol: float = 0.005,
+) -> dict:
+    """Per-fold final-epoch test AUC comparison (north-star metric)."""
+    rows = []
+    for fold in sorted(ref):
+        r, o = ref[fold][-1], ours[fold][-1]
+        rows.append({
+            "fold": fold, "ref_auc": r, "ours_auc": o,
+            "abs_diff": abs(r - o), "within_tol": abs(r - o) <= tol,
+        })
+    ref_mean = float(np.mean([ref[f][-1] for f in ref]))
+    ours_mean = float(np.mean([ours[f][-1] for f in ours]))
+    return {
+        "folds": rows,
+        "ref_mean_auc": ref_mean,
+        "ours_mean_auc": ours_mean,
+        "mean_abs_diff": float(np.mean([r["abs_diff"] for r in rows])),
+        "tolerance": tol,
+        "all_within_tol": all(r["within_tol"] for r in rows),
+    }
+
+
+def main() -> None:
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--full", action="store_true",
+                    help="5 folds / 20 patients / 10 epochs "
+                         "(default: 2 folds / 12 patients / 6 epochs)")
+    ap.add_argument("--out", default=str(REPO / "PARITY_AUC.json"))
+    args = ap.parse_args()
+
+    kw = (
+        dict(n_patients=20, n_folds=5, num_epochs=10)
+        if args.full else dict(n_patients=12, n_folds=2, num_epochs=6)
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        project, df = build_parity_project(Path(tmp) / "proj", **kw)
+        print("running reference trainer (CPU oracle)...", flush=True)
+        ref = run_reference_trainer(project["root"])
+        print("running our trainer...", flush=True)
+        ours = run_our_trainer(project, df)
+    result = compare_aucs(ref, ours)
+    result["config"] = kw
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    if not result["all_within_tol"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

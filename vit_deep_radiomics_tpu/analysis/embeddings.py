@@ -55,18 +55,34 @@ def best_fold_epoch_from_summary(
     return int(row["Best Kfold"]), int(row["Best Epoch"])
 
 
-def project_3d(embeddings: np.ndarray, seed: int = 42) -> np.ndarray:
-    """3D projection: UMAP when available, PCA otherwise."""
+def project_3d(
+    embeddings: np.ndarray, seed: int = 42
+) -> tuple[np.ndarray, str]:
+    """3D projection → (coords, projector name).
+
+    Reference parameters (umap_cls_token.py:141): UMAP(n_neighbors=3,
+    min_dist=0.5, n_components=3, seed, metric='l2', n_epochs=500).
+    umap-learn is used when importable; otherwise the vendored minimal
+    UMAP (analysis/umap_minimal.py) runs the same algorithm — the
+    artifact is a real UMAP either way, and the returned name
+    ('umap' | 'umap-minimal') is recorded in the parquet/HTML so the
+    projector is never ambiguous (round-1 gap)."""
     try:
         from umap.umap_ import UMAP
 
         um = UMAP(n_neighbors=3, min_dist=0.5, n_components=3,
                   random_state=seed, metric="l2", n_epochs=500)
-        return np.asarray(um.fit_transform(embeddings))
+        return np.asarray(um.fit_transform(embeddings)), "umap"
     except ImportError:
-        centered = embeddings - embeddings.mean(axis=0, keepdims=True)
-        _u, _s, vt = np.linalg.svd(centered, full_matrices=False)
-        return centered @ vt[:3].T
+        from .umap_minimal import umap_project
+
+        return (
+            umap_project(
+                embeddings, n_components=3, n_neighbors=3, min_dist=0.5,
+                n_epochs=500, random_state=seed,
+            ),
+            "umap-minimal",
+        )
 
 
 def extract_embeddings(

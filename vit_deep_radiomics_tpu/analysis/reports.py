@@ -26,6 +26,7 @@ from sklearn.metrics import classification_report, roc_auc_score
 
 __all__ = [
     "epoch_report",
+    "device_epoch_report",
     "save_report_json",
     "format_report",
     "write_metrics_html",
@@ -59,6 +60,84 @@ def epoch_report(
     report["loss"] = float(loss)
     report["epoch"] = int(epoch)
     report["split"] = split
+    return report
+
+
+def device_epoch_report(
+    y_true,
+    y_score,
+    sample_weight: Sequence[float] | None,
+    *,
+    kfold,
+    loss: float,
+    epoch: int,
+    split: str,
+) -> dict:
+    """:func:`epoch_report` computed by the on-device metric kernels.
+
+    The live trainer path (engine/train.py) uses this: weighted ROC-AUC
+    (sort-based, tie-correct) and the confusion-count report run as one
+    jitted program (ops/metrics.py), and the host receives only the
+    final scalars — sklearn stays out of the hot loop and is only a
+    cross-check in tests.  Output schema is identical to the sklearn
+    ``classification_report`` dict of the reference
+    (train_models.py:747-763): per-class precision/recall/f1-score/
+    support, accuracy, macro/weighted averages, plus
+    ``ROC AUC``/``kfold``/``loss``/``epoch``/``split``.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.metrics import binary_counts, binary_report_metrics, roc_auc
+
+    yt = jnp.asarray(np.asarray(y_true), jnp.float32)
+    ys = jnp.asarray(np.asarray(y_score), jnp.float32)
+    w = None if sample_weight is None else jnp.asarray(
+        np.asarray(sample_weight), jnp.float32)
+    yp = (ys >= 0.5).astype(jnp.float32)
+    m = binary_report_metrics(yt, yp, w)
+    tp, fp, tn, fn = binary_counts(yt, yp, w)
+    auc = roc_auc(yt, ys, w)
+    # one host materialisation point for the whole epoch report
+    vals = {k: float(v) for k, v in m.items()}
+    tp, fp, tn, fn, auc = (float(x) for x in (tp, fp, tn, fn, auc))
+
+    support_0 = tn + fp
+    support_1 = tp + fn
+    total = support_0 + support_1
+
+    def cls(prec, rec, f1, support):
+        return {"precision": prec, "recall": rec, "f1-score": f1,
+                "support": support}
+
+    def avg(k0, k1, weights):
+        w0, w1 = weights
+        denom = w0 + w1
+        if denom <= 0:
+            return 0.0
+        return (vals[k0] * w0 + vals[k1] * w1) / denom
+
+    report = {
+        "0": cls(vals["precision_0"], vals["recall_0"], vals["f1_0"],
+                 support_0),
+        "1": cls(vals["precision_1"], vals["recall_1"], vals["f1_1"],
+                 support_1),
+        "accuracy": vals["accuracy"],
+        "macro avg": cls(
+            (vals["precision_0"] + vals["precision_1"]) / 2.0,
+            (vals["recall_0"] + vals["recall_1"]) / 2.0,
+            vals["macro_f1"], total,
+        ),
+        "weighted avg": cls(
+            avg("precision_0", "precision_1", (support_0, support_1)),
+            avg("recall_0", "recall_1", (support_0, support_1)),
+            avg("f1_0", "f1_1", (support_0, support_1)), total,
+        ),
+        "ROC AUC": auc,
+        "kfold": kfold,
+        "loss": float(loss),
+        "epoch": int(epoch),
+        "split": split,
+    }
     return report
 
 

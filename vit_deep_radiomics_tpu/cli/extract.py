@@ -24,10 +24,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="medsam or dinov2_vit{s,b,l,g}14")
     p.add_argument("-mp", "--model-path", default=None,
                    help=".pth checkpoint to convert (random init if absent)")
-    p.add_argument("-h5", "--hdf5-path", required=True,
-                   help="isotropic-volume HDF5 dataset")
-    p.add_argument("-df", "--df-path", required=True,
-                   help="patient metadata CSV (patient_id/egfr/dataset)")
+    p.add_argument("--source", default="isotropic",
+                   choices=["isotropic", "tfds"],
+                   help="volume source: isotropic HDF5 (default) or tfds "
+                        "patient datasets (the reference CLI's use_tfds "
+                        "mode, tfds_dense_descriptor.py:402-447 — with "
+                        "its extraction dead-branch fixed)")
+    p.add_argument("-h5", "--hdf5-path", default=None,
+                   help="isotropic-volume HDF5 dataset "
+                        "(required with --source isotropic)")
+    p.add_argument("-df", "--df-path", default=None,
+                   help="patient metadata CSV (patient_id/egfr/dataset; "
+                        "required with --source isotropic)")
+    p.add_argument("--data-dir", default=None,
+                   help="tfds data_dir (--source tfds)")
     p.add_argument("-f", "--feature-folder",
                    default=os.path.join("data", "features"))
     p.add_argument("-mod", "--modality", default="ct",
@@ -60,10 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.source == "isotropic" and not (args.hdf5_path and args.df_path):
+        build_parser().error(
+            "--source isotropic requires --hdf5-path and --df-path")
     from ..engine.extract import (
         DenseExtractor,
         ExtractionConfig,
         extract_isotropic_dataset,
+        extract_tfds_dataset,
     )
 
     cfg = ExtractionConfig(
@@ -98,12 +112,27 @@ def main(argv=None) -> int:
         else contextlib.nullcontext()
     )
     with profiler:
-        written = extract_isotropic_dataset(
-            args.hdf5_path, args.df_path, args.feature_folder, extractor,
-            modalities=("pet", args.modality),
-            datasets=tuple(args.datasets),
-            progress=print,
-        )
+        if args.source == "tfds":
+            # reference tfds dataset ids end in `_dataset`
+            # (tfds_dense_descriptor.py:392, 406)
+            datasets = tuple(
+                d if d.endswith("_dataset") else f"{d}_dataset"
+                for d in args.datasets
+            )
+            written = extract_tfds_dataset(
+                args.feature_folder, extractor,
+                datasets=datasets, data_dir=args.data_dir,
+                modalities=("pet", args.modality),
+                progress=print,
+            )
+        else:
+            written = extract_isotropic_dataset(
+                args.hdf5_path, args.df_path, args.feature_folder,
+                extractor,
+                modalities=("pet", args.modality),
+                datasets=tuple(args.datasets),
+                progress=print,
+            )
     print(f"wrote {len(written)} patient parquets")
     return 0
 

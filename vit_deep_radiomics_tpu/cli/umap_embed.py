@@ -72,8 +72,10 @@ def main(argv=None) -> int:
         )
         import numpy as np
 
-        coords = project_3d(np.stack(emb["embedding"].to_list()))
+        coords, projector = project_3d(
+            np.stack(emb["embedding"].to_list()))
         emb[["umap_x", "umap_y", "umap_z"]] = coords
+        emb["projector"] = projector
         emb["modality"] = modality
         emb["arch"] = arch
         emb["dataset"] = dataset
@@ -82,7 +84,8 @@ def main(argv=None) -> int:
             os.path.join(
                 args.plots_dir, "umap",
                 f"{args.backbone}_{arch}_{dataset}_{modality}_umap.html"),
-            title=f"{args.backbone} {arch} {dataset} {modality}",
+            title=(f"{args.backbone} {arch} {dataset} {modality} "
+                   f"[{projector}]"),
         )
         frames.append(emb)
 

@@ -22,6 +22,7 @@ __all__ = [
     "synthetic_cohort",
     "write_isotropic_hdf5",
     "read_isotropic_hdf5",
+    "write_synthetic_feature_store",
 ]
 
 
@@ -119,6 +120,83 @@ def write_isotropic_hdf5(
                 "has_petchest": "chest" in entry and "pet" in entry,
             })
     pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+
+def write_synthetic_feature_store(
+    feature_dir: str | os.PathLike,
+    n_patients: int = 20,
+    ct_slices: int = 16,
+    pet_slices: int = 4,
+    grid: int = 12,
+    mask_extent: int = 6,
+    feat_dim: int = 32,
+    signal: float = 1.2,
+    seed: int = 0,
+    dataset: str = "stanford",
+) -> "pd.DataFrame":
+    """Descriptor-level synthetic cohort with a planted class signal.
+
+    Writes the full downstream-training artifact set in the reference
+    contract — ``features_masks_{ct,pet}.hdf5`` (groups
+    ``{pid}/features/{i}`` / ``masks/{i}``,
+    tfds_dense_descriptor.py:142-165), per-patient metadata parquets and
+    the merged ``petct.parquet`` (merge_dataframe_features.py:17-30) —
+    so BOTH the reference trainer and this framework's trainer can
+    consume identical files (the end-to-end AUC-parity harness,
+    tools/auc_parity.py).
+
+    Each masked voxel's descriptor is iid N(0,1) noise plus
+    ``(2·label−1)·signal·u`` along a fixed unit direction ``u``, so the
+    task is learnable and both trainers converge to the same AUC.
+    Returns the merged metadata dataframe.
+    """
+    import pandas as pd
+
+    from .feature_store import (
+        merge_metadata,
+        save_features,
+        slice_metadata_frame,
+    )
+
+    feature_dir = Path(feature_dir)
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=(feat_dim,))
+    u /= np.linalg.norm(u)
+    lo = (grid - mask_extent) // 2
+    mask = np.zeros((grid, grid), bool)
+    mask[lo:lo + mask_extent, lo:lo + mask_extent] = True
+    spatial_res = np.asarray([0.8, 0.8, 0.8], np.float64)
+
+    ds_dir = feature_dir / f"{dataset}_dataset"
+    ds_dir.mkdir(parents=True, exist_ok=True)
+    for i in range(n_patients):
+        pid = f"{dataset[:2]}_{i:03d}"
+        label = i % 2
+        shift = (2 * label - 1) * signal * u
+        for modality, n_slices in (("ct", ct_slices), ("pet", pet_slices)):
+            feats, masks = [], []
+            for _s in range(n_slices):
+                f = rng.normal(size=(grid, grid, feat_dim)).astype(
+                    np.float32)
+                f[mask] += shift.astype(np.float32)
+                feats.append(f)
+                masks.append(mask)
+            save_features(
+                feature_dir / f"features_masks_{modality}.hdf5",
+                feats, masks, pid,
+            )
+            meta = slice_metadata_frame(
+                slices=range(n_slices),
+                angles=[0] * n_slices,
+                flips=["None"] * n_slices,
+                patient_id=pid, label=label, dataset=dataset,
+                modality=modality, spatial_res=spatial_res,
+            )
+            meta.to_parquet(ds_dir / f"{pid}_{modality}.parquet")
+    return merge_metadata(
+        feature_dir, datasets=(f"{dataset}_dataset",),
+        output_path=feature_dir / "petct.parquet",
+    )
 
 
 def read_isotropic_hdf5(

@@ -54,7 +54,7 @@ def evaluate_checkpoint(
         batches, epoch=epoch, train=False
     )
     weights = _patient_weights(pids)
-    return reports.epoch_report(
+    return reports.device_epoch_report(
         y_true, y_score, weights,
         kfold=kfold, loss=loss, epoch=epoch, split=split,
     )

@@ -43,7 +43,12 @@ from ..ops import preprocess as pp
 from ..ops import roi
 from ..ops.sampling import fused_flip_rotate_crop_resize, transform_mask
 
-__all__ = ["ExtractionConfig", "DenseExtractor", "extract_isotropic_dataset"]
+__all__ = [
+    "ExtractionConfig",
+    "DenseExtractor",
+    "extract_isotropic_dataset",
+    "extract_tfds_dataset",
+]
 
 FLIPS = (None, "horizontal", "vertical")
 ANGLES = (0, 45, 90, 135)
@@ -585,4 +590,104 @@ def extract_isotropic_dataset(
                     fin()
     finally:
         read_pool.shutdown(wait=False)
+    return written
+
+
+def extract_tfds_dataset(
+    feature_folder: str | os.PathLike,
+    extractor: DenseExtractor,
+    datasets: Iterable[str] = ("santa_maria_dataset", "stanford_dataset"),
+    data_dir: str | os.PathLike | None = None,
+    modalities: tuple[str, str] = ("pet", "ct"),
+    progress: Callable[[str], None] | None = None,
+    use_queue: bool = True,
+    loader: Callable | None = None,
+) -> list[str]:
+    """Sweep tfds patient datasets → per-patient parquet + HDF5 store.
+
+    The reference CLI's tfds mode (tfds_dense_descriptor.py:402-447)
+    stacks volumes, filters unknown labels, warns on empty masks and
+    selects the per-modality normalisation — but its extraction call
+    sits only in the isotropic ``else`` branch, so the tfds path
+    normalises and then writes NOTHING (the dead branch documented in
+    SURVEY.md §7).  This implementation keeps every behaviour of that
+    branch — per-slice stacking + PET liver normalisation
+    (data/ingest.py:samples_to_voxels), the {0, 1} label filter with the
+    skip warning (:433-434), the empty-mask warning (:437-438), the
+    per-modality normalisation selection (:441-447, applied on device in
+    ``DenseExtractor._normalize``) — and then actually extracts through
+    the same augmentation sweep + feature-store writes as the isotropic
+    path.
+
+    ``loader(dataset_name, data_dir)`` must return
+    ``(ds_pet, ds_ct, patient_ids)`` where ``ds_X[patient_id]`` is an
+    iterable of per-slice sample mappings; the default is
+    :func:`~..data.ingest.load_tfds_pair` (requires tensorflow_datasets —
+    duck-typed dict sources exercise the full path without it).
+    """
+    from ..data.ingest import load_tfds_pair, samples_to_voxels
+    from .workqueue import WorkQueue
+
+    loader = loader or load_tfds_pair
+    feature_folder = Path(feature_folder)
+
+    items: list[str] = []
+    meta: dict[str, tuple] = {}
+    for dataset_name in datasets:
+        ds_pet, ds_ct, patient_ids = loader(dataset_name, data_dir)
+        features_dir = feature_folder / dataset_name
+        features_dir.mkdir(parents=True, exist_ok=True)
+        for pid in patient_ids:
+            for modality in modalities:
+                key = f"{dataset_name}/{pid}/{modality}"
+                items.append(key)
+                source = ds_pet if modality == "pet" else ds_ct
+                meta[key] = (dataset_name, pid, modality, source,
+                             features_dir)
+
+    written: list[str] = []
+    log = progress or print
+
+    def worker(key: str):
+        dataset_name, pid, modality, source, features_dir = meta[key]
+        df_path = features_dir / f"{pid}_{modality}.parquet"
+        h5_path = feature_folder / f"features_masks_{modality}.hdf5"
+        if df_path.exists():
+            return None  # idempotent resume (ref :425)
+        if progress:
+            progress(key)
+        vol, mask, labels, spatial_res = samples_to_voxels(
+            source[pid], pet=(modality == "pet")
+        )
+        label = int(labels[0])
+        if label not in (0, 1):
+            # unknown (2) / not-collected (3) labels: skip, like ref :433
+            log(f"Warning: skip {pid} with label {label}")
+            return None
+        if not mask.sum(axis=(0, 1)).max():
+            log(f"Warning: {pid} has empty mask")
+        feats, masks, (sl, an, fl) = extractor.extract_volume(
+            vol, mask, modality
+        )
+        df = feature_store.slice_metadata_frame(
+            sl, an, fl, patient_id=pid, label=label,
+            dataset=dataset_name.replace("_dataset", ""),
+            modality=modality, spatial_res=spatial_res,
+        )
+
+        def finalize() -> None:
+            feature_store.save_features(h5_path, feats, masks, pid)
+            df.to_parquet(df_path)
+            written.append(str(df_path))
+
+        return finalize
+
+    if use_queue:
+        queue = WorkQueue(feature_folder / "extract_queue.json")
+        queue.run(items, worker, log=log)
+    else:
+        for key in items:
+            fin = worker(key)
+            if fin is not None:
+                fin()
     return written

