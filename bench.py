@@ -36,6 +36,36 @@ def _enable_cache():
 BASELINE_CACHE = REPO / "bench_baseline.json"
 BATCH = 4
 STEPS = 12
+# TPU v5e (v5 lite) nominal bf16 peak per chip, for the MFU readout.
+PEAK_BF16_TFLOPS = 197.0
+
+
+def sam_vitb_flops_per_image() -> float:
+    """Analytic useful-math FLOPs of one SAM ViT-B/16 @1024 forward
+    (2·m·n·k per matmul; attention counts the real 196-token windows,
+    not their padded tiles)."""
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B as cfg
+
+    s = cfg.grid * cfg.grid                      # 4096 tokens
+    c = cfg.width                                # 768
+    h = cfg.num_heads
+    d = cfg.head_dim
+    mlp = int(cfg.mlp_ratio * c)
+    win = cfg.window_size                        # 14
+    n_win = (-(-cfg.grid // win)) ** 2           # 5x5 padded windows
+    wt = win * win                               # 196 tokens per window
+
+    patch = 2 * s * (cfg.patch_size ** 2 * 3) * c
+    per_block = 2 * s * c * 3 * c + 2 * s * c * c + 2 * (2 * s * c * mlp)
+    attn_global = 2 * (2 * h * s * s * d)        # scores + AV
+    attn_window = 2 * (2 * h * n_win * wt * wt * d)
+    n_global = len(cfg.global_indexes)
+    n_windowed = cfg.depth - n_global
+    neck = 2 * s * c * cfg.neck_channels + 2 * s * cfg.neck_channels ** 2 * 9
+    return float(
+        patch + cfg.depth * per_block
+        + n_global * attn_global + n_windowed * attn_window + neck
+    )
 
 
 def measure_vitl14_dense() -> float:
@@ -141,9 +171,107 @@ def get_baseline() -> float:
     return baseline
 
 
+def measure_e2e(n_patients: int = 6) -> dict:
+    """End-to-end pipeline bench, reproducible from the harness
+    (VERDICT r1 #9): synthetic isotropic cohort → FULL extraction sweep
+    (flagship SAM ViT-B @1024, 12 offline augmentations, work queue,
+    prefetch, deferred writes, host I/O included) → merge → split →
+    1-fold downstream training; reports e2e img/s and s/epoch."""
+    import tempfile
+
+    import jax
+
+    from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
+    from vit_deep_radiomics_tpu.engine.extract import (
+        DenseExtractor,
+        ExtractionConfig,
+        extract_isotropic_dataset,
+    )
+    from vit_deep_radiomics_tpu.engine.train import (
+        TrainerConfig,
+        train_kfold,
+    )
+
+    use_flash = jax.default_backend() == "tpu"
+    ct_slices, pet_slices = 8, 4
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp = Path(tmp)
+        cohort = synthetic.synthetic_cohort(
+            n_patients=n_patients, seed=0, dataset="stanford",
+            height=96, width=96, ct_slices=ct_slices,
+            pet_slices=pet_slices,
+        )
+        synthetic.write_isotropic_hdf5(
+            cohort, tmp / "iso.hdf5", tmp / "iso.csv")
+        ex = DenseExtractor(ExtractionConfig(
+            model_name="medsam", precision="fast", use_flash=use_flash,
+        ))
+        t0 = time.perf_counter()
+        written = extract_isotropic_dataset(
+            tmp / "iso.hdf5", tmp / "iso.csv", tmp / "features", ex,
+            modalities=("pet", "ct"), datasets=("stanford",),
+        )
+        extract_s = time.perf_counter() - t0
+        n_augs = len(ex.config.flips) * len(ex.config.angles)
+        n_images = n_patients * (ct_slices + pet_slices) * n_augs
+        assert len(written) == 2 * n_patients
+
+        df = feature_store.merge_metadata(
+            tmp / "features", datasets=("stanford_dataset",))
+        folds = splits.build_kfold_patients(df, n_splits=2)
+        cfg = {
+            "models": {
+                "transformer": {
+                    "learning_rate": 5e-4, "feature_dim": 256,
+                    "batch_size": 8, "virtual_batch_size": 32,
+                    "num_epochs": 3, "patience": 15,
+                    "ct": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
+                    "pet": {"num_layers": 2, "num_heads": 4,
+                            "mlp_ratio": 4},
+                },
+            },
+            "kfold_patients": folds,
+        }
+        tcfg = TrainerConfig(
+            arch="transformer", modality="petct", loss="crossmodal",
+            dataset="stanford", batch_size=8, precision="fast",
+            max_epochs=3,
+        )
+        t0 = time.perf_counter()
+        train_kfold(
+            df, cfg, tcfg,
+            tmp / "features/features_masks_ct.hdf5",
+            tmp / "features/features_masks_pet.hdf5",
+            tmp / "models", folds=[0], log=lambda *_: None,
+        )
+        train_s = time.perf_counter() - t0
+    return {
+        "extract_img_per_s_e2e": round(n_images / extract_s, 3),
+        "extract_s": round(extract_s, 2),
+        "n_images": n_images,
+        "train_s_per_epoch": round(train_s / 3, 2),
+    }
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     _enable_cache()
+    if argv and argv[0] == "e2e":
+        stats = measure_e2e()
+        print(json.dumps({
+            "metric": "e2e_extract_throughput",
+            "value": stats["extract_img_per_s_e2e"],
+            "unit": "img/s",
+            "vs_baseline": 0.0,
+            **stats,
+        }))
+        return
+    if argv and argv[0] == "parity":
+        import subprocess
+
+        raise SystemExit(subprocess.call([
+            sys.executable, str(REPO / "tools" / "auc_parity.py"),
+        ] + argv[1:]))
     if argv and argv[0] == "vitl14":
         value = measure_vitl14_dense()
         print(json.dumps({
@@ -155,11 +283,16 @@ def main(argv=None):
         return
     value = measure_tpu()
     baseline = get_baseline()
+    flops = sam_vitb_flops_per_image()
     print(json.dumps({
         "metric": "sam_vitb16_dense_descriptor_throughput",
         "value": round(value, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(value / baseline, 2),
+        "model_tflops_per_img": round(flops / 1e12, 4),
+        "achieved_tflops": round(value * flops / 1e12, 2),
+        "mfu_vs_v5e_bf16_peak": round(
+            value * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
     }))
 
 
