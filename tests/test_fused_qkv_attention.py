@@ -95,6 +95,54 @@ class TestFusedQKVGlobal:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
+    @pytest.mark.parametrize("schedule", ["skew", "twolevel"])
+    def test_schedules_match_base(self, rng, schedule):
+        """Issue-order schedules (skew / two-level k tiling) are program-
+        order transforms of the same online softmax: same oracle numerics
+        as the base schedule (twolevel takes more, smaller online-softmax
+        steps, so equality is to flash tolerance, not bitwise)."""
+        b, heads, d = 2, 4, 64
+        kh = kw = 16
+        s = kh * kw
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        bh = _rand(rng, b, heads, s, kh) * 0.3
+        bw = _rand(rng, b, heads, s, kw) * 0.3
+        pair = 128 // d * 2            # _head_group prefers 4-head groups
+        kw_args = dict(
+            bias_h=_pack_pairs(bh, pair), bias_w=_pack_pairs(bw, pair),
+            num_heads=heads, block_q=128, block_k=256, interpret=INTERPRET,
+        )
+        out = flash_attention_fused_qkv(qkv, schedule=schedule, **kw_args)
+        base = flash_attention_fused_qkv(qkv, schedule="base", **kw_args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=2e-5, rtol=2e-5)
+        q, k, v = _split_heads(qkv, heads)
+        dense = (bh[..., :, None] + bw[..., None, :]).reshape(b, heads, s, s)
+        ref = attention_reference(q, k, v, bias=dense)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_schedule_twolevel_with_kv_len(self, rng):
+        b, heads, s, d = 2, 8, 512, 16
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        kv_len = jnp.asarray([300, 512], jnp.int32)
+        out = flash_attention_fused_qkv(
+            qkv, kv_len=kv_len, num_heads=heads, block_q=256, block_k=256,
+            schedule="twolevel", interpret=INTERPRET,
+        )
+        q, k, v = _split_heads(qkv, heads)
+        ref = attention_reference(q, k, v, kv_len=kv_len)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_unknown_schedule_raises(self, rng):
+        qkv = _rand(rng, 1, 256, 3 * 2 * 64)
+        with pytest.raises(ValueError, match="unknown schedule"):
+            flash_attention_fused_qkv(
+                qkv, num_heads=2, schedule="bogus", interpret=INTERPRET)
+
     def test_bf16(self, rng):
         b, heads, s, d = 1, 2, 256, 64
         qkv = _rand(rng, b, s, 3 * heads * d).astype(jnp.bfloat16)

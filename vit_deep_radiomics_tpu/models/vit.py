@@ -35,6 +35,7 @@ LayerScale).  Weight converters from ``.pth`` checkpoints live in
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import jax
@@ -435,13 +436,18 @@ class WindowedAttention(nn.Module):
             return out.reshape(b, s, nh * hd)
 
         if variant == "global":
-            block_k = next(blk for blk in (2048, 1024, 512, 256, 128)
-                           if s % blk == 0 and blk % w == 0)
-            # q blocks quarter the kv tile: fits the kernel's working set
-            # (q rows + score transient + pair-head scratch) in the 16 MB
-            # VMEM scope.  (4096, 256) single-kv-step measured the same;
-            # (2048, 512) keeps the smaller-grid headroom.
-            block_q = min(512, block_k) if s % min(512, block_k) == 0 \
+            bk_cap = int(os.environ.get("VDR_FLASH_BLOCK_K", "2048"))
+            block_k = next(blk for blk in (bk_cap, 2048, 1024, 512, 256, 128)
+                           if blk <= bk_cap and s % blk == 0 and blk % w == 0)
+            # (1024, 2048) blocks + skew schedule, under the raised
+            # 64 MB kernel VMEM limit (pltpu.CompilerParams in
+            # attention.py): measured 100-101 img/s vs 98.2 for the old
+            # (512, 2048)+base — bigger q tiles amortise the kv DMA and
+            # skew keeps an independent score matmul in flight under
+            # every softmax chain.  twolevel@1024 (92.3) and bq2048
+            # (96.1) measured worse; env knobs keep A/Bs one-shot.
+            bq_cap = int(os.environ.get("VDR_FLASH_BLOCK_Q", "1024"))
+            block_q = min(bq_cap, block_k) if s % min(bq_cap, block_k) == 0 \
                 else block_k
             return flash_attention_fused_qkv(
                 qkv,
@@ -450,6 +456,7 @@ class WindowedAttention(nn.Module):
                 num_heads=nh,
                 block_q=block_q,
                 block_k=block_k,
+                schedule=os.environ.get("VDR_FLASH_SCHEDULE", "skew"),
                 interpret=interpret,
             )
 

@@ -33,6 +33,7 @@ Shapes follow (B, H, S, D) with head dim last; fp32 accumulation always
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -619,7 +620,7 @@ def _fused_global_kernel(
     q_ref, k_ref, v_ref, bias_h_ref, bias_w_ref, kv_len_ref, o_ref,
     m_scratch, acc_scratch,
     *, block_k: int, scale: float, has_kv_len: bool,
-    kh: int, kw: int, pair: int, head_dim: int,
+    kh: int, kw: int, pair: int, head_dim: int, schedule: str,
 ):
     """Online-softmax kv loop; refs carry ``pair`` heads side by side.
 
@@ -629,6 +630,19 @@ def _fused_global_kernel(
     matmul, so column ``head_dim`` of the accumulator is the running sum
     (the out tile is lane-padded past head_dim anyway — the extra MXU
     column is free, the removed (bq, block_k) VPU reduction is not).
+
+    ``schedule`` picks the issue order of the per-head work (same math,
+    same per-head online-softmax sequence — only program order differs):
+
+    * ``base`` — score → softmax → PV per head, heads sequential.
+    * ``skew`` — every head's score matmul is issued BEFORE the previous
+      head's softmax chain, so the MXU (next score) and the VPU (current
+      softmax) have independent work in flight at every point.
+    * ``twolevel`` — two-level k tiling: the kv tile is processed in
+      512-wide sub-tiles (DMA granularity stays block_k — the online
+      softmax just takes more, smaller steps), skew-issued across
+      (sub-tile, head) pairs.  Smaller score transients + a steady
+      stream of independent MXU/VPU work.
     """
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -642,7 +656,6 @@ def _fused_global_kernel(
     rows_q = q_ref[0]                                  # (bq, pair·d)
     rows_k = k_ref[0]                                  # (bk, pair·d)
     rows_v = v_ref[0]
-    bq = rows_q.shape[0]
     # bf16 inputs keep scores/max/exp in bf16 — the (bq, block_k)
     # elementwise chain is the VPU hot spot and bf16 halves it; running
     # statistics (m, acc incl. the sum column) stay fp32.  fp32 inputs
@@ -651,11 +664,6 @@ def _fused_global_kernel(
 
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
-        # single iota row; the where below broadcasts it over q rows
-        kidx = kv_idx * block_k + lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1
-        )
-        kv_mask = kidx < kv_len
 
     # Bias application, cheapest first (see _bias_onehot_cols): fold the
     # FULL (un-row-selected) bias_h into the QK contraction's idle lanes
@@ -684,7 +692,6 @@ def _fused_global_kernel(
             expand = _bias_expand_matrix(
                 kv_rows, kw, block_k, lambda cols: cols // kw, rows_q.dtype
             )
-    ones_col = jnp.ones((block_k, 1), rows_v.dtype)
     if has_bias:
         # (bq, pair·kh): this head pair's bias rows, pair-merged along
         # lanes by the block-diagonal bias einsum (see WindowedAttention);
@@ -693,22 +700,35 @@ def _fused_global_kernel(
         bias_h_pair = bias_h_ref[0, 0]
         bias_w_pair = bias_w_ref[0, 0]
 
-    for hh in range(pair):
+    # kv sub-tiling (two-level k tiling).  The expand-matmul bias path is
+    # built for full-width tiles; restrict sub-tiling to the fold and
+    # no-bias paths, which slice cleanly.
+    sub_k = block_k
+    if schedule.startswith("twolevel") and (fold or not has_bias):
+        want = int(schedule[8:]) if schedule[8:] else 512
+        for cand in (want, 512, 256, 128):
+            if block_k > cand and block_k % cand == 0 \
+                    and (not has_bias or cand % kw == 0):
+                sub_k = cand
+                break
+    nsub = block_k // sub_k
+
+    def score(hh, k0):
+        """Scores for head slot hh over keys [k0, k0+sub_k), bias applied
+        and padding masked, in sdtype."""
         sl = slice(hh * head_dim, (hh + 1) * head_dim)
         q = rows_q[:, sl]
-        kblk = rows_k[:, sl]
-        vblk = rows_v[:, sl]
-
+        kblk = rows_k[k0:k0 + sub_k, sl]
         if fold:
             bias_h = bias_h_pair[:, hh * kh:(hh + 1) * kh]    # (bq, kh)
             bias_h = (bias_h.astype(jnp.float32) * _LOG2E).astype(q.dtype)
             qa = jnp.concatenate([q * scale, bias_h], axis=-1)
-            ka = jnp.concatenate([kblk, onehot], axis=-1)
+            ka = jnp.concatenate([kblk, onehot[k0:k0 + sub_k]], axis=-1)
             s = jnp.dot(qa, ka.T, preferred_element_type=jnp.float32)
             s = s.astype(sdtype)
             bias_w = bias_w_pair[:, hh * kw:(hh + 1) * kw]    # (bq, kw)
             bias_w = (bias_w.astype(jnp.float32) * _LOG2E).astype(sdtype)
-            s = s + pltpu.repeat(bias_w, block_k // kw, axis=1)
+            s = s + pltpu.repeat(bias_w, sub_k // kw, axis=1)
         else:
             # scale folds into q (see window kernel)
             s = jnp.dot(q * scale, kblk.T,
@@ -723,10 +743,19 @@ def _fused_global_kernel(
                     ).astype(bias_h.dtype)
                 s = _expand_bias(bias_h, bias_w, s, expand=expand)
             s = s.astype(sdtype)
-
         if has_kv_len:
-            s = jnp.where(kv_mask, s, jnp.asarray(_NEG_INF, sdtype))
+            # single iota row; the where broadcasts it over q rows
+            kidx = kv_idx * block_k + k0 + lax.broadcasted_iota(
+                jnp.int32, (1, sub_k), 1
+            )
+            s = jnp.where(kidx < kv_len, s, jnp.asarray(_NEG_INF, sdtype))
+        return s
 
+    def softmax_update(hh, s, k0):
+        """Online-softmax step: fold scores ``s`` (keys [k0, k0+sub_k))
+        into head slot hh's running (m, acc) scratch."""
+        sl = slice(hh * head_dim, (hh + 1) * head_dim)
+        vblk = rows_v[k0:k0 + sub_k, sl]
         m_prev = m_scratch[hh]
         m_new = jnp.maximum(
             m_prev, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
@@ -738,13 +767,31 @@ def _fused_global_kernel(
         # bf16-representable, so this is a numerical no-op that makes the
         # invariant explicit; in fp32 mode sdtype is fp32)
         m_new = m_new.astype(sdtype).astype(jnp.float32)
-        p = jnp.exp2((s - m_new.astype(sdtype)).astype(q.dtype))
+        p = jnp.exp2((s - m_new.astype(sdtype)).astype(rows_q.dtype))
         alpha = jnp.exp2(m_prev - m_new)
         m_scratch[hh] = m_new
-        vaug = jnp.concatenate([vblk, ones_col], axis=-1)  # (bk, d+1)
+        vaug = jnp.concatenate(
+            [vblk, jnp.ones((sub_k, 1), rows_v.dtype)], axis=-1
+        )                                              # (sub_k, d+1)
         acc_scratch[hh] = acc_scratch[hh] * alpha + jnp.dot(
             p.astype(vblk.dtype), vaug, preferred_element_type=jnp.float32
         )
+
+    if schedule == "base":
+        for hh in range(pair):
+            softmax_update(hh, score(hh, 0), 0)
+    else:
+        # skew / twolevel: issue work unit i+1's score matmul before work
+        # unit i's softmax chain, so the trace hands Mosaic's scheduler an
+        # independent MXU stream to overlap the VPU chain with
+        pending = None
+        for sub in range(nsub):
+            for hh in range(pair):
+                s = score(hh, sub * sub_k)
+                if pending is not None:
+                    softmax_update(*pending)
+                pending = (hh, s, sub * sub_k)
+        softmax_update(*pending)
 
     @pl.when(kv_idx == num_kv - 1)
     def _store():
@@ -756,11 +803,6 @@ def _fused_global_kernel(
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_heads", "window_tokens", "scale", "block_q",
-                     "block_k", "interpret"),
-)
 def flash_attention_fused_qkv(
     qkv: jax.Array,
     bias_h: jax.Array | None = None,
@@ -772,6 +814,7 @@ def flash_attention_fused_qkv(
     scale: float | None = None,
     block_q: int = 1024,
     block_k: int = 1024,
+    schedule: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention reading q/k/v straight from the QKV projection.
@@ -790,6 +833,10 @@ def flash_attention_fused_qkv(
             terms).
         bias_w: optional (B, S, H, Kw) column terms.
         kv_len: optional (B,) int32 valid key counts (global mode only).
+        schedule: global-mode issue order — ``base`` | ``skew`` |
+            ``twolevel`` (see :func:`_fused_global_kernel`); identical
+            math, different MXU/VPU overlap.  ``None`` reads
+            ``VDR_FLASH_SCHEDULE`` (default ``base``).
         num_heads: H.  H·D and the per-grid-step head group (128/D heads)
             must tile into 128-lane blocks: D ∈ {64, 128, 256, …} with H a
             multiple of 128/D (``ValueError`` otherwise — callers fall
@@ -970,6 +1017,12 @@ def flash_attention_fused_qkv(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(kv_len.astype(jnp.int32).reshape(b, 1))
 
+    if schedule is None:
+        schedule = os.environ.get("VDR_FLASH_SCHEDULE", "base")
+    if schedule not in ("base", "skew") and not (
+            schedule.startswith("twolevel")
+            and (schedule[8:] == "" or schedule[8:].isdigit())):
+        raise ValueError(f"unknown schedule {schedule!r}")
     kernel = functools.partial(
         _fused_global_kernel,
         block_k=block_k,
@@ -979,6 +1032,7 @@ def flash_attention_fused_qkv(
         kw=kw,
         pair=pair,
         head_dim=d,
+        schedule=schedule,
     )
 
     def wrapped(*refs):
@@ -1006,6 +1060,8 @@ def flash_attention_fused_qkv(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "VDR_FLASH_VMEM_LIMIT", str(64 * 1024 * 1024))),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * s * s * d,
