@@ -230,6 +230,37 @@ class TestFusedQKVWindowed:
                 qkv, num_heads=3, interpret=INTERPRET,
             )
 
+    @pytest.mark.parametrize("gsz", [2, 4])
+    def test_window_batch_matches_ungrouped(self, rng, gsz):
+        """window_batch=G batches G windows per grid step (leading block
+        dim); output must be bit-identical to the G=1 schedule."""
+        b, heads, d = 4, 4, 32
+        ky, kx = 3, 5
+        win = ky * kx
+        n_win = 4
+        s = n_win * win
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        bias_h = _rand(rng, b, heads, s, ky) * 0.3
+        bias_w = _rand(rng, b, heads, s, kx) * 0.3
+        pair = 128 // d
+        kwargs = dict(
+            bias_h=_pack_pairs(bias_h, pair),
+            bias_w=_pack_pairs(bias_w, pair), num_heads=heads,
+            window_tokens=win, block_q=2 * win, block_k=2 * win,
+            interpret=INTERPRET,
+        )
+        base = flash_attention_fused_qkv(qkv, window_batch=1, **kwargs)
+        grouped = flash_attention_fused_qkv(qkv, window_batch=gsz, **kwargs)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(grouped))
+
+    def test_window_batch_must_divide_batch(self, rng):
+        qkv = _rand(rng, 3, 64, 3 * 8 * 16)
+        with pytest.raises(ValueError, match="window_batch"):
+            flash_attention_fused_qkv(
+                qkv, num_heads=8, window_tokens=32, window_batch=2,
+                block_q=64, block_k=64, interpret=INTERPRET,
+            )
+
     def test_bias_grid_must_match_window(self, rng):
         heads, d, win = 8, 16, 16
         qkv = _rand(rng, 1, 64, 3 * heads * d)

@@ -409,10 +409,12 @@ class WindowedAttention(nn.Module):
 
         if variant == "window":
             # `group` windows per kernel step by folding window-batch
-            # rows into the token axis (free reshapes).  One window per
-            # step measures fastest at SAM shapes: cross-window score
-            # waste (x4 at group 2) beats the dispatch overhead it saves,
-            # and group 4's 784-token blocks exceed the 16 MB VMEM scope.
+            # rows into the token axis (free reshapes).  That squares the
+            # block, so cross-window score waste (x4 at group 2) beats
+            # the dispatch it saves — measured slower; default stays 1.
+            # `window_batch` instead batches windows on the LEADING block
+            # dim: the kernel statically loops per window (zero waste),
+            # amortising per-grid-step dispatch + one-hot builds.
             group = self.window_group
             while group > 1 and b % group:
                 group //= 2
@@ -423,12 +425,17 @@ class WindowedAttention(nn.Module):
                 )
                 bias_h = bias_h.reshape(b // group, group * s, hp, pair * h)
                 bias_w = bias_w.reshape(b // group, group * s, hp, pair * w)
+            gsz = int(os.environ.get("VDR_WINDOW_BATCH", "8")) \
+                if group == 1 else 1
+            while gsz > 1 and (b // group) % gsz:
+                gsz //= 2
             out = flash_attention_fused_qkv(
                 qkv,
                 bias_h=bias_h.transpose(0, 2, 1, 3),
                 bias_w=bias_w.transpose(0, 2, 1, 3),
                 num_heads=nh,
                 window_tokens=s,
+                window_batch=gsz,
                 block_q=group * s,
                 block_k=group * s,
                 interpret=interpret,

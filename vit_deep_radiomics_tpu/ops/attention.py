@@ -513,9 +513,14 @@ def _fused_window_kernel(
 ):
     """Block-diagonal window attention over full qkv rows, single pass.
 
-    grid = (B, Sq/block_q); qkv_ref block is (block_q, 3·H·D) — every
-    head's q, k and v for this row range — so the head loop below runs on
-    VMEM-resident data with no HBM traffic of its own.
+    grid = (B/G, Sq/block_q); qkv_ref block is (G, block_q, 3·H·D) —
+    every head's q, k and v for G batch rows (windows) — so the
+    (window, head) loop below runs on VMEM-resident data with no HBM
+    traffic of its own.  G > 1 (``window_batch``) amortises per-grid-step
+    dispatch and the one-hot/mask builds over G windows with ZERO
+    cross-window score waste (unlike folding windows into the token axis,
+    which squares the block) — each window is a clean leading-dim index,
+    so there are no misaligned sublane slices either.
 
     Bias refs are PAIR-MERGED, (1, H/pair, block_q, pair·K): the bias
     einsum emits 128/D heads side by side along the minor dim (full-width
@@ -528,15 +533,14 @@ def _fused_window_kernel(
     SLOWER at 196-token tiles — per-head lane concats outweigh the tiny
     MXU passes saved.
     """
-    rows = qkv_ref[0]                    # (bq, 3C), or (bq, C) q rows
-    kv_rows = kv_ref[0] if kv_ref is not None else None   # (bq, 2C)
-    bq = rows.shape[0]
+    gsz, bq = qkv_ref.shape[0], qkv_ref.shape[1]
     c = num_heads * head_dim
     has_bias = bias_h_ref is not None
     # bf16 inputs run the whole score pipeline in bf16 (the (bq, bq)
     # elementwise chain is the VPU hot spot and bf16 halves it); fp32
     # inputs keep the exact path for parity.
-    sdtype = rows.dtype if rows.dtype == jnp.bfloat16 else jnp.float32
+    rdtype = qkv_ref.dtype
+    sdtype = rdtype if rdtype == jnp.bfloat16 else jnp.float32
 
     if window_tokens < bq:
         qidx = lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
@@ -562,58 +566,63 @@ def _fused_window_kernel(
             w_lo = pair * kh + hh * kw
             expands.append(jnp.where(
                 (t_ids >= h_lo) & (t_ids < h_lo + kh),
-                (row_of_col(j_ids) == t_ids - h_lo).astype(rows.dtype),
+                (row_of_col(j_ids) == t_ids - h_lo).astype(rdtype),
                 jnp.where(
                     (t_ids >= w_lo) & (t_ids < w_lo + kw),
-                    (j_ids % kw == t_ids - w_lo).astype(rows.dtype),
-                    jnp.zeros((), rows.dtype),
+                    (j_ids % kw == t_ids - w_lo).astype(rdtype),
+                    jnp.zeros((), rdtype),
                 ),
             ))
     # ones column rides the PV matmul so the softmax denominator comes out
     # of the MXU for free (the out tile is lane-padded anyway) instead of
     # costing a VPU reduction over the full (bq, bq) score tile
-    ones_col = jnp.ones((bq, 1), rows.dtype)
+    ones_col = jnp.ones((bq, 1), rdtype)
 
-    outs = []
-    cat = None
-    for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = rows[:, sl]
-        if kv_rows is not None:
-            kblk = kv_rows[:, sl]
-            vblk = kv_rows[:, c + h * head_dim:c + (h + 1) * head_dim]
-        else:
-            kblk = rows[:, c + h * head_dim:c + (h + 1) * head_dim]
-            vblk = rows[:, 2 * c + h * head_dim:
-                        2 * c + (h + 1) * head_dim]
+    for g in range(gsz):
+        rows = qkv_ref[g]                # (bq, 3C), or (bq, C) q rows
+        kv_rows = kv_ref[g] if kv_ref is not None else None   # (bq, 2C)
+        outs = []
+        cat = None
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = rows[:, sl]
+            if kv_rows is not None:
+                kblk = kv_rows[:, sl]
+                vblk = kv_rows[:, c + h * head_dim:c + (h + 1) * head_dim]
+            else:
+                kblk = rows[:, c + h * head_dim:c + (h + 1) * head_dim]
+                vblk = rows[:, 2 * c + h * head_dim:
+                            2 * c + (h + 1) * head_dim]
 
-        # scale folds into q: a (bq, d) multiply instead of a (bq, bq)
-        # pass over the score tile
-        s = jnp.dot(q * scale, kblk.T, preferred_element_type=jnp.float32)
-        if has_bias:
-            if h % pair == 0:
-                # this pair's merged [bias_h | bias_w] rows, log2(e)
-                # folded in; shared by both heads of the pair
-                cat = jnp.concatenate(
-                    [bias_h_ref[0, h // pair], bias_w_ref[0, h // pair]],
-                    axis=-1,
-                )                                      # (bq, pair·(kh+kw))
-                cat = (cat.astype(jnp.float32) * _LOG2E).astype(rows.dtype)
-            s = s + jnp.dot(cat, expands[h % pair],
-                            preferred_element_type=jnp.float32)
-        s = s.astype(sdtype)
-        if same_window is not None:
-            s = jnp.where(same_window, s, jnp.asarray(_NEG_INF, sdtype))
+            # scale folds into q: a (bq, d) multiply instead of a
+            # (bq, bq) pass over the score tile
+            s = jnp.dot(q * scale, kblk.T,
+                        preferred_element_type=jnp.float32)
+            if has_bias:
+                if h % pair == 0:
+                    # this pair's merged [bias_h | bias_w] rows, log2(e)
+                    # folded in; shared by both heads of the pair
+                    cat = jnp.concatenate(
+                        [bias_h_ref[g, h // pair],
+                         bias_w_ref[g, h // pair]],
+                        axis=-1,
+                    )                                  # (bq, pair·(kh+kw))
+                    cat = (cat.astype(jnp.float32) * _LOG2E).astype(rdtype)
+                s = s + jnp.dot(cat, expands[h % pair],
+                                preferred_element_type=jnp.float32)
+            s = s.astype(sdtype)
+            if same_window is not None:
+                s = jnp.where(same_window, s, jnp.asarray(_NEG_INF, sdtype))
 
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2((s - m).astype(q.dtype))
-        vaug = jnp.concatenate([vblk, ones_col], axis=-1)  # (bq, d+1)
-        acc = jnp.dot(p.astype(vblk.dtype), vaug,
-                      preferred_element_type=jnp.float32)
-        l = acc[:, head_dim:]
-        outs.append(acc[:, :head_dim] / jnp.where(l > 0, l, 1.0))
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2((s - m).astype(q.dtype))
+            vaug = jnp.concatenate([vblk, ones_col], axis=-1)  # (bq, d+1)
+            acc = jnp.dot(p.astype(vblk.dtype), vaug,
+                          preferred_element_type=jnp.float32)
+            l = acc[:, head_dim:]
+            outs.append(acc[:, :head_dim] / jnp.where(l > 0, l, 1.0))
 
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+        o_ref[g] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _fused_global_kernel(
@@ -811,6 +820,7 @@ def flash_attention_fused_qkv(
     *,
     num_heads: int,
     window_tokens: int | None = None,
+    window_batch: int = 1,
     scale: float | None = None,
     block_q: int = 1024,
     block_k: int = 1024,
@@ -844,6 +854,10 @@ def flash_attention_fused_qkv(
         window_tokens: enable block-diagonal window mode — the token axis
             is a concatenation of independent windows of this many tokens;
             requires window_tokens | block_q (kv tile == q tile).
+        window_batch: window mode only — batch rows (windows) per grid
+            step.  The kernel statically loops over them with hoisted
+            one-hot/mask builds, amortising per-step dispatch with zero
+            cross-window score waste.  Must divide B.
         block_q / block_k: tile sizes; S must be divisible by both.
 
     Returns:
@@ -910,25 +924,28 @@ def flash_attention_fused_qkv(
                 f"per-window bias grid {kh}x{kw} != window_tokens "
                 f"{window_tokens}"
             )
+        gsz = window_batch
+        if gsz < 1 or b % gsz:
+            raise ValueError(f"window_batch {gsz} must divide B = {b}")
         if q_arr is not None:
             in_specs = [
-                pl.BlockSpec((1, block_q, three_c // 3),
+                pl.BlockSpec((gsz, block_q, three_c // 3),
                              lambda bi, j: (bi, j, 0)),
-                pl.BlockSpec((1, block_q, 2 * (three_c // 3)),
+                pl.BlockSpec((gsz, block_q, 2 * (three_c // 3)),
                              lambda bi, j: (bi, j, 0)),
             ]
             args = [q_arr, kv_arr]
         else:
             in_specs = [
-                pl.BlockSpec((1, block_q, three_c),
+                pl.BlockSpec((gsz, block_q, three_c),
                              lambda bi, j: (bi, j, 0)),
             ]
             args = [qkv]
         if has_bias:
             in_specs += [
-                pl.BlockSpec((1, hp_count, block_q, pair * kh),
+                pl.BlockSpec((gsz, hp_count, block_q, pair * kh),
                              lambda bi, j: (bi, 0, j, 0)),
-                pl.BlockSpec((1, hp_count, block_q, pair * kw),
+                pl.BlockSpec((gsz, hp_count, block_q, pair * kw),
                              lambda bi, j: (bi, 0, j, 0)),
             ]
             args += [bias_h, bias_w]
@@ -948,12 +965,15 @@ def flash_attention_fused_qkv(
 
         return pl.pallas_call(
             wrapped_window,
-            grid=(b, s // block_q),
+            grid=(b // gsz, s // block_q),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, block_q, hd), lambda bi, j: (bi, j, 0)),
+            out_specs=pl.BlockSpec((gsz, block_q, hd),
+                                   lambda bi, j: (bi, j, 0)),
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=int(os.environ.get(
+                    "VDR_FLASH_VMEM_LIMIT", str(64 * 1024 * 1024))),
             ),
             cost_estimate=pl.CostEstimate(
                 flops=4 * b * num_heads * s * block_q * d,
