@@ -48,6 +48,7 @@ def build_parity_project(
     learning_rate: float = 1e-3,
     signal: float = 1.5,
     seed: int = 0,
+    twins: tuple[tuple[int, int], ...] = (),
 ):
     """Sandbox project dir both trainers consume; returns (paths, df)."""
     from vit_deep_radiomics_tpu.data.splits import (
@@ -65,6 +66,7 @@ def build_parity_project(
     df = write_synthetic_feature_store(
         feature_dir, n_patients=n_patients, ct_slices=ct_slices,
         pet_slices=pet_slices, feat_dim=feat_dim, signal=signal, seed=seed,
+        twins=twins,
     )
     folds = build_kfold_patients(df, n_splits=n_folds)
     write_kfold_yaml(folds, root / "conf")
@@ -204,9 +206,19 @@ def main() -> None:
     ap.add_argument("--out", default=str(REPO / "PARITY_AUC.json"))
     args = ap.parse_args()
 
+    # Twin patients (identical mid-margin features, opposite labels,
+    # both in the same test fold per the deterministic seed-42 split)
+    # force a tied ROC pair in every fold: the Bayes-optimal AUC is
+    # capped strictly below 1.0 by the same amount for ANY converged
+    # classifier, so the comparison is non-vacuous — both trainers must
+    # land on the SAME data-limited AUC per fold, not both on a
+    # saturated 1.0.  See write_synthetic_feature_store(twins=...) for
+    # why the shared features carry a 0.4·signal (mid-margin) shift.
     kw = (
-        dict(n_patients=20, n_folds=5, num_epochs=10)
-        if args.full else dict(n_patients=12, n_folds=2, num_epochs=6)
+        dict(n_patients=20, n_folds=5, num_epochs=10,
+             twins=((2, 3), (9, 10), (4, 7), (8, 13), (0, 5)))
+        if args.full else dict(n_patients=12, n_folds=2, num_epochs=6,
+                               twins=((2, 3), (8, 9)))
     )
     with tempfile.TemporaryDirectory() as tmp:
         project, df = build_parity_project(Path(tmp) / "proj", **kw)

@@ -133,6 +133,7 @@ def write_synthetic_feature_store(
     signal: float = 1.2,
     seed: int = 0,
     dataset: str = "stanford",
+    twins: tuple[tuple[int, int], ...] = (),
 ) -> "pd.DataFrame":
     """Descriptor-level synthetic cohort with a planted class signal.
 
@@ -148,6 +149,24 @@ def write_synthetic_feature_store(
     Each masked voxel's descriptor is iid N(0,1) noise plus
     ``(2·label−1)·signal·u`` along a fixed unit direction ``u``, so the
     task is learnable and both trainers converge to the same AUC.
+
+    ``twins`` lists patient index pairs ``(i, j)`` (must have opposite
+    labels, i.e. ``i + j`` odd) that share EXACT-COPY features and
+    masks, generated once with a *mid-strength* shift
+    ``twin_alpha·signal·u`` instead of either label's full shift.  A
+    deterministic model scores identical inputs identically, so each
+    twin pair is a forced tie in the ROC ranking: the Bayes-optimal
+    weighted AUC is capped strictly below 1.0 by the same amount for
+    ANY converged classifier.  The mid-strength signal matters: it pins
+    the pair's common score INSIDE the margin between the two confident
+    clusters, so every twin-vs-nontwin ordering is robust and only the
+    exact intra-pair tie costs AUC — identically for both trainers.
+    (Copying one twin's full-strength features instead puts the
+    opposite-label twin's score inside the wrong cluster, where
+    orderings vs. same-scored patients flip with trainer-specific
+    rounding — measured breaking 0.5% parity.)  The k-fold AUC-parity
+    harness (tools/auc_parity.py) uses this to compare non-trivial,
+    data-limited AUCs instead of a vacuous 1.0 == 1.0.
     Returns the merged metadata dataframe.
     """
     import pandas as pd
@@ -167,20 +186,38 @@ def write_synthetic_feature_store(
     mask[lo:lo + mask_extent, lo:lo + mask_extent] = True
     spatial_res = np.asarray([0.8, 0.8, 0.8], np.float64)
 
+    twin_of = {}
+    for i, j in twins:
+        if (i + j) % 2 == 0:
+            raise ValueError(
+                f"twin pair {(i, j)} must have opposite labels"
+            )
+        if not 0 <= i < j < n_patients:
+            raise ValueError(f"twin pair {(i, j)} needs 0 <= i < j < n")
+        twin_of[j] = i
+    twin_firsts = set(twin_of.values())
+    twin_alpha = 0.4  # mid-margin: between the ±signal clusters
+
     ds_dir = feature_dir / f"{dataset}_dataset"
     ds_dir.mkdir(parents=True, exist_ok=True)
+    stored: dict[tuple[int, str], tuple[list, list]] = {}
     for i in range(n_patients):
         pid = f"{dataset[:2]}_{i:03d}"
         label = i % 2
-        shift = (2 * label - 1) * signal * u
+        alpha = twin_alpha if i in twin_firsts else float(2 * label - 1)
+        shift = alpha * signal * u
         for modality, n_slices in (("ct", ct_slices), ("pet", pet_slices)):
-            feats, masks = [], []
-            for _s in range(n_slices):
-                f = rng.normal(size=(grid, grid, feat_dim)).astype(
-                    np.float32)
-                f[mask] += shift.astype(np.float32)
-                feats.append(f)
-                masks.append(mask)
+            if i in twin_of:
+                feats, masks = stored[(twin_of[i], modality)]
+            else:
+                feats, masks = [], []
+                for _s in range(n_slices):
+                    f = rng.normal(size=(grid, grid, feat_dim)).astype(
+                        np.float32)
+                    f[mask] += shift.astype(np.float32)
+                    feats.append(f)
+                    masks.append(mask)
+            stored[(i, modality)] = (feats, masks)
             save_features(
                 feature_dir / f"features_masks_{modality}.hdf5",
                 feats, masks, pid,
