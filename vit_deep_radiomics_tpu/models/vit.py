@@ -48,6 +48,7 @@ from ..ops.attention import (
     flash_attention,
     flash_attention_fused_qkv,
 )
+from ..ops.mlp_fused import fused_ln_mlp_residual
 
 __all__ = ["ViTDenseConfig", "ViTDense", "SAM_VIT_B", "DINOV2_CONFIGS"]
 
@@ -631,7 +632,7 @@ class Mlp(nn.Module):
     policy: Policy
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None):
         c = self.cfg.width
         hidden = int(self.cfg.mlp_ratio * c)
         dtype = self.policy.compute_dtype
@@ -647,6 +648,10 @@ class Mlp(nn.Module):
         )
         b2 = self.param("b2", nn.initializers.zeros, (c,),
                         self.policy.param_dtype)
+        if x is None:
+            # param-only call: the fused LN→MLP→residual kernel path
+            # (ops/mlp_fused.py) consumes the SAME param tree
+            return w1, b1, w2, b2
         x = jnp.dot(x.astype(dtype), w1.astype(dtype),
                     preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
         # exact (erf) gelu in parity mode; tanh approximation on the bf16
@@ -663,14 +668,17 @@ class LayerNorm(nn.Module):
 
     eps: float
     policy: Policy
+    dim: int = 0   # required for the param-only call (x is None)
 
     @nn.compact
-    def __call__(self, x):
-        dim = x.shape[-1]
+    def __call__(self, x=None):
+        dim = self.dim if x is None else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,),
                            self.policy.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (dim,),
                           self.policy.param_dtype)
+        if x is None:
+            return scale, bias
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -705,6 +713,7 @@ class Block(nn.Module):
     windowed: bool
     use_flash: bool
     trainable: bool = False
+    fused_mlp: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -729,14 +738,37 @@ class Block(nn.Module):
         x = shortcut + y
 
         shortcut = x
-        y = LayerNorm(cfg.ln_eps, self.policy, name="norm2")(x)
-        y = Mlp(cfg, self.policy, name="mlp")(y)
+        norm2 = LayerNorm(cfg.ln_eps, self.policy, dim=cfg.width,
+                          name="norm2")
+        mlp = Mlp(cfg, self.policy, name="mlp")
+        g2 = None
         if cfg.layerscale_init:
             g2 = self.param(
                 "ls2",
                 nn.initializers.constant(cfg.layerscale_init),
                 (cfg.width,), self.policy.param_dtype,
             )
+        # Fused LN→MLP→residual Pallas kernel (ops/mlp_fused.py) on the
+        # bf16 inference fast path: the 4×-wide hidden activation never
+        # touches HBM.  Same param tree as the module path (param-only
+        # calls below), so checkpoints are path-independent.  The
+        # trainable/parity/CPU paths keep the unfused modules.
+        if (
+            self.fused_mlp and not self.trainable and self.use_flash
+            and self.policy.compute_dtype == jnp.bfloat16
+            and os.environ.get("VDR_FUSED_MLP", "1") != "0"
+        ):
+            sc, bi = norm2(None)
+            w1, b1, w2, b2 = mlp(None)
+            return fused_ln_mlp_residual(
+                x, sc, bi, w1, b1, w2, b2, g2,
+                eps=cfg.ln_eps,
+                block_n=int(os.environ.get("VDR_MLP_BLOCK_N", 512)),
+                chunk=int(os.environ.get("VDR_MLP_CHUNK", 768)),
+            )
+        y = norm2(x)
+        y = mlp(y)
+        if g2 is not None:
             y = y * g2.astype(y.dtype)
         return shortcut + y
 
