@@ -159,6 +159,53 @@ class TestFineTuner:
         assert np.isfinite(float(loss))
         assert logits.shape == (8, 2)
 
+    def test_zero1_matches_replicated_and_is_sharded(self, rng, devices):
+        """ZeRO-1: Adam moments sharded over `data` must produce the
+        SAME parameter trajectory as the replicated-optimizer path, with
+        the moment leaves actually distributed (1/8 per device)."""
+        from jax.sharding import PartitionSpec as P
+
+        from vit_deep_radiomics_tpu.core.mesh import DATA_AXIS, make_mesh
+
+        mesh = make_mesh(devices[:8])
+        base = FineTuneConfig(
+            num_classes=2, learning_rate=3e-3, precision="parity",
+            backbone_cfg=TINY_SAM)
+        images, mask, labels = self._batch(rng, b=8)
+
+        states = {}
+        for zero1 in (False, True):
+            tuner = FineTuner(
+                dataclasses.replace(base, zero1=zero1), mesh=mesh)
+            state = tuner.init(jax.random.PRNGKey(0), jnp.asarray(images))
+            for _ in range(2):
+                state, loss, _ = tuner.step(state, images, mask, labels)
+            assert np.isfinite(float(loss))
+            states[zero1] = state
+
+        # the two programs psum grads in different orders (GSPMD chooses
+        # per-program schedules) and Adam's mhat/sqrt(vhat) amplifies
+        # that f32 noise at early steps — observed ~5e-5.  A genuinely
+        # wrong update (dropped/mis-sharded moment) shifts params by
+        # O(lr)=3e-3, well above the tolerance.
+        for a, b in zip(
+            jax.tree.leaves(states[False]["params"]),
+            jax.tree.leaves(states[True]["params"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=0)
+
+        sharded = [
+            leaf for leaf in jax.tree.leaves(states[True]["opt_state"])
+            if hasattr(leaf, "sharding")
+            and any(ax == DATA_AXIS for ax in tuple(leaf.sharding.spec))
+        ]
+        assert sharded, "no optimizer-state leaf is data-sharded"
+        big = max(sharded, key=lambda x: x.size)
+        shard_size = big.addressable_shards[0].data.size
+        assert shard_size * 8 == big.size, (shard_size, big.size)
+        assert P(DATA_AXIS) != P()  # sanity on the spec import
+
     def test_remat_matches_no_remat(self, rng):
         cfg = FineTuneConfig(
             num_classes=2, learning_rate=3e-3, precision="parity",

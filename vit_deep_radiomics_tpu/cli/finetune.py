@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freeze-below", type=int, default=0,
                    help="freeze transformer blocks [0, N)")
     p.add_argument("--precision", default="fast")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data axis "
+                        "(ZeRO-1; needs a >1-device mesh)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialise blocks in the backward")
     p.add_argument("--ct-window", type=float, nargs=2, default=(800, 40),
@@ -134,10 +137,15 @@ def main(argv=None) -> int:
     # data-parallel mesh only when the batch splits evenly over devices
     nd = jax.device_count()
     mesh = make_mesh() if nd > 1 and args.batch_size % nd == 0 else None
+    if args.zero1 and mesh is None:
+        raise SystemExit(
+            "--zero1 needs a multi-device mesh (batch size divisible "
+            f"by device count; have {nd} device(s), batch {args.batch_size})"
+        )
     cfg = FineTuneConfig(
         backbone=args.backbone, backbone_cfg=bcfg,
         learning_rate=args.lr, freeze_below=args.freeze_below,
-        precision=args.precision, remat=args.remat,
+        precision=args.precision, remat=args.remat, zero1=args.zero1,
     )
     tuner = FineTuner(cfg, mesh=mesh)
     bs = args.batch_size

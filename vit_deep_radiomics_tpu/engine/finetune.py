@@ -20,6 +20,12 @@ Typical use::
 ``freeze_below`` keeps the first N transformer blocks frozen (their
 gradients are zeroed through an optax mask), the standard recipe for
 small medical cohorts.
+
+``zero1=True`` shards the Adam moments over the mesh's ``data`` axis
+(ZeRO stage 1, parallel/sharding.py::zero1_specs): optimizer memory and
+update compute drop to 1/N with params replicated — XLA all-gathers
+only the weight updates.  Same parameter trajectory as the replicated
+optimizer (tested).
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ class FineTuneConfig:
     focal_alpha: tuple[float, ...] = (0.25, 0.75)
     precision: str = "fast"
     remat: bool = False                # recompute blocks in the backward
+    zero1: bool = False                # shard optimizer state over `data`
     backbone_cfg: ViTDenseConfig | None = None   # override (tests)
 
     def resolve_backbone(self) -> ViTDenseConfig:
@@ -126,6 +133,7 @@ class FineTuner:
             remat=config.remat)
         self.mesh = mesh
         self._step = None
+        self._opt_shardings = None     # set by init() under zero1
 
     # -- state ------------------------------------------------------------
     def init(self, rng_key, images, mask=None):
@@ -138,7 +146,16 @@ class FineTuner:
         if self.mesh is not None:
             rep = replicated(self.mesh)
             params = jax.device_put(params, rep)
-            opt_state = jax.device_put(opt_state, rep)
+            if self.config.zero1:
+                # ZeRO-1: Adam moments live sharded over `data`; the
+                # jitted step keeps them sharded (constraint below) and
+                # XLA all-gathers only the weight updates
+                from ..parallel.sharding import shard_opt_state
+
+                opt_state, self._opt_shardings = shard_opt_state(
+                    opt_state, self.mesh)
+            else:
+                opt_state = jax.device_put(opt_state, rep)
         return {"params": params, "opt_state": opt_state}
 
     def _optimizer(self, params):
@@ -169,6 +186,8 @@ class FineTuner:
             ) / labels.shape[0]
             return loss, logits
 
+        opt_shardings = self._opt_shardings
+
         def step(state, images, mask, labels):
             (loss, logits), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -176,6 +195,15 @@ class FineTuner:
             updates, opt_state = tx.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
+            if opt_shardings is not None:
+                # pin the ZeRO-1 layout: without the constraints GSPMD
+                # propagates the replicated grads' sharding into the
+                # moments (re-replicating them) — or worse, the sharded
+                # updates' into the params
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, opt_shardings)
+                params = jax.lax.with_sharding_constraint(
+                    params, replicated(self.mesh))
             return {"params": params, "opt_state": opt_state}, loss, logits
 
         return jax.jit(step, donate_argnums=(0,))

@@ -103,6 +103,9 @@ def fused_ln_mlp_residual(
     tile; weights/biases are cast as the unfused module path does
     (matmul inputs to ``x.dtype``, biases/LN params to fp32).
     """
+    # like the attention kernels: interpreter mode off-TPU (CPU tests /
+    # virtual meshes run the same kernel code)
+    interpret = interpret or jax.default_backend() != "tpu"
     orig_shape = x.shape
     c = x.shape[-1]
     h_total = w1.shape[1]

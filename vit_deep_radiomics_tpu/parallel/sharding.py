@@ -35,6 +35,8 @@ __all__ = [
     "vit_param_specs",
     "shard_params",
     "shard_batch",
+    "zero1_specs",
+    "shard_opt_state",
 ]
 
 
@@ -127,3 +129,51 @@ def shard_batch(batch, mesh: Mesh):
         return x
 
     return jax.tree.map(put, batch)
+
+
+# --------------------------------------------------------------------------
+# ZeRO-1: optimizer-state sharding over the data axis
+# --------------------------------------------------------------------------
+
+def zero1_specs(opt_state, mesh: Mesh):
+    """PartitionSpec pytree sharding optimizer-state leaves over ``data``.
+
+    ZeRO stage 1 the GSPMD way: each array leaf (Adam ``mu``/``nu``
+    moments, etc.) is sharded along its FIRST axis divisible by the
+    ``data``-axis size; scalars and indivisible leaves stay replicated.
+    Params and gradients stay replicated, so the training step is
+    unchanged — the optimizer update just runs 1/N-sized per device and
+    XLA all-gathers the updates at ``optax.apply_updates``.  Optimizer
+    memory drops from 2×params to 2×params/N — what makes large-backbone
+    (ViT-L/G) fine-tuning fit alongside activations.
+
+    The reference has no distributed training at all (SURVEY §2/§5);
+    this is a new first-class capability of the TPU framework.
+    """
+    n = mesh.shape[DATA_AXIS]
+
+    def spec_for(x) -> P:
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return P()
+        for axis, dim in enumerate(x.shape):
+            if dim % n == 0 and dim >= n:
+                return P(*([None] * axis), DATA_AXIS,
+                         *([None] * (x.ndim - axis - 1)))
+        return P()
+
+    return jax.tree.map(spec_for, opt_state)
+
+
+def shard_opt_state(opt_state, mesh: Mesh, specs=None):
+    """device_put the optimizer state with :func:`zero1_specs`.
+
+    Returns ``(sharded_state, shardings)`` — pass ``shardings`` as the
+    step's ``out_shardings``/``with_sharding_constraint`` so the state
+    STAYS sharded across jitted updates instead of being re-replicated
+    by GSPMD's default propagation.
+    """
+    specs = specs if specs is not None else zero1_specs(opt_state, mesh)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda s: isinstance(s, P))
+    state = jax.tree.map(jax.device_put, opt_state, shardings)
+    return state, shardings
