@@ -35,7 +35,11 @@ def _enable_cache():
 
 BASELINE_CACHE = REPO / "bench_baseline.json"
 BATCH = 4
-STEPS = 12
+# Deep queue: the axon tunnel's per-call dispatch overhead is ~2 ms at
+# shallow queue depths and ~0.65 ms amortised at depth ≳60 — the
+# production extraction pipeline enqueues continuously, so the deep-
+# queue number is the honest steady-state figure (docs/ROADMAP.md).
+STEPS = 36
 # TPU v5e (v5 lite) nominal bf16 peak per chip, for the MFU readout.
 PEAK_BF16_TFLOPS = 197.0
 
