@@ -343,3 +343,65 @@ class TestWholeVolumeWindows:
         ]
         out = prepare_windows(pd.DataFrame(rows))
         assert out["patient_id_new"].nunique() > 1
+
+
+class TestAsyncCheckpoint:
+    """save_checkpoint_async: byte-identical artifacts, snapshot
+    semantics, atomic tmp-rename (engine/checkpoint.py)."""
+
+    def _state(self):
+        import jax.numpy as jnp
+
+        return {
+            "params": {"w": jnp.arange(12.0).reshape(3, 4),
+                       "b": jnp.ones((4,))},
+            "epoch": 3,
+            "history": {"loss": [1.0, 0.5], "auc": [0.6, 0.8]},
+        }
+
+    def test_async_matches_sync_bytes(self, tmp_path):
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+
+        s = self._state()
+        sync_path = ckpt.save_checkpoint(dict(s), tmp_path / "sync", 3)
+        fut = ckpt.save_checkpoint_async(dict(s), tmp_path / "async", 3)
+        async_path = fut.result()
+        assert async_path in ckpt.wait_pending()
+        assert ckpt.wait_pending() == []   # drained
+        with open(sync_path, "rb") as a, open(async_path, "rb") as b:
+            assert a.read() == b.read()
+        # history snapshot written alongside
+        assert (tmp_path / "async" / "history_0003.json").exists()
+
+    def test_history_snapshot_not_mutated_later(self, tmp_path):
+        import json
+
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+
+        s = self._state()
+        fut = ckpt.save_checkpoint_async(s, tmp_path, 1)
+        # caller keeps training: appends AFTER the submit
+        s["history"]["loss"].append(999.0)
+        fut.result()
+        ckpt.wait_pending()
+        with open(tmp_path / "history_0001.json") as fh:
+            hist = json.load(fh)
+        assert hist["loss"] == [1.0, 0.5]
+
+    def test_no_tmp_files_left_and_loadable(self, tmp_path):
+        import numpy as np
+
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+
+        s = self._state()
+        ckpt.save_checkpoint_async(s, tmp_path, 7)
+        ckpt.wait_pending()
+        assert not list(tmp_path.glob("*.tmp"))
+        template = {"params": {"w": np.zeros((3, 4), np.float32),
+                               "b": np.zeros((4,), np.float32)},
+                    "epoch": 0}
+        restored = ckpt.load_checkpoint(template, tmp_path, 7)
+        np.testing.assert_array_equal(
+            restored["params"]["w"], np.arange(12.0).reshape(3, 4))
+        assert restored["history"]["auc"] == [0.6, 0.8]
+        assert ckpt.latest_epoch(tmp_path) == 7

@@ -122,7 +122,7 @@ def main(argv=None) -> int:
     import jax
 
     from ..core.mesh import enable_persistent_compile_cache, make_mesh
-    from ..engine.checkpoint import save_checkpoint
+    from ..engine.checkpoint import save_checkpoint_async, wait_pending
     from ..engine.finetune import FineTuneConfig, FineTuner
 
     enable_persistent_compile_cache()
@@ -164,9 +164,10 @@ def main(argv=None) -> int:
         state, losses = tuner.fit(state, batches)
         print(f"epoch {epoch}: mean loss {losses.mean():.4f} "
               f"({len(losses)} steps)")
-        save_checkpoint(
+        save_checkpoint_async(
             {"params": state["params"], "epoch": epoch}, args.save_dir,
             epoch)
+    wait_pending()
     print(f"checkpoints in {args.save_dir}")
     return 0
 

@@ -537,7 +537,10 @@ def train_fold(
         if not np.isfinite(target) or target >= np.nanmean(
             history["target_metric"]
         ):
-            ckpt.save_checkpoint(
+            # async: msgpack encode + file write happen on the writer
+            # thread while the next epoch trains; wait_pending() below
+            # fences before the fold returns
+            ckpt.save_checkpoint_async(
                 {
                     "params": trainer.params,
                     "opt_state": trainer.opt_state,
@@ -554,6 +557,7 @@ def train_fold(
         if epochs_since_improvement >= trainer.patience:
             log(f"early stopping at epoch {epoch}")
             break
+    ckpt.wait_pending()
     return pd.DataFrame(history)
 
 
