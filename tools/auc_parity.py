@@ -17,8 +17,11 @@ This harness demonstrates it end to end:
 4. :func:`compare_aucs` lines up per-fold test AUC (final epoch) and
    checks ``|Δ| ≤ 0.005``.
 
-CLI: ``python tools/auc_parity.py [--full]`` writes ``PARITY_AUC.json``
-at the repo root (the full 5-fold run takes a few CPU minutes).
+CLI: ``python tools/auc_parity.py [--full] [--matrix]`` writes
+``PARITY_AUC.json`` at the repo root (the full 5-fold run takes a few
+CPU minutes).  ``--matrix`` repeats the comparison for every model
+family the reference trains (conv arch, bimodal crossmodal loss) on the
+same artifacts.
 """
 
 from __future__ import annotations
@@ -162,12 +165,21 @@ def run_our_trainer(
         df, project["cfg"], tcfg,
         project["feature_dir"] / "features_masks_ct.hdf5",
         project["feature_dir"] / "features_masks_pet.hdf5",
-        project["root"] / "models_ours",
+        project["root"] / f"models_ours_{arch}_{modality}_{loss}",
         folds=folds, log=lambda *_: None,
     )
     return {
         int(k): list(hist["test_auc"]) for k, hist in results.items()
     }
+
+
+# Headline + the reference's other model families (run_train.sh grid):
+# every architecture and loss the reference trains is parity-checked.
+MATRIX = (
+    ("transformer", "ct", "focal"),
+    ("conv", "ct", "focal"),
+    ("transformer", "petct", "crossmodal"),
+)
 
 
 def compare_aucs(
@@ -203,6 +215,10 @@ def main() -> None:
     ap.add_argument("--full", action="store_true",
                     help="5 folds / 20 patients / 10 epochs "
                          "(default: 2 folds / 12 patients / 6 epochs)")
+    ap.add_argument("--matrix", action="store_true",
+                    help="also parity-check the conv arch and the "
+                         "bimodal crossmodal loss (reference "
+                         "run_train.sh families) on the same artifacts")
     ap.add_argument("--out", default=str(REPO / "PARITY_AUC.json"))
     args = ap.parse_args()
 
@@ -220,14 +236,28 @@ def main() -> None:
         if args.full else dict(n_patients=12, n_folds=2, num_epochs=6,
                                twins=((2, 3), (8, 9)))
     )
+    configs = MATRIX if args.matrix else MATRIX[:1]
     with tempfile.TemporaryDirectory() as tmp:
         project, df = build_parity_project(Path(tmp) / "proj", **kw)
-        print("running reference trainer (CPU oracle)...", flush=True)
-        ref = run_reference_trainer(project["root"])
-        print("running our trainer...", flush=True)
-        ours = run_our_trainer(project, df)
-    result = compare_aucs(ref, ours)
+        matrix = {}
+        for arch, modality, loss in configs:
+            name = f"{arch}_{modality}_{loss}"
+            print(f"[{name}] reference trainer (CPU oracle)...",
+                  flush=True)
+            ref = run_reference_trainer(
+                project["root"], arch=arch, modality=modality, loss=loss)
+            print(f"[{name}] our trainer...", flush=True)
+            ours = run_our_trainer(
+                project, df, arch=arch, modality=modality, loss=loss)
+            matrix[name] = compare_aucs(ref, ours)
+    # headline config at the top level (artifact schema unchanged);
+    # additional families under "matrix"
+    result = dict(matrix[f"{configs[0][0]}_{configs[0][1]}_{configs[0][2]}"])
     result["config"] = kw
+    if args.matrix:
+        result["matrix"] = matrix
+        result["all_within_tol"] = all(
+            m["all_within_tol"] for m in matrix.values())
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
