@@ -221,3 +221,25 @@ class TestFineTuner:
         state2 = tuner2.init(jax.random.PRNGKey(0), jnp.asarray(images))
         state2, loss, _ = tuner2.step(state2, images, mask, labels)
         np.testing.assert_allclose(float(loss_r), float(loss), rtol=1e-6)
+
+
+class TestBlockKSelection:
+    """_pick_block_k: largest ×128 divisor ≤ cap — NOT pow2-only.
+
+    ViT-L@518 pads to 1536 tokens: the single-tile 1536 kv step is 2×
+    faster than 512-wide tiles (docs/ROADMAP.md); the round-2 pow2-only
+    divisor fix regressed it (113 → 99 img/s measured) — pinned here."""
+
+    def test_divisor_choices(self):
+        from vit_deep_radiomics_tpu.models.vit import _pick_block_k
+
+        assert _pick_block_k(1536, 2048) == 1536   # single kv step
+        assert _pick_block_k(1536, 1024) == 768    # trainable cap
+        assert _pick_block_k(3072, 2048) == 1536
+        assert _pick_block_k(4096, 2048) == 2048
+        assert _pick_block_k(1024, 2048) == 1024
+        assert _pick_block_k(2176, 2048) == 128    # 17×128: only 128 fits
+        for sq, cap in ((1536, 2048), (3072, 2048), (2176, 2048),
+                        (1536, 1024), (8192, 2048)):
+            bk = _pick_block_k(sq, cap)
+            assert sq % bk == 0 and bk % 128 == 0 and bk <= cap

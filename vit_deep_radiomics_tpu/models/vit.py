@@ -166,6 +166,23 @@ class PatchEmbed(nn.Module):
         return x.astype(self.policy.compute_dtype)  # (B, hp, wp, width)
 
 
+def _pick_block_k(sq_pad: int, cap: int) -> int:
+    """Largest kv-tile length ≤ *cap* that divides *sq_pad* and is a
+    lane multiple (128).
+
+    Not just powers of two: ViT-L@518 pads to 1536 tokens, where the
+    best legal tile is 1536 itself (single kv step — measured 2× vs
+    square 512 blocks); a pow2-only search regressed it to 512
+    (round-2 ADVICE fix fallout, re-fixed here).
+    """
+    for div in range(1, sq_pad // 128 + 1):
+        if sq_pad % div == 0:
+            bk = sq_pad // div
+            if bk <= cap and bk % 128 == 0:
+                return bk
+    return 128
+
+
 def _q_blocking(s: int) -> tuple[int, int]:
     """(padded len, block) trading padding against grid-step count.
 
@@ -480,10 +497,10 @@ class WindowedAttention(nn.Module):
         # kv tiles as wide as VMEM allows (the (block_q, block_k) fp32
         # score transient is the limit): fewer grid steps per q block —
         # measured 2x on ViT-L@518's 1536-padded tokens vs square 512
-        # blocks.  Must divide sq_pad: _q_blocking can pad to e.g. 1536
-        # or 3072, which a raw min() cap does not divide.
-        block_k = max(bk for bk in (2048, 1024, 512, 256, 128)
-                      if sq_pad % bk == 0)
+        # blocks.  Must divide sq_pad (1536/3072 pads) and be a lane
+        # multiple; _pick_block_k searches ALL such divisors, not just
+        # powers of two (1536 → 1536, not 512).
+        block_k = _pick_block_k(sq_pad, 2048)
         out = flash_attention_fused_qkv(
             qkv, kv_len=kv_len, num_heads=nh,
             block_q=min(bq, 512), block_k=block_k, interpret=interpret,
@@ -514,9 +531,9 @@ class WindowedAttention(nn.Module):
             v = jnp.pad(v, pad)
             kv_len = jnp.full((b,), s, jnp.int32)
         # block_k must divide sq_pad (1370 tokens pad to 1536, which a
-        # raw min(1024, ·) cap does not divide)
-        block_k = max(bk for bk in (1024, 512, 256, 128)
-                      if sq_pad % bk == 0)
+        # raw min(1024, ·) cap does not divide); all ×128 divisors are
+        # candidates (1536 → 768, not 512)
+        block_k = _pick_block_k(sq_pad, 1024)
         out = flash_attention_trainable(
             q, k, v, kv_len=kv_len,
             block_q=min(bq, 512), block_k=block_k,
