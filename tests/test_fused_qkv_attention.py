@@ -143,6 +143,16 @@ class TestFusedQKVGlobal:
             flash_attention_fused_qkv(
                 qkv, num_heads=2, schedule="bogus", interpret=INTERPRET)
 
+    def test_unknown_schedule_raises_in_window_mode(self, rng):
+        """Window mode doesn't USE the schedule, but a typo'd value
+        (or VDR_FLASH_SCHEDULE) must not pass silently on one path and
+        raise on the other."""
+        qkv = _rand(rng, 2, 256, 3 * 2 * 64)
+        with pytest.raises(ValueError, match="unknown schedule"):
+            flash_attention_fused_qkv(
+                qkv, num_heads=2, window_tokens=128, block_q=256,
+                block_k=256, schedule="bogus", interpret=INTERPRET)
+
     def test_bf16(self, rng):
         b, heads, s, d = 1, 2, 256, 64
         qkv = _rand(rng, b, s, 3 * heads * d).astype(jnp.bfloat16)

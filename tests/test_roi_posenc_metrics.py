@@ -211,3 +211,38 @@ class TestMetrics:
             assert dev[key] == pytest.approx(ref[key], abs=1e-5), key
         for key in ("kfold", "epoch", "split"):
             assert dev[key] == ref[key]
+
+    @pytest.mark.parametrize("case", ["true_single", "pred_adds_class"])
+    def test_device_epoch_report_single_class_matches_sklearn(self, case):
+        """Degenerate folds: sklearn's classification_report only emits
+        classes present in y_true ∪ y_pred and averages over those; the
+        device report must match or the AUC²·√macro_f1 gate diverges
+        from the reference trainer on single-class splits."""
+        import math
+
+        from vit_deep_radiomics_tpu.analysis.reports import (
+            device_epoch_report,
+            epoch_report,
+        )
+
+        n = 20
+        y = np.ones(n, int)
+        if case == "true_single":
+            s = np.full(n, 0.9)          # predicts all 1 → only class 1
+        else:
+            s = np.linspace(0.2, 0.9, n)  # some preds 0 → adds class 0
+        kw = dict(kfold=0, loss=0.5, epoch=1, split="test")
+        dev = device_epoch_report(y, s, None, **kw)
+        ref = epoch_report(y, s, None, **kw)
+        assert set(dev) == set(ref)
+        if case == "true_single":
+            assert "0" not in dev
+        for key in set(ref) - {"ROC AUC", "kfold", "split", "accuracy",
+                               "loss", "epoch"}:
+            for field in ("precision", "recall", "f1-score", "support"):
+                assert dev[key][field] == pytest.approx(
+                    ref[key][field], abs=1e-6), (key, field)
+        assert dev["accuracy"] == pytest.approx(ref["accuracy"], abs=1e-6)
+        # single-class AUC is undefined on BOTH paths (sklearn raises →
+        # nan; the device path pins nan explicitly)
+        assert math.isnan(ref["ROC AUC"]) and math.isnan(dev["ROC AUC"])

@@ -104,6 +104,10 @@ def device_epoch_report(
     support_0 = tn + fp
     support_1 = tp + fn
     total = support_0 + support_1
+    if support_0 == 0 or support_1 == 0:
+        # sklearn raises on single-class y_true; epoch_report maps that
+        # to nan — match it exactly
+        auc = float("nan")
 
     def cls(prec, rec, f1, support):
         return {"precision": prec, "recall": rec, "f1-score": f1,
@@ -116,16 +120,30 @@ def device_epoch_report(
             return 0.0
         return (vals[k0] * w0 + vals[k1] * w1) / denom
 
+    # sklearn's classification_report only includes classes present in
+    # y_true ∪ y_pred and averages over THOSE (a degenerate single-class
+    # split yields one class entry and macro over one class) — match it,
+    # or the target metric AUC²·√macro_f1 diverges from the reference
+    # trainer on such folds and flips checkpoint-gate decisions
+    present = [
+        c for c, seen in (
+            ("0", support_0 > 0 or (tn + fn) > 0),
+            ("1", support_1 > 0 or (tp + fp) > 0),
+        ) if seen
+    ]
     report = {
-        "0": cls(vals["precision_0"], vals["recall_0"], vals["f1_0"],
-                 support_0),
-        "1": cls(vals["precision_1"], vals["recall_1"], vals["f1_1"],
-                 support_1),
+        c: cls(vals[f"precision_{c}"], vals[f"recall_{c}"],
+               vals[f"f1_{c}"], (support_0, support_1)[int(c)])
+        for c in present
+    }
+    n_present = max(1, len(present))
+    report.update({
         "accuracy": vals["accuracy"],
         "macro avg": cls(
-            (vals["precision_0"] + vals["precision_1"]) / 2.0,
-            (vals["recall_0"] + vals["recall_1"]) / 2.0,
-            vals["macro_f1"], total,
+            sum(vals[f"precision_{c}"] for c in present) / n_present,
+            sum(vals[f"recall_{c}"] for c in present) / n_present,
+            sum(vals[f"f1_{c}"] for c in present) / n_present,
+            total,
         ),
         "weighted avg": cls(
             avg("precision_0", "precision_1", (support_0, support_1)),
@@ -137,7 +155,7 @@ def device_epoch_report(
         "loss": float(loss),
         "epoch": int(epoch),
         "split": split,
-    }
+    })
     return report
 
 

@@ -69,9 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if args.source == "isotropic" and not (args.hdf5_path and args.df_path):
-        build_parser().error(
+        parser.error(
             "--source isotropic requires --hdf5-path and --df-path")
     from ..engine.extract import (
         DenseExtractor,

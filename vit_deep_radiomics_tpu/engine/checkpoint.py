@@ -114,6 +114,11 @@ def save_checkpoint_async(state: dict, save_dir, epoch: int):
         else x,
         payload,
     )
+    # bound host memory to ONE in-flight snapshot: fence on the previous
+    # write before submitting (a full-state snapshot is 2-3x params; a
+    # slow disk must stall the trainer, not OOM the host)
+    if _PENDING:
+        wait_pending()
     if _WRITER is None:
         _WRITER = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-writer")
@@ -123,8 +128,22 @@ def save_checkpoint_async(state: dict, save_dir, epoch: int):
 
 
 def wait_pending() -> list[str]:
-    """Block until every async checkpoint is on disk; returns paths."""
-    done, _PENDING[:] = [f.result() for f in _PENDING], []
+    """Block until every async checkpoint is on disk; returns paths.
+
+    The pending list is cleared BEFORE raising, so one failed write
+    (disk full) surfaces once instead of poisoning every later call —
+    and the queued host snapshots are released either way.
+    """
+    pending, _PENDING[:] = list(_PENDING), []
+    done, first_err = [], None
+    for f in pending:
+        try:
+            done.append(f.result())
+        except Exception as e:      # noqa: BLE001 — re-raised below
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
     return done
 
 

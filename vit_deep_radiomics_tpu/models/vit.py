@@ -445,6 +445,9 @@ class WindowedAttention(nn.Module):
                 bias_w = bias_w.reshape(b // group, group * s, hp, pair * w)
             gsz = int(os.environ.get("VDR_WINDOW_BATCH", "8")) \
                 if group == 1 else 1
+            if gsz < 1:
+                raise ValueError(
+                    f"VDR_WINDOW_BATCH must be >= 1, got {gsz}")
             while gsz > 1 and (b // group) % gsz:
                 gsz //= 2
             out = flash_attention_fused_qkv(
@@ -462,8 +465,17 @@ class WindowedAttention(nn.Module):
 
         if variant == "global":
             bk_cap = int(os.environ.get("VDR_FLASH_BLOCK_K", "2048"))
-            block_k = next(blk for blk in (bk_cap, 2048, 1024, 512, 256, 128)
-                           if blk <= bk_cap and s % blk == 0 and blk % w == 0)
+            block_k = next(
+                (blk for blk in (bk_cap, 2048, 1024, 512, 256, 128)
+                 if blk <= bk_cap and s % blk == 0 and blk % w == 0),
+                None,
+            )
+            if block_k is None:
+                raise ValueError(
+                    f"VDR_FLASH_BLOCK_K={bk_cap} admits no kv block that "
+                    f"divides s={s} and is a multiple of {w}; unset it or "
+                    f"pick a valid multiple"
+                )
             # (1024, 2048) blocks + skew schedule, under the raised
             # 64 MB kernel VMEM limit (pltpu.CompilerParams in
             # attention.py): measured 100-101 img/s vs 98.2 for the old

@@ -911,6 +911,16 @@ def flash_attention_fused_qkv(
     out_shape = jax.ShapeDtypeStruct((b, s, hd), dtype_ref.dtype)
     block_q = min(block_q, s)
 
+    # validate before the window-mode early return so a typo'd schedule
+    # (or VDR_FLASH_SCHEDULE) fails loudly on BOTH paths — window mode
+    # has a single fixed issue order and simply doesn't use it
+    if schedule is None:
+        schedule = os.environ.get("VDR_FLASH_SCHEDULE", "base")
+    if schedule not in ("base", "skew") and not (
+            schedule.startswith("twolevel")
+            and (schedule[8:] == "" or schedule[8:].isdigit())):
+        raise ValueError(f"unknown schedule {schedule!r}")
+
     if window_tokens:
         if kv_len is not None:
             raise ValueError("kv_len is not supported in window mode")
@@ -1037,12 +1047,6 @@ def flash_attention_fused_qkv(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(kv_len.astype(jnp.int32).reshape(b, 1))
 
-    if schedule is None:
-        schedule = os.environ.get("VDR_FLASH_SCHEDULE", "base")
-    if schedule not in ("base", "skew") and not (
-            schedule.startswith("twolevel")
-            and (schedule[8:] == "" or schedule[8:].isdigit())):
-        raise ValueError(f"unknown schedule {schedule!r}")
     kernel = functools.partial(
         _fused_global_kernel,
         block_k=block_k,
