@@ -355,3 +355,48 @@ def test_finetune_cli(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "ckpt" / "model_epoch_0000.msgpack").exists()
+
+
+def test_serve_cli_info_and_run(tmp_path, capsys):
+    """serve info/run over a tiny engine-exported artifact: padding to
+    the static batch, output equality with a direct apply."""
+    import dataclasses
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.cli import serve as cli_serve
+    from vit_deep_radiomics_tpu.core.precision import PARITY
+    from vit_deep_radiomics_tpu.engine.serve import export_dense_model
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    tiny = dataclasses.replace(
+        SAM_VIT_B, image_size=32, width=64, depth=2, num_heads=2,
+        window_size=2, global_indexes=(1,), neck_channels=16,
+    )
+    rng = np.random.default_rng(1)
+    images = rng.uniform(size=(5, 32, 32, 3)).astype(np.float32)  # 5 % 2 != 0
+    model = ViTDense(tiny, policy=PARITY, use_flash=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(images[:2]))
+    want = np.asarray(model.apply(params, jnp.asarray(images)))
+    artifact = export_dense_model(
+        params, tiny, tmp_path / "tiny.vdr",
+        batch=2, policy="parity", use_flash=False,
+    )
+
+    assert cli_serve.main(["info", artifact]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["batch"] == 2 and meta["image_size"] == 32
+
+    np.save(tmp_path / "imgs.npy", images)
+    rc = cli_serve.main([
+        "run", artifact,
+        "--input", str(tmp_path / "imgs.npy"),
+        "--output", str(tmp_path / "feats.npy"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["images"] == 5 and report["out_shape"][0] == 5
+    got = np.load(tmp_path / "feats.npy")
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -19,6 +19,7 @@ COMMANDS = {
     "umap": "vit_deep_radiomics_tpu.cli.umap_embed",
     "pointcloud": "vit_deep_radiomics_tpu.cli.pointcloud",
     "fusion": "vit_deep_radiomics_tpu.cli.fusion",
+    "serve": "vit_deep_radiomics_tpu.cli.serve",
 }
 
 

@@ -38,6 +38,7 @@ def export_dense_model(
     batch: int = 4,
     policy: str = "fast",
     use_flash: bool | None = None,
+    patch_embed_only: bool = False,
 ) -> str:
     """Serialize ``ViTDense(backbone_cfg).apply(params, ·)`` to disk.
 
@@ -56,7 +57,8 @@ def export_dense_model(
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     model = ViTDense(
-        backbone_cfg, policy=get_policy(policy), use_flash=use_flash)
+        backbone_cfg, policy=get_policy(policy), use_flash=use_flash,
+        patch_embed_only=patch_embed_only)
     size = backbone_cfg.image_size
 
     def forward(images):
@@ -73,9 +75,12 @@ def export_dense_model(
         "image_size": size,
         "policy": policy,
         "use_flash": use_flash,
+        "patch_embed_only": patch_embed_only,
         "platforms": list(exported.platforms),
         "out_shape": [batch, backbone_cfg.grid, backbone_cfg.grid,
-                      backbone_cfg.neck_channels or backbone_cfg.width],
+                      backbone_cfg.width if patch_embed_only
+                      else (backbone_cfg.neck_channels
+                            or backbone_cfg.width)],
     }).encode()
 
     out_path = Path(out_path)
