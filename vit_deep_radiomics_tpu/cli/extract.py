@@ -74,12 +74,15 @@ def main(argv=None) -> int:
     if args.source == "isotropic" and not (args.hdf5_path and args.df_path):
         parser.error(
             "--source isotropic requires --hdf5-path and --df-path")
+    from ..core.distributed import initialize_from_env
     from ..engine.extract import (
         DenseExtractor,
         ExtractionConfig,
         extract_isotropic_dataset,
         extract_tfds_dataset,
     )
+
+    initialize_from_env()  # multi-host launch (no-op single-process)
 
     cfg = ExtractionConfig(
         model_name=args.model_name,
@@ -134,6 +137,21 @@ def main(argv=None) -> int:
                 datasets=tuple(args.datasets),
                 progress=print,
             )
+    import jax
+
+    if jax.process_count() > 1:
+        # every process finished its shard before the primary folds the
+        # .part stores into the contract files
+        from jax.experimental import multihost_utils
+
+        from ..core.distributed import is_primary
+        from ..data.feature_store import merge_part_stores
+
+        multihost_utils.sync_global_devices("vdr_extract_sweep_done")
+        if is_primary():
+            merged = merge_part_stores(
+                args.feature_folder, modalities=("pet", args.modality))
+            print(f"merged {len(merged)} part stores")
     print(f"wrote {len(written)} patient parquets")
     return 0
 

@@ -32,6 +32,7 @@ __all__ = [
     "patient_ids_in_store",
     "slice_metadata_frame",
     "merge_metadata",
+    "merge_part_stores",
 ]
 
 
@@ -149,3 +150,40 @@ def merge_metadata(
     out = Path(output_path) if output_path else feature_dir / "petct.parquet"
     df.to_parquet(out)
     return df
+
+
+def merge_part_stores(
+    feature_folder: str | os.PathLike,
+    modalities: Sequence[str] = ("pet", "ct"),
+    remove_parts: bool = True,
+) -> list[str]:
+    """Fold multi-host part stores into the contract HDF5 files.
+
+    A multi-process extraction sweep gives every process its own
+    ``features_masks_<mod>.part<pid>.hdf5`` (one writer per file — HDF5
+    has no multi-writer mode), sharding patients round-robin.  The
+    primary process calls this once afterwards to produce the reference
+    layout ``features_masks_<mod>.hdf5`` (tfds_dense_descriptor.py:
+    142-165): patient groups are disjoint across parts, so this is a
+    pure group copy.  Returns the merged store paths.
+    """
+    feature_folder = Path(feature_folder)
+    merged: list[str] = []
+    for modality in modalities:
+        parts = sorted(
+            feature_folder.glob(f"features_masks_{modality}.part*.hdf5"))
+        if not parts:
+            continue
+        out = feature_folder / f"features_masks_{modality}.hdf5"
+        with h5py.File(out, "a") as dst:
+            for part in parts:
+                with h5py.File(part, "r") as src:
+                    for pid in src:
+                        if pid in dst:
+                            del dst[pid]
+                        src.copy(src[pid], dst, name=pid)
+        if remove_parts:
+            for part in parts:
+                part.unlink()
+        merged.append(str(out))
+    return merged

@@ -447,6 +447,7 @@ def extract_isotropic_dataset(
     datasets: Iterable[str] = ("santa_maria", "stanford"),
     progress: Callable[[str], None] | None = None,
     use_queue: bool = True,
+    process_grid: tuple[int, int] | None = None,
 ) -> list[str]:
     """Sweep the isotropic-HDF5 dataset → per-patient parquet + HDF5 store.
 
@@ -462,12 +463,28 @@ def extract_isotropic_dataset(
     (depth 2) and each patient's HDF5/parquet write runs as a deferred
     WorkQueue finalizer on a writer thread — both overlap the device
     forwards, which otherwise idle behind the (lzf-compressed) host I/O.
+
+    Multi-host: under a multi-process launch (``core.distributed``), the
+    (patient, modality) work list shards round-robin across processes
+    and each process writes its own ``.part<pid>`` HDF5 store and queue
+    state (per-patient parquets are already disjoint); the primary then
+    folds parts into the contract stores via
+    ``feature_store.merge_part_stores``.  ``process_grid=(pid, nproc)``
+    overrides the live grid (planning/tests).
     """
     from concurrent.futures import Future, ThreadPoolExecutor
 
     import pandas as pd
 
+    from ..core import distributed as dist
     from .workqueue import WorkQueue
+
+    if process_grid is None:
+        import jax
+
+        process_grid = (jax.process_index(), jax.process_count())
+    pid_proc, nproc = process_grid
+    part = f".part{pid_proc}" if nproc > 1 else ""
 
     feature_folder = Path(feature_folder)
     df_meta = pd.read_csv(metadata_csv)
@@ -489,13 +506,16 @@ def extract_isotropic_dataset(
                 meta[key] = (dataset_name, row["patient_id"],
                              int(row["label"]), modality, features_dir)
 
+    if nproc > 1:
+        items = dist.shard_for_process(items, pid_proc, nproc)
+
     written: list[str] = []
 
     def _paths(key: str) -> tuple[Path, Path]:
         dataset_name, pid, label, modality, features_dir = meta[key]
         return (
             features_dir / f"{pid}_{modality}.parquet",
-            feature_folder / f"features_masks_{modality}.hdf5",
+            feature_folder / f"features_masks_{modality}{part}.hdf5",
         )
 
     # depth-2 read prefetch over the still-pending items (h5py calls hold
@@ -581,7 +601,7 @@ def extract_isotropic_dataset(
 
     try:
         if use_queue:
-            queue = WorkQueue(feature_folder / "extract_queue.json")
+            queue = WorkQueue(feature_folder / f"extract_queue{part}.json")
             queue.run(items, worker, log=progress or print)
         else:
             for key in items:
