@@ -52,17 +52,26 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import pandas as pd
 
+    from ..core.distributed import initialize_from_env, shard_for_process
     from ..engine.train import TrainerConfig, train_kfold
     from ..utils.config import load_conf
 
+    initialize_from_env()  # multi-host launch (no-op single-process)
     cfg = load_conf()
     feature_dir = os.path.join(args.data_dir, "features")
     df = pd.read_parquet(os.path.join(feature_dir, "petct.parquet"))
 
+    # under a multi-process launch, grid entries shard round-robin —
+    # each experiment's artifact tree (models/<exp>/<backbone>_<arch>_
+    # <ds>/<mod>/) is disjoint, so the sweep is embarrassingly parallel
+    # across hosts (the reference ran these sequentially,
+    # run_train.sh:4-13)
+    grid = shard_for_process(GRID)
+
     # shared compiled-step caches, keyed by everything that changes the
     # step executable's MATH (shapes are keyed inside FoldTrainer)
     caches: dict[tuple, dict] = {}
-    for arch, dataset, modality, loss in GRID:
+    for arch, dataset, modality, loss in grid:
         if args.datasets and dataset not in args.datasets:
             continue
         if args.archs and arch not in args.archs:
