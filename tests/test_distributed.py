@@ -220,3 +220,37 @@ class TestMultiProcessSweep:
             a = pd.read_parquet(pq)
             b = pd.read_parquet(multi_dir / "stanford_dataset" / pq.name)
             pd.testing.assert_frame_equal(a, b)
+
+
+class TestPutGlobal:
+    def test_matches_device_put_on_mesh(self):
+        from vit_deep_radiomics_tpu.core.mesh import (
+            data_sharding,
+            make_mesh,
+            mesh_spans_processes,
+            put_global,
+            replicated,
+        )
+
+        mesh = make_mesh()
+        assert not mesh_spans_processes(mesh)  # single process here
+        x = np.arange(64, dtype=np.float32).reshape(16, 4)
+        a = put_global(x, data_sharding(mesh, 2))
+        b = jax.device_put(x, data_sharding(mesh, 2))
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        r = put_global(x, replicated(mesh))
+        np.testing.assert_array_equal(np.asarray(r), x)
+
+    def test_ragged_axis_falls_back_to_replicated(self):
+        from vit_deep_radiomics_tpu.core.mesh import (
+            data_sharding,
+            make_mesh,
+            put_global,
+        )
+
+        mesh = make_mesh()
+        x = np.arange(12, dtype=np.float32).reshape(3, 4)  # 3 % 8 != 0
+        a = put_global(x, data_sharding(mesh, 2))
+        assert a.sharding.is_fully_replicated
+        np.testing.assert_array_equal(np.asarray(a), x)

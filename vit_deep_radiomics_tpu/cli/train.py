@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of training here")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over a data mesh spanning every "
+                        "visible device — including other hosts' under "
+                        "a multi-process launch (core/distributed.py); "
+                        "batch_size should be a multiple of the device "
+                        "count for the transfer savings")
     return p
 
 
@@ -43,9 +49,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import pandas as pd
 
+    from ..core.distributed import initialize_from_env
     from ..engine.train import TrainerConfig, train_kfold
     from ..utils.config import load_conf
 
+    initialize_from_env()  # multi-host launch (no-op single-process)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        if jax.device_count() > 1:
+            from ..core.mesh import make_mesh
+
+            mesh = make_mesh()
     cfg = load_conf()
     modality_b = "chest" if "chest" in args.modality else "ct"
     feature_dir = os.path.join(args.data_dir, "features")
@@ -78,6 +94,7 @@ def main(argv=None) -> int:
             hdf5_pet_path=os.path.join(
                 feature_dir, "features_masks_pet.hdf5"),
             models_dir=args.models_dir,
+            mesh=mesh,
             folds=args.folds,
         )
     return 0

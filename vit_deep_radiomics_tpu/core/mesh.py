@@ -35,6 +35,8 @@ __all__ = [
     "replicated",
     "maybe_init_distributed",
     "enable_persistent_compile_cache",
+    "mesh_spans_processes",
+    "put_global",
     "DATA_AXIS",
     "MODEL_AXIS",
 ]
@@ -115,3 +117,41 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 def replicated(mesh: Mesh) -> NamedSharding:
     """Fully-replicated sharding (parameters, small state)."""
     return NamedSharding(mesh, P())
+
+
+def mesh_spans_processes(mesh: Mesh | None) -> bool:
+    """True when the mesh includes devices from more than one process.
+
+    In that regime host values must enter programs as *global* arrays
+    (:func:`put_global`) and only addressable shards can leave — the
+    multi-host trainer/extractor paths branch on this.
+    """
+    if mesh is None:
+        return False
+    procs = {d.process_index for d in mesh.devices.flat}
+    return len(procs) > 1
+
+
+def put_global(x, sharding: NamedSharding):
+    """Host value → (possibly multi-process) global ``jax.Array``.
+
+    Every process passes the IDENTICAL full host value (the framework's
+    multi-host contract: batch construction is deterministic, so each
+    process rebuilds the same global batch); each device receives just
+    its slice, so no host ships more than its addressable share.
+    Equivalent to ``jax.device_put(x, sharding)`` single-process, but
+    also valid when ``sharding`` spans non-addressable devices.
+
+    Falls back to a replicated layout when the sharded axis does not
+    divide evenly (ragged trailing batches) — correct, just without the
+    transfer savings.
+    """
+    x = np.asarray(x)
+    try:
+        idx_map = sharding.addressable_devices_indices_map(x.shape)
+    except ValueError:  # axis not divisible by its mesh axis
+        sharding = NamedSharding(sharding.mesh, P())
+        idx_map = sharding.addressable_devices_indices_map(x.shape)
+    arrays = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        x.shape, sharding, arrays)

@@ -93,6 +93,14 @@ def _patient_weights(patient_ids: Sequence[str]) -> np.ndarray:
     return 1.0 / counts[inv]
 
 
+def _writes_here() -> bool:
+    """Artifact writes run on every process single-host, and only on the
+    primary under a multi-process launch: all processes compute identical
+    metrics and checkpoint/early-stop decisions (the epoch outputs are
+    allgathered), one publishes to the shared filesystem."""
+    return jax.process_index() == 0
+
+
 class FoldTrainer:
     """One fold: model, optimizer, jitted steps, epoch loop."""
 
@@ -115,6 +123,11 @@ class FoldTrainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
+        # mesh spanning >1 process (multi-host DP): host values enter
+        # programs as global arrays, epoch outputs leave via allgather
+        from ..core.mesh import mesh_spans_processes
+
+        self._multiproc = mesh_spans_processes(mesh)
         self.policy: Policy = get_policy(tcfg.precision)
         seq_mesh = None
         if (
@@ -157,11 +170,16 @@ class FoldTrainer:
         )
         self.opt_state = self.tx.init(self.params["params"])
         if self.mesh is not None:
-            from ..core.mesh import replicated
+            from ..core.mesh import put_global, replicated
 
             sharding = replicated(self.mesh)
-            self.params = jax.device_put(self.params, sharding)
-            self.opt_state = jax.device_put(self.opt_state, sharding)
+            if self._multiproc:
+                put = lambda t: jax.tree.map(  # noqa: E731
+                    lambda x: put_global(x, sharding), t)
+            else:
+                put = lambda t: jax.device_put(t, sharding)  # noqa: E731
+            self.params = put(self.params)
+            self.opt_state = put(self.opt_state)
 
     def _model_inputs(self, batch: dict, deterministic: bool = True):
         m = self.tcfg.modality
@@ -188,13 +206,14 @@ class FoldTrainer:
     def _shard(self, tree):
         if self.mesh is None:
             return tree
-        from ..core.mesh import data_sharding
+        from ..core.mesh import data_sharding, put_global
 
         def put(x):
             if hasattr(x, "ndim") and x.ndim >= 1:
-                return jax.device_put(
-                    x, data_sharding(self.mesh, x.ndim)
-                )
+                sh = data_sharding(self.mesh, x.ndim)
+                if self._multiproc:
+                    return put_global(x, sh)
+                return jax.device_put(x, sh)
             return x
 
         return jax.tree.map(put, tree)
@@ -323,7 +342,9 @@ class FoldTrainer:
             grad_accum = jax.tree.map(
                 jnp.zeros_like, self.params["params"]
             )
-            if self.mesh is not None:
+            if self.mesh is not None and not self._multiproc:
+                # (multiproc: zeros_like of the global params is already
+                # a replicated global array — nothing to re-place)
                 from ..core.mesh import replicated
 
                 grad_accum = jax.device_put(
@@ -373,11 +394,19 @@ class FoldTrainer:
         if n_batches:
             # two device calls for the whole epoch (losses, logits)
             total_loss = float(jnp.stack(losses).sum()) * scale
-            lg = np.asarray(
-                jnp.concatenate(
-                    [l.astype(jnp.float32) for l in step_logits], axis=0
-                )
+            cat = jnp.concatenate(
+                [l.astype(jnp.float32) for l in step_logits], axis=0
             )
+            if self._multiproc:
+                # logits are sharded over the data axis across processes;
+                # every process needs the full epoch for metrics +
+                # identical checkpoint/early-stop decisions
+                from jax.experimental import multihost_utils
+
+                lg = np.asarray(multihost_utils.process_allgather(
+                    cat, tiled=True))
+            else:
+                lg = np.asarray(cat)
             lg = lg - lg.max(axis=-1, keepdims=True)
             e = np.exp(lg)
             y_score = (e / e.sum(axis=-1, keepdims=True))[:, 1]
@@ -510,8 +539,9 @@ def train_fold(
         te_rep = reports.device_epoch_report(
             te_y, te_s, w_te, kfold=kfold, loss=te_loss, epoch=epoch,
             split="test")
-        reports.save_report_json(tr_rep, save_dir, "train", epoch)
-        reports.save_report_json(te_rep, save_dir, "test", epoch)
+        if _writes_here():
+            reports.save_report_json(tr_rep, save_dir, "train", epoch)
+            reports.save_report_json(te_rep, save_dir, "test", epoch)
         log(reports.format_report(te_rep))
 
         target = te_rep["ROC AUC"] ** 2 * math.sqrt(
@@ -526,16 +556,18 @@ def train_fold(
         history["target_metric"].append(target)
 
         df_hist = pd.DataFrame(history)
-        reports.write_metrics_html(
-            df_hist, save_dir / "losses.html",
-            title=f"{tcfg.dataset} fold {kfold}",
-        )
+        if _writes_here():
+            reports.write_metrics_html(
+                df_hist, save_dir / "losses.html",
+                title=f"{tcfg.dataset} fold {kfold}",
+            )
 
         # checkpoint gate: target ≥ running mean (train_models.py:805);
         # NaN targets (degenerate single-class splits) checkpoint anyway
         # so resume still works
-        if not np.isfinite(target) or target >= np.nanmean(
-            history["target_metric"]
+        if _writes_here() and (
+            not np.isfinite(target)
+            or target >= np.nanmean(history["target_metric"])
         ):
             # async: msgpack encode + file write happen on the writer
             # thread while the next epoch trains; wait_pending() below
