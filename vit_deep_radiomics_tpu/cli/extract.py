@@ -94,18 +94,24 @@ def main(argv=None) -> int:
         dinov2_mode=args.dinov2_mode,
         pipeline=args.pipeline_stages > 1,
     )
+    import jax
+
+    # under a multi-process launch the sweep work-shards across
+    # processes (each runs its own volumes), so device meshes must stay
+    # LOCAL — a global mesh would have processes executing different
+    # programs over shared device groups
+    local = (jax.local_devices() if jax.process_count() > 1
+             else None)
     mesh = None
     if args.pipeline_stages > 1:
         from ..core.mesh import make_mesh
 
-        mesh = make_mesh(model_parallel=args.pipeline_stages)
+        mesh = make_mesh(local, model_parallel=args.pipeline_stages)
     elif not args.no_data_parallel:
-        import jax
-
-        if jax.device_count() > 1:
+        if len(local if local is not None else jax.devices()) > 1:
             from ..core.mesh import make_mesh
 
-            mesh = make_mesh()
+            mesh = make_mesh(local)
     extractor = DenseExtractor(cfg, mesh=mesh)
     import contextlib
 
