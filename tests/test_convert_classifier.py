@@ -180,3 +180,149 @@ class TestClassifierConversion:
         bf16 = cast_params(params, jnp.bfloat16)
         leaves = jax.tree.leaves(bf16)
         assert all(l.dtype == jnp.bfloat16 for l in leaves)
+
+
+class _TorchSELayer(torch.nn.Module):
+    """Reference SELayer naming (models_archs.py:203-216)."""
+
+    def __init__(self, channel, reduction=16):
+        super().__init__()
+        self.avg_pool = torch.nn.AdaptiveAvgPool3d(1)
+        self.fc = torch.nn.Sequential(
+            torch.nn.Linear(channel, channel // reduction, bias=False),
+            torch.nn.ReLU(inplace=True),
+            torch.nn.Linear(channel // reduction, channel, bias=False),
+            torch.nn.Sigmoid(),
+        )
+
+    def forward(self, x):
+        b, c = x.shape[:2]
+        y = self.avg_pool(x).view(b, c)
+        return x * self.fc(y).view(b, c, 1, 1, 1)
+
+
+class _TorchConv(torch.nn.Module):
+    """Reference-contract conv classifier (models_archs.py:150-171)."""
+
+    def __init__(self, d=32, div=2, ncls=2):
+        super().__init__()
+        self.conv1 = torch.nn.Conv3d(d, d // div, 3, padding=1)
+        self.se1 = _TorchSELayer(d // div)
+        self.conv2 = torch.nn.Conv3d(d // div, d // (div * div), 3,
+                                     padding=1)
+        self.se2 = _TorchSELayer(d // (div * div))
+        self.fc1 = torch.nn.Linear(d // (div * div), d)
+        self.classifier = _TorchMLPHead(d, d * 2, ncls)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        x = self.se1(F.relu(self.conv1(x)))
+        x = self.se2(F.relu(self.conv2(x)))
+        x = torch.flatten(F.adaptive_avg_pool3d(x, 1), 1)
+        x = F.relu(self.fc1(x))
+        return self.classifier(x), x
+
+
+class TestConvClassifierConversion:
+    def test_conv_import_forward_parity(self):
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            ConvNoduleClassifier,
+        )
+        from vit_deep_radiomics_tpu.models.convert import (
+            conv_classifier_params_from_torch,
+        )
+
+        d, ncls = 64, 2  # d//(div*div) must stay >= reduction=16 per the
+        # reference SELayer (models_archs.py:204 would build a 0-dim
+        # hidden below that; our _SELayer clamps with max(1, ...))
+        torch.manual_seed(3)
+        tm = _TorchConv(d, 2, ncls).eval()
+        x = torch.randn(2, d, 4, 5, 6)  # (B, C, S, H, W) reference layout
+        with torch.no_grad():
+            ref_logits, ref_emb = tm(x)
+
+        state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = conv_classifier_params_from_torch(state)
+        model = ConvNoduleClassifier(input_dim=d, num_classes=ncls, div=2,
+                                     policy=PARITY)
+        xl = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))  # channels-last
+        with jax.default_matmul_precision("highest"):
+            logits, emb = model.apply({"params": params}, xl)
+        np.testing.assert_allclose(np.asarray(emb), ref_emb.numpy(),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                                   atol=3e-5)
+
+
+class TestClassifierExport:
+    """classifier_params_to_torch is the exact inverse of the importers,
+    so models trained here drop into the reference's tooling."""
+
+    def _assert_tree_equal(self, a, b):
+        flat_a = jax.tree.leaves(a)
+        flat_b = jax.tree.leaves(b)
+        assert len(flat_a) == len(flat_b)
+        for x, y in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_unimodal_roundtrip(self):
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleClassifier,
+        )
+        from vit_deep_radiomics_tpu.models.convert import (
+            classifier_params_to_torch,
+        )
+
+        model = TransformerNoduleClassifier(
+            input_dim=32, ffn_dim=64, num_heads=4, num_classes=2,
+            num_layers=2, policy=PARITY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 5, 32)))["params"]
+        sd = classifier_params_to_torch({"params": params})
+        back = transformer_classifier_params_from_torch(sd, 2)
+        self._assert_tree_equal(params, back)
+        # a torch module with the reference naming loads it directly
+        tm = _TorchUnimodal(32, 4, 2, 64, 2)
+        tm.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+
+    def test_bimodal_roundtrip(self):
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleBimodalClassifier,
+        )
+        from vit_deep_radiomics_tpu.models.convert import (
+            classifier_params_to_torch,
+        )
+
+        model = TransformerNoduleBimodalClassifier(
+            input_dim=32, ffn_dim_ct=64, ffn_dim_pet=64,
+            num_heads_ct=4, num_heads_pet=4,
+            num_layers_ct=1, num_layers_pet=1,
+            num_classes=2, policy=PARITY)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 5, 32)), jnp.zeros((1, 4, 32)))["params"]
+        sd = classifier_params_to_torch({"params": params})
+        back = transformer_classifier_params_from_torch(sd, 1, bimodal=True)
+        self._assert_tree_equal(params, back)
+        tm = _TorchBimodal(32, 4, 1, 64, 2)
+        tm.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+
+    def test_conv_roundtrip(self):
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            ConvNoduleClassifier,
+        )
+        from vit_deep_radiomics_tpu.models.convert import (
+            classifier_params_to_torch,
+            conv_classifier_params_from_torch,
+        )
+
+        model = ConvNoduleClassifier(input_dim=64, num_classes=2, div=2,
+                                     policy=PARITY)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 4, 4, 64)))["params"]
+        sd = classifier_params_to_torch({"params": params})
+        back = conv_classifier_params_from_torch(sd)
+        self._assert_tree_equal(params, back)
+        tm = _TorchConv(64, 2, 2)
+        tm.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})

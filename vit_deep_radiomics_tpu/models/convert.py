@@ -30,6 +30,8 @@ __all__ = [
     "sam_params_from_torch",
     "dinov2_params_from_torch",
     "transformer_classifier_params_from_torch",
+    "conv_classifier_params_from_torch",
+    "classifier_params_to_torch",
 ]
 
 
@@ -310,3 +312,123 @@ def transformer_classifier_params_from_torch(
         "projection_petct": _mlp_head(sd, "projection_petct"),
         "classifier_petct": _mlp_head(sd, "classifier_petct"),
     }
+
+
+def conv_classifier_params_from_torch(
+    state: Mapping[str, np.ndarray],
+) -> dict:
+    """Reference conv classifier ``.pth`` state dict → our params.
+
+    Naming contract of ``NoduleClassifier`` (models_archs.py:150-171):
+    ``conv1/conv2`` (Conv3d, weight (out, in, kD, kH, kW)), ``se1/se2``
+    with bias-free ``fc.0``/``fc.2`` Linears (SELayer, :203-216),
+    ``fc1`` and the ``classifier`` MLP head.  Our layout is channels-
+    last, so conv kernels transpose to (kD, kH, kW, in, out).
+    """
+    sd = dict(state)
+
+    def conv(base):
+        return {
+            "kernel": np.ascontiguousarray(
+                sd[f"{base}.weight"].transpose(2, 3, 4, 1, 0)),
+            "bias": sd[f"{base}.bias"],
+        }
+
+    def se(base):
+        return {
+            "fc1": {"kernel": _linear(sd[f"{base}.fc.0.weight"])},
+            "fc2": {"kernel": _linear(sd[f"{base}.fc.2.weight"])},
+        }
+
+    return {
+        "conv1": conv("conv1"),
+        "se1": se("se1"),
+        "conv2": conv("conv2"),
+        "se2": se("se2"),
+        "fc1": {"kernel": _linear(sd["fc1.weight"]), "bias": sd["fc1.bias"]},
+        "head": _mlp_head(sd, "classifier"),
+    }
+
+
+def _inv_linear(kernel: np.ndarray) -> np.ndarray:
+    """Flax Dense kernel (in, out) → torch Linear weight (out, in)."""
+    return np.ascontiguousarray(np.asarray(kernel).T)
+
+
+def _torch_mlp_head(params: Mapping, base: str, out: dict) -> None:
+    out[f"{base}.dense1.weight"] = _inv_linear(params["dense1"]["kernel"])
+    out[f"{base}.dense1.bias"] = np.asarray(params["dense1"]["bias"])
+    out[f"{base}.dense2.weight"] = _inv_linear(params["dense2"]["kernel"])
+    out[f"{base}.dense2.bias"] = np.asarray(params["dense2"]["bias"])
+
+
+def _torch_attn(params: Mapping, base: str, out: dict) -> None:
+    out[f"{base}.in_proj_weight"] = _inv_linear(params["in_kernel"])
+    out[f"{base}.in_proj_bias"] = np.asarray(params["in_bias"])
+    out[f"{base}.out_proj.weight"] = _inv_linear(params["out_kernel"])
+    out[f"{base}.out_proj.bias"] = np.asarray(params["out_bias"])
+
+
+def _torch_encoder(params: Mapping, prefix: str, out: dict) -> None:
+    for name, layer in params.items():
+        i = name.split("_")[1]
+        base = f"{prefix}.layers.{i}"
+        _torch_attn(layer["self_attn"], f"{base}.self_attn", out)
+        out[f"{base}.linear1.weight"] = _inv_linear(
+            layer["linear1"]["kernel"])
+        out[f"{base}.linear1.bias"] = np.asarray(layer["linear1"]["bias"])
+        out[f"{base}.linear2.weight"] = _inv_linear(
+            layer["linear2"]["kernel"])
+        out[f"{base}.linear2.bias"] = np.asarray(layer["linear2"]["bias"])
+        out[f"{base}.norm1.weight"] = np.asarray(layer["norm1"]["scale"])
+        out[f"{base}.norm1.bias"] = np.asarray(layer["norm1"]["bias"])
+        out[f"{base}.norm2.weight"] = np.asarray(layer["norm2"]["scale"])
+        out[f"{base}.norm2.bias"] = np.asarray(layer["norm2"]["bias"])
+
+
+def classifier_params_to_torch(params: Mapping) -> dict[str, np.ndarray]:
+    """Our classifier params → a reference-named ``state_dict`` (numpy).
+
+    The exact inverse of the ``*_from_torch`` converters, for all three
+    model families — ``torch.save({k: torch.tensor(v) ...})`` of the
+    result produces a ``model_epoch_NNNN.pth`` the reference's
+    ``load_checkpoint`` (models_archs.py:22-35) consumes directly, so
+    classifiers trained on TPU here drop into the reference's
+    evaluation/UMAP tooling unchanged.  The family is inferred from the
+    param-tree keys (unimodal transformer / bimodal / conv).
+    """
+    p = dict(params.get("params", params))
+    out: dict[str, np.ndarray] = {}
+    if "conv1" in p:  # conv family
+        for base in ("conv1", "conv2"):
+            out[f"{base}.weight"] = np.ascontiguousarray(
+                np.asarray(p[base]["kernel"]).transpose(4, 3, 0, 1, 2))
+            out[f"{base}.bias"] = np.asarray(p[base]["bias"])
+        for base in ("se1", "se2"):
+            out[f"{base}.fc.0.weight"] = _inv_linear(p[base]["fc1"]["kernel"])
+            out[f"{base}.fc.2.weight"] = _inv_linear(p[base]["fc2"]["kernel"])
+        out["fc1.weight"] = _inv_linear(p["fc1"]["kernel"])
+        out["fc1.bias"] = np.asarray(p["fc1"]["bias"])
+        _torch_mlp_head(p["head"], "classifier", out)
+        return out
+    if "cls_token_ct" in p:  # bimodal family
+        out["cls_token_ct"] = np.asarray(p["cls_token_ct"])
+        out["cls_token_pet"] = np.asarray(p["cls_token_pet"])
+        for mod in ("ct", "pet"):
+            out[f"norm_{mod}.weight"] = np.asarray(p[f"norm_{mod}"]["scale"])
+            out[f"norm_{mod}.bias"] = np.asarray(p[f"norm_{mod}"]["bias"])
+            _torch_encoder(p[f"encoder_{mod}"],
+                           f"transformer_encoder_{mod}", out)
+            _torch_attn(p[f"cross_attention_{mod}"],
+                        f"cross_attention_{mod}.multihead_attn", out)
+            _torch_mlp_head(p[f"classifier_{mod}"], f"classifier_{mod}", out)
+        _torch_mlp_head(p["projection_petct"], "projection_petct", out)
+        _torch_mlp_head(p["classifier_petct"], "classifier_petct", out)
+        return out
+    # unimodal transformer
+    out["cls_token"] = np.asarray(p["cls_token"])
+    out["norm.weight"] = np.asarray(p["norm"]["scale"])
+    out["norm.bias"] = np.asarray(p["norm"]["bias"])
+    _torch_encoder(p["encoder"], "transformer_encoder", out)
+    _torch_mlp_head(p["head"], "classifier", out)
+    return out
