@@ -326,3 +326,33 @@ class TestClassifierExport:
         self._assert_tree_equal(params, back)
         tm = _TorchConv(64, 2, 2)
         tm.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+
+
+def test_convert_cli_to_pth(tmp_path):
+    """convert to-pth: fold msgpack checkpoint → reference-named .pth."""
+    from flax import serialization
+
+    from vit_deep_radiomics_tpu.cli.convert import main as convert_main
+    from vit_deep_radiomics_tpu.models.classifiers import (
+        TransformerNoduleClassifier,
+    )
+    from vit_deep_radiomics_tpu.models.convert import (
+        load_torch_state_dict,
+        transformer_classifier_params_from_torch,
+    )
+
+    model = TransformerNoduleClassifier(
+        input_dim=32, ffn_dim=64, num_heads=4, num_classes=2,
+        num_layers=2, policy=PARITY)
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 5, 32)))
+    ckpt_path = tmp_path / "model_epoch_0003.msgpack"
+    ckpt_path.write_bytes(serialization.msgpack_serialize(
+        {"params": params, "epoch": 3}))
+
+    out = tmp_path / "model_epoch_0003.pth"
+    assert convert_main(["to-pth", str(ckpt_path), "-o", str(out)]) == 0
+    back = transformer_classifier_params_from_torch(
+        load_torch_state_dict(out), 2)
+    for a, b in zip(jax.tree.leaves(params["params"]),
+                    jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

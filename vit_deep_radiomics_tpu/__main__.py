@@ -20,6 +20,7 @@ COMMANDS = {
     "pointcloud": "vit_deep_radiomics_tpu.cli.pointcloud",
     "fusion": "vit_deep_radiomics_tpu.cli.fusion",
     "serve": "vit_deep_radiomics_tpu.cli.serve",
+    "convert": "vit_deep_radiomics_tpu.cli.convert",
 }
 
 
