@@ -254,3 +254,137 @@ class TestPutGlobal:
         a = put_global(x, data_sharding(mesh, 2))
         assert a.sharding.is_fully_replicated
         np.testing.assert_array_equal(np.asarray(a), x)
+
+
+class TestVdrPartialTriplet:
+    def test_partial_vdr_env_raises_clearly(self):
+        # VDR_COORDINATOR lingering without the other two must be a
+        # clear error at detection time, not a KeyError at CLI startup
+        with pytest.raises(RuntimeError, match="VDR_NUM_PROCESSES"):
+            dist.detect_launch_env({"VDR_COORDINATOR": "host0:9999"})
+        with pytest.raises(RuntimeError, match="VDR_PROCESS_ID"):
+            dist.detect_launch_env({
+                "VDR_COORDINATOR": "host0:9999",
+                "VDR_NUM_PROCESSES": "2",
+            })
+
+
+class TestWritesHere:
+    def test_sharded_sweep_processes_write_their_own_artifacts(
+            self, monkeypatch):
+        """Primary-gating applies ONLY to meshes spanning processes: in
+        the sharded experiment sweep every process trains DIFFERENT grid
+        entries and must publish its own artifacts."""
+        from types import SimpleNamespace
+
+        from vit_deep_radiomics_tpu.engine.train import _writes_here
+
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        # process-local mesh (sharded sweep / solo): always writes
+        assert _writes_here(SimpleNamespace(_multiproc=False))
+        # multi-host DP mesh: identical results, primary publishes
+        assert not _writes_here(SimpleNamespace(_multiproc=True))
+
+
+def _tfds_streams(n_patients=3):
+    rng = np.random.default_rng(11)
+
+    def make_stream(modality, label, n_slices=2):
+        samples = []
+        for _ in range(n_slices):
+            if modality == "ct":
+                img = rng.normal(-500, 300, size=(48, 48)).astype(
+                    np.float32)
+            else:
+                img = np.abs(rng.normal(0.6, 0.3, size=(48, 48))).astype(
+                    np.float32)
+            mask = np.zeros((48, 48), bool)
+            mask[16:32, 16:32] = True
+            s = {
+                "img_exam": img,
+                "mask_exam": mask,
+                "egfr_label": np.int64(label),
+                "exam_metadata": {
+                    "space_directions": np.asarray([0.7, 0.7, 1.2])},
+            }
+            if modality == "pet":
+                liver = np.zeros((4, 4), np.float32)
+                liver[1:3, 1:3] = 2.0
+                s["pet_liver"] = liver
+            samples.append(s)
+        return samples
+
+    labels = {f"p{i}": i % 2 for i in range(n_patients)}
+    ds_pet = {p: make_stream("pet", l) for p, l in labels.items()}
+    ds_ct = {p: make_stream("ct", l) for p, l in labels.items()}
+
+    def loader(dataset_name, data_dir):
+        return ds_pet, ds_ct, sorted(labels)
+
+    return loader
+
+
+class TestMultiProcessTfdsSweep:
+    def test_tfds_parts_match_single_process(self, tiny_extractor,
+                                             tmp_path):
+        """The tfds sweep shards its work list and writes .part stores
+        per process (HDF5 has no multi-writer mode) — merged outputs
+        match the single-process sweep exactly."""
+        from vit_deep_radiomics_tpu.engine.extract import (
+            extract_tfds_dataset,
+        )
+
+        loader = _tfds_streams()
+        solo_dir = tmp_path / "solo"
+        solo = extract_tfds_dataset(
+            solo_dir, tiny_extractor, datasets=("stanford_dataset",),
+            loader=loader,
+        )
+
+        multi_dir = tmp_path / "multi"
+        written = []
+        for pid in range(2):
+            written += extract_tfds_dataset(
+                multi_dir, tiny_extractor, datasets=("stanford_dataset",),
+                loader=loader, process_grid=(pid, 2),
+            )
+        assert len(written) == len(solo) == 6
+        assert sorted(p.name for p in multi_dir.glob("*.part*.hdf5"))
+        merged = feature_store.merge_part_stores(multi_dir)
+        assert len(merged) == 2 and not list(multi_dir.glob("*.part*.hdf5"))
+
+        for modality in ("pet", "ct"):
+            solo_store = solo_dir / f"features_masks_{modality}.hdf5"
+            multi_store = multi_dir / f"features_masks_{modality}.hdf5"
+            pids = feature_store.patient_ids_in_store(solo_store)
+            assert sorted(
+                feature_store.patient_ids_in_store(multi_store)
+            ) == sorted(pids)
+            for patient in pids:
+                fs, ms = feature_store.read_patient_features(
+                    solo_store, patient)
+                fm, mm = feature_store.read_patient_features(
+                    multi_store, patient)
+                for a, b in zip(fs, fm):
+                    np.testing.assert_array_equal(a, b)
+                for a, b in zip(ms, mm):
+                    np.testing.assert_array_equal(a, b)
+
+        import pandas as pd
+
+        for pq in sorted((solo_dir / "stanford_dataset").glob("*.parquet")):
+            a = pd.read_parquet(pq)
+            b = pd.read_parquet(multi_dir / "stanford_dataset" / pq.name)
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_malformed_spec_stays_loud(self):
+        # only the ragged-divisibility case may fall back to replication;
+        # a wrong-rank spec is a programming error and must raise
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vit_deep_radiomics_tpu.core.mesh import make_mesh, put_global
+
+        mesh = make_mesh()
+        x = np.arange(64, dtype=np.float32).reshape(16, 4)
+        with pytest.raises(ValueError, match="rank"):
+            put_global(x, NamedSharding(mesh, P("data", None, "model")))

@@ -16,6 +16,10 @@ def main(argv=None) -> int:
                    help="experiment folder under models/")
     p.add_argument("--plots-dir", default="plots")
     args = p.parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("aggregate"):
+        return 0  # multi-process launch: host job runs on the primary
 
     from ..analysis.aggregate import aggregate_experiments
 

@@ -49,6 +49,10 @@ def _to_pth(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("convert"):
+        return 0  # multi-process launch: host job runs on the primary
     return {"to-pth": _to_pth}[args.cmd](args)
 
 

@@ -143,8 +143,6 @@ def main(argv=None) -> int:
                 datasets=tuple(args.datasets),
                 progress=print,
             )
-    import jax
-
     if jax.process_count() > 1:
         # every process finished its shard before the primary folds the
         # .part stores into the contract files

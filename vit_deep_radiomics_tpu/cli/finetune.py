@@ -121,10 +121,21 @@ def main(argv=None) -> int:
 
     import jax
 
+    from ..core.distributed import initialize_from_env
     from ..core.mesh import enable_persistent_compile_cache, make_mesh
     from ..engine.checkpoint import save_checkpoint_async, wait_pending
     from ..engine.finetune import FineTuneConfig, FineTuner
 
+    initialize_from_env()
+    if jax.process_count() > 1:
+        # the fine-tune loop builds its mesh over all visible devices and
+        # writes checkpoints ungated — running it per-process would race
+        # identical writes; refuse loudly until multi-process fine-tuning
+        # is a supported regime
+        raise SystemExit(
+            "cli.finetune does not support multi-process launches; run "
+            "it single-process (it data-parallelises over the local "
+            "devices by itself)")
     enable_persistent_compile_cache()
     bcfg, images, masks, onehot = _load_samples(args)
     n = images.shape[0]

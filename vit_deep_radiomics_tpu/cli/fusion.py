@@ -23,6 +23,10 @@ def main(argv=None) -> int:
                    help="write fold reports JSON here (default: print)")
     p.add_argument("--n-splits", type=int, default=5)
     args = p.parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("fusion"):
+        return 0  # multi-process launch: host job runs on the primary
 
     import numpy as np
     import pandas as pd

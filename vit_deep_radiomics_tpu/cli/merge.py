@@ -15,6 +15,10 @@ def main(argv=None) -> int:
                    default=["santa_maria_dataset", "stanford_dataset"])
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("merge"):
+        return 0  # multi-process launch: host job runs on the primary
 
     from ..data.feature_store import merge_metadata
 

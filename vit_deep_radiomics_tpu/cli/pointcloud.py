@@ -18,6 +18,10 @@ def main(argv=None) -> int:
     p.add_argument("--datasets", nargs="*",
                    default=["stanford", "santa_maria"])
     args = p.parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("pointcloud"):
+        return 0  # multi-process launch: host job runs on the primary
 
     import pandas as pd
 

@@ -152,6 +152,10 @@ def _run(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("serve"):
+        return 0  # multi-process launch: host job runs on the primary
     return {"export": _export, "info": _info, "run": _run}[args.cmd](args)
 
 

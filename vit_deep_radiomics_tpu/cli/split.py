@@ -17,6 +17,10 @@ def main(argv=None) -> int:
     p.add_argument("--n-splits", type=int, default=5)
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("split"):
+        return 0  # multi-process launch: host job runs on the primary
 
     import pandas as pd
 

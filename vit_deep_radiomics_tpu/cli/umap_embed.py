@@ -27,6 +27,10 @@ def main(argv=None) -> int:
     p.add_argument("--plots-dir", default="plots")
     p.add_argument("--experiment", default="petct")
     args = p.parse_args(argv)
+    from ..core.distributed import claim_primary_entry
+
+    if not claim_primary_entry("umap_embed"):
+        return 0  # multi-process launch: host job runs on the primary
 
     import pandas as pd
 

@@ -43,6 +43,7 @@ __all__ = [
     "primary_only",
     "process_count",
     "process_index",
+    "claim_primary_entry",
     "shard_for_process",
 ]
 
@@ -106,6 +107,15 @@ def detect_launch_env(environ=None) -> LaunchEnv | None:
     env = os.environ if environ is None else environ
 
     if env.get("VDR_COORDINATOR"):
+        missing = [k for k in ("VDR_NUM_PROCESSES", "VDR_PROCESS_ID")
+                   if not env.get(k)]
+        if missing:
+            raise RuntimeError(
+                "VDR_COORDINATOR is set but "
+                f"{' and '.join(missing)} "
+                "missing — a VDR_* launch needs all three of "
+                "VDR_COORDINATOR, VDR_NUM_PROCESSES, VDR_PROCESS_ID "
+                "(unset VDR_COORDINATOR for a single-process run)")
         return LaunchEnv(
             coordinator=env["VDR_COORDINATOR"],
             num_processes=int(env["VDR_NUM_PROCESSES"]),
@@ -154,12 +164,15 @@ def initialize_from_env() -> LaunchEnv | None:
     Safe to call from every entry point: single-host is a no-op, and
     repeat calls after a successful init return the cached description.
     TPU pod runtimes with self-discovering metadata can also force a
-    plain ``jax.distributed.initialize()`` via ``VDR_DISTRIBUTED=auto``.
+    plain ``jax.distributed.initialize()`` via ``VDR_DISTRIBUTED=auto``
+    (or by setting JAX's own ``JAX_COORDINATOR_ADDRESS`` family of
+    variables, which ``jax.distributed.initialize()`` reads itself).
     """
     global _initialized
     import jax
 
-    if os.environ.get("VDR_DISTRIBUTED", "").lower() == "auto":
+    if (os.environ.get("VDR_DISTRIBUTED", "").lower() == "auto"
+            or os.environ.get("JAX_COORDINATOR_ADDRESS")):
         if not _initialized:
             jax.distributed.initialize()
             _initialized = True
@@ -208,6 +221,25 @@ def primary_only(fn: Callable[..., T]) -> Callable[..., T | None]:
         return None
 
     return wrapper
+
+
+def claim_primary_entry(entry: str) -> bool:
+    """``initialize_from_env()`` and return True only on the publisher.
+
+    For CLIs whose work is a single-process host job (aggregation,
+    merging, splitting, converters, late fusion, UMAP, serving): under a
+    multi-process launch every process would otherwise repeat the same
+    work and race writes to the same artifact paths, so non-primary
+    processes log and skip (return False → the CLI exits 0 idle).
+    Single-process launches always return True.
+    """
+    initialize_from_env()
+    if process_count() > 1 and not is_primary():
+        print(f"[{entry}] multi-process launch: this entry point is a "
+              f"host-side job that runs on the primary only; process "
+              f"{process_index()} idles")
+        return False
+    return True
 
 
 def shard_for_process(

@@ -33,7 +33,6 @@ __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated",
-    "maybe_init_distributed",
     "enable_persistent_compile_cache",
     "mesh_spans_processes",
     "put_global",
@@ -72,17 +71,6 @@ def enable_persistent_compile_cache(path: str | None = None) -> str | None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path
-
-
-def maybe_init_distributed() -> None:
-    """Initialise multi-host JAX when launched under a multi-process runtime.
-
-    Single-host runs (the common case in tests and on one chip) are a
-    no-op.  Multi-host coordination rides DCN; within-slice collectives
-    ride ICI automatically once the mesh spans the slice.
-    """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
 
 
 def make_mesh(
@@ -132,6 +120,24 @@ def mesh_spans_processes(mesh: Mesh | None) -> bool:
     return len(procs) > 1
 
 
+def _ragged_for(sharding: NamedSharding, shape: tuple[int, ...]) -> bool:
+    """True when some sharded dim of ``shape`` does not divide over its
+    mesh axes (the legitimate replicate-fallback case for put_global)."""
+    spec = sharding.spec
+    if len(spec) > len(shape):
+        raise ValueError(
+            f"PartitionSpec {spec} has rank {len(spec)} but the array "
+            f"has rank {len(shape)} — malformed sharding for put_global")
+    for dim, axes in enumerate(spec):
+        if axes is None:
+            continue
+        axes = (axes,) if isinstance(axes, str) else tuple(axes)
+        n = int(np.prod([sharding.mesh.shape[a] for a in axes]))
+        if shape[dim] % n != 0:
+            return True
+    return False
+
+
 def put_global(x, sharding: NamedSharding):
     """Host value → (possibly multi-process) global ``jax.Array``.
 
@@ -144,14 +150,14 @@ def put_global(x, sharding: NamedSharding):
 
     Falls back to a replicated layout when the sharded axis does not
     divide evenly (ragged trailing batches) — correct, just without the
-    transfer savings.
+    transfer savings.  The fallback is only taken for that specific
+    divisibility case; a malformed spec (wrong rank / unknown axis)
+    raises, so programming errors stay loud.
     """
     x = np.asarray(x)
-    try:
-        idx_map = sharding.addressable_devices_indices_map(x.shape)
-    except ValueError:  # axis not divisible by its mesh axis
+    if not sharding.is_fully_replicated and _ragged_for(sharding, x.shape):
         sharding = NamedSharding(sharding.mesh, P())
-        idx_map = sharding.addressable_devices_indices_map(x.shape)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
     arrays = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
     return jax.make_array_from_single_device_arrays(
         x.shape, sharding, arrays)

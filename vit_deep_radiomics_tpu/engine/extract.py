@@ -622,6 +622,7 @@ def extract_tfds_dataset(
     progress: Callable[[str], None] | None = None,
     use_queue: bool = True,
     loader: Callable | None = None,
+    process_grid: tuple[int, int] | None = None,
 ) -> list[str]:
     """Sweep tfds patient datasets → per-patient parquet + HDF5 store.
 
@@ -644,9 +645,24 @@ def extract_tfds_dataset(
     iterable of per-slice sample mappings; the default is
     :func:`~..data.ingest.load_tfds_pair` (requires tensorflow_datasets —
     duck-typed dict sources exercise the full path without it).
+
+    Multi-host: same contract as :func:`extract_isotropic_dataset` — the
+    (patient, modality) work list shards round-robin across processes and
+    each process writes its own ``.part<pid>`` HDF5 store + queue state
+    (HDF5 has no multi-writer mode, so shared-store writes from several
+    processes would corrupt it); the primary folds parts via
+    ``feature_store.merge_part_stores``.
     """
+    from ..core import distributed as dist
     from ..data.ingest import load_tfds_pair, samples_to_voxels
     from .workqueue import WorkQueue
+
+    if process_grid is None:
+        import jax
+
+        process_grid = (jax.process_index(), jax.process_count())
+    pid_proc, nproc = process_grid
+    part = f".part{pid_proc}" if nproc > 1 else ""
 
     loader = loader or load_tfds_pair
     feature_folder = Path(feature_folder)
@@ -665,13 +681,16 @@ def extract_tfds_dataset(
                 meta[key] = (dataset_name, pid, modality, source,
                              features_dir)
 
+    if nproc > 1:
+        items = dist.shard_for_process(items, pid_proc, nproc)
+
     written: list[str] = []
     log = progress or print
 
     def worker(key: str):
         dataset_name, pid, modality, source, features_dir = meta[key]
         df_path = features_dir / f"{pid}_{modality}.parquet"
-        h5_path = feature_folder / f"features_masks_{modality}.hdf5"
+        h5_path = feature_folder / f"features_masks_{modality}{part}.hdf5"
         if df_path.exists():
             return None  # idempotent resume (ref :425)
         if progress:
@@ -703,7 +722,7 @@ def extract_tfds_dataset(
         return finalize
 
     if use_queue:
-        queue = WorkQueue(feature_folder / "extract_queue.json")
+        queue = WorkQueue(feature_folder / f"extract_queue{part}.json")
         queue.run(items, worker, log=log)
     else:
         for key in items:

@@ -93,12 +93,15 @@ def _patient_weights(patient_ids: Sequence[str]) -> np.ndarray:
     return 1.0 / counts[inv]
 
 
-def _writes_here() -> bool:
-    """Artifact writes run on every process single-host, and only on the
-    primary under a multi-process launch: all processes compute identical
-    metrics and checkpoint/early-stop decisions (the epoch outputs are
-    allgathered), one publishes to the shared filesystem."""
-    return jax.process_index() == 0
+def _writes_here(trainer: "FoldTrainer") -> bool:
+    """Artifact writes are primary-gated ONLY when the trainer's mesh
+    spans processes (multi-host data parallelism): there all processes
+    compute identical metrics and checkpoint/early-stop decisions (epoch
+    outputs are allgathered), so one publishes to the shared filesystem.
+    With a process-local mesh — including the sharded experiment sweep,
+    where each process trains DIFFERENT grid entries — every process must
+    publish its own artifacts."""
+    return (not trainer._multiproc) or jax.process_index() == 0
 
 
 class FoldTrainer:
@@ -539,7 +542,7 @@ def train_fold(
         te_rep = reports.device_epoch_report(
             te_y, te_s, w_te, kfold=kfold, loss=te_loss, epoch=epoch,
             split="test")
-        if _writes_here():
+        if _writes_here(trainer):
             reports.save_report_json(tr_rep, save_dir, "train", epoch)
             reports.save_report_json(te_rep, save_dir, "test", epoch)
         log(reports.format_report(te_rep))
@@ -556,7 +559,7 @@ def train_fold(
         history["target_metric"].append(target)
 
         df_hist = pd.DataFrame(history)
-        if _writes_here():
+        if _writes_here(trainer):
             reports.write_metrics_html(
                 df_hist, save_dir / "losses.html",
                 title=f"{tcfg.dataset} fold {kfold}",
@@ -565,7 +568,7 @@ def train_fold(
         # checkpoint gate: target ≥ running mean (train_models.py:805);
         # NaN targets (degenerate single-class splits) checkpoint anyway
         # so resume still works
-        if _writes_here() and (
+        if _writes_here(trainer) and (
             not np.isfinite(target)
             or target >= np.nanmean(history["target_metric"])
         ):
