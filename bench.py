@@ -106,6 +106,40 @@ def measure_vitl14_dense() -> float:
     return BATCH / best
 
 
+def _wait_for_backend() -> None:
+    """Wait out a tunneled-TPU outage instead of failing the bench.
+
+    The axon tunnel goes UNAVAILABLE in ~25-minute cycles after a
+    pathological compile elsewhere kills its claim; ``jax.devices()``
+    then raises after the PJRT client's own internal retries.  A bench
+    run landing mid-outage should be patient — it is the round's
+    recorded artifact.  Bounded by ``VDR_BENCH_PATIENCE`` seconds
+    (default 2400); healthy backends return on the first attempt.
+    """
+    import os
+
+    import jax
+
+    deadline = time.monotonic() + float(
+        os.environ.get("VDR_BENCH_PATIENCE", "2400"))
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as exc:
+            if time.monotonic() >= deadline:
+                raise
+            print(f"# backend unavailable, retrying in 60s: {exc}",
+                  file=sys.stderr)
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:
+                pass
+            time.sleep(60)
+
+
 def measure_tpu() -> float:
     import numpy as np
 
@@ -374,6 +408,7 @@ def main(argv=None):
         return
     _enable_cache()
     if argv and argv[0] == "e2e":
+        _wait_for_backend()
         stats = measure_e2e()
         print(json.dumps({
             "metric": "e2e_extract_throughput",
@@ -390,6 +425,7 @@ def main(argv=None):
             sys.executable, str(REPO / "tools" / "auc_parity.py"),
         ] + argv[1:]))
     if argv and argv[0] == "vitl14":
+        _wait_for_backend()
         value = measure_vitl14_dense()
         print(json.dumps({
             "metric": "dinov2_vitl14_dense518_throughput",
@@ -398,6 +434,7 @@ def main(argv=None):
             "vs_baseline": 0.0,  # no reference engine for this config here
         }))
         return
+    _wait_for_backend()
     value = measure_tpu()
     baseline = get_baseline()
     flops = sam_vitb_flops_per_image()
