@@ -130,3 +130,97 @@ class TestRuntimeUtils:
         with debugging.nan_check_mode(True):
             assert jax.config.jax_debug_nans is True
         assert jax.config.jax_debug_nans == prev
+
+
+class TestNativeLzf:
+    """native/lzf_codec.cpp: h5py-lzf-filter-compatible parallel codec
+    for the feature-store writer (the h5py filter runs single-threaded
+    under its global lock — the sweep's writer-thread bottleneck)."""
+
+    pytestmark = pytest.mark.skipif(
+        not native.lzf_available(), reason="native toolchain unavailable")
+
+    def _cases(self):
+        rng = np.random.default_rng(3)
+        return [
+            np.zeros((10, 10), np.float32),                       # trivial
+            (np.sin(np.linspace(0, 30, 24 * 24 * 16))
+             .reshape(24, 24, 16).astype(np.float32) * 100).round(1),
+            rng.random((24, 24)) > 0.5,                           # bool mask
+            rng.normal(size=(16, 16, 32)).astype(np.float32),     # noise
+            rng.integers(0, 4, 5000).astype(np.uint8),
+        ]
+
+    def test_roundtrip_own_decoder(self):
+        comp = native.lzf_compress_batch(self._cases())
+        for arr, c in zip(self._cases(), comp):
+            raw = np.ascontiguousarray(arr).tobytes()
+            if c is None:  # incompressible: caller stores raw
+                continue
+            assert len(c) < len(raw)
+            assert native.lzf_decompress(c, len(raw)) == raw
+
+    def test_h5py_reads_our_streams_and_vice_versa(self, tmp_path):
+        """Bit-compatibility both ways with h5py's bundled lzf filter —
+        the property the write_direct_chunk fast path relies on."""
+        import h5py
+
+        cases = self._cases()
+        comp = native.lzf_compress_batch(cases)
+        p = tmp_path / "x.hdf5"
+        with h5py.File(p, "w") as h5:
+            for i, (arr, c) in enumerate(zip(cases, comp)):
+                ds = h5.create_dataset(
+                    f"mine/{i}", shape=arr.shape, dtype=arr.dtype,
+                    compression="lzf", chunks=arr.shape)
+                off = (0,) * arr.ndim
+                if c is None:
+                    ds.id.write_direct_chunk(
+                        off, np.ascontiguousarray(arr).tobytes(),
+                        filter_mask=1)
+                else:
+                    ds.id.write_direct_chunk(off, c, filter_mask=0)
+                h5.create_dataset(
+                    f"theirs/{i}", data=arr, compression="lzf",
+                    chunks=arr.shape)
+        with h5py.File(p, "r") as h5:
+            for i, arr in enumerate(cases):
+                got = h5[f"mine/{i}"][...]
+                assert got.dtype == arr.dtype
+                np.testing.assert_array_equal(got, arr)
+                fm, chunk = h5[f"theirs/{i}"].id.read_direct_chunk(
+                    (0,) * arr.ndim)
+                raw = np.ascontiguousarray(arr).tobytes()
+                if fm == 0:  # h5py stored it compressed
+                    assert native.lzf_decompress(chunk, len(raw)) == raw
+
+    def test_save_features_native_matches_fallback(self, tmp_path,
+                                                   monkeypatch):
+        """save_features writes identical logical content through the
+        native write_direct_chunk path and the h5py-filter fallback."""
+        from vit_deep_radiomics_tpu.data.feature_store import (
+            read_patient_features,
+            save_features,
+        )
+        from vit_deep_radiomics_tpu.utils import native as nat
+
+        rng = np.random.default_rng(5)
+        feats = [rng.normal(size=(8, 8, 16)).astype(np.float32)
+                 for _ in range(4)]
+        masks = [rng.random((8, 8)) > 0.5 for _ in range(4)]
+        save_features(tmp_path / "native.hdf5", feats, masks, "p0")
+        monkeypatch.setattr(nat, "lzf_compress_batch", lambda bufs: None)
+        save_features(tmp_path / "fallback.hdf5", feats, masks, "p0")
+        fa, ma = read_patient_features(tmp_path / "native.hdf5", "p0")
+        fb, mb = read_patient_features(tmp_path / "fallback.hdf5", "p0")
+        for a, b, orig in zip(fa, fb, feats):
+            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, orig)
+        for a, b, orig in zip(ma, mb, masks):
+            assert a.dtype == orig.dtype == b.dtype
+            np.testing.assert_array_equal(a, orig)
+            np.testing.assert_array_equal(b, orig)
+
+    def test_corrupt_stream_raises(self):
+        with pytest.raises(ValueError, match="corrupt"):
+            native.lzf_decompress(b"\x1f" + b"ab", 100)
