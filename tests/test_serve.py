@@ -64,3 +64,111 @@ class TestServingExport:
         p.write_bytes(b"NOTVDR00junkjunk")
         with pytest.raises(ValueError, match="not a VDR export"):
             load_exported(p)
+
+
+class TestClassifierExport:
+    """export_classifier: the downstream diagnosis heads (all three
+    reference model families, models_archs.py:38-216) round-trip through
+    self-contained .vdr artifacts with static shapes + validity masks."""
+
+    D = 16
+
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        d = self.D
+        return {"models": {
+            "transformer": {
+                "learning_rate": 5e-4, "feature_dim": d, "batch_size": 2,
+                "virtual_batch_size": 4, "num_epochs": 1, "patience": 5,
+                "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+                "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            },
+            "conv": {
+                "learning_rate": 5e-4, "feature_dim": d, "batch_size": 2,
+                "virtual_batch_size": 4, "num_epochs": 1, "patience": 5,
+                "ct": {"div": 2}, "pet": {"div": 2},
+            },
+        }}
+
+    def test_unimodal_transformer_roundtrip(self, cfg, tmp_path):
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        rng = np.random.default_rng(0)
+        m = build_classifier(cfg, "transformer", "ct",
+                             policy=get_policy("parity"))
+        toks = jnp.asarray(rng.normal(size=(2, 8, self.D)).astype(
+            np.float32))
+        mask = jnp.asarray(rng.random((2, 8)) > 0.3)
+        v = m.init(jax.random.PRNGKey(0), toks, mask)
+        want = m.apply(v, toks, mask, deterministic=True)
+        p = export_classifier(
+            v, cfg, "transformer", "ct", tmp_path / "t.vdr",
+            batch=2, max_tokens=8, policy="parity")
+        em = load_exported(p)
+        assert em.meta["kind"] == "classifier"
+        assert em.meta["out_names"] == ["logits", "cls_embedding"]
+        assert list(em.meta["in_spec"]) == ["tokens", "mask"]
+        got = em(toks, mask)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    def test_bimodal_roundtrip(self, cfg, tmp_path):
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        rng = np.random.default_rng(1)
+        m = build_classifier(cfg, "transformer", "petct",
+                             policy=get_policy("parity"))
+        ct = jnp.asarray(rng.normal(size=(2, 8, self.D)).astype(np.float32))
+        pet = jnp.asarray(rng.normal(size=(2, 8, self.D)).astype(np.float32))
+        cm = jnp.asarray(rng.random((2, 8)) > 0.3)
+        pm = jnp.asarray(rng.random((2, 8)) > 0.3)
+        v = m.init(jax.random.PRNGKey(0), ct_tokens=ct, pet_tokens=pet,
+                   ct_mask=cm, pet_mask=pm)
+        want = m.apply(v, ct_tokens=ct, pet_tokens=pet, ct_mask=cm,
+                       pet_mask=pm, deterministic=True)
+        p = export_classifier(
+            v, cfg, "transformer", "petct", tmp_path / "b.vdr",
+            batch=2, max_tokens=8, policy="parity")
+        em = load_exported(p)
+        assert em.meta["out_names"] == [
+            "logits", "petct_cls", "logits_ct", "logits_pet"]
+        got = em(ct, pet, cm, pm)
+        assert len(got) == 4
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    def test_conv_roundtrip_and_checkpoint_tree(self, cfg, tmp_path):
+        """Also covers the fold-checkpoint input form (state['params']
+        is the flax variables dict; a bare inner tree is wrapped)."""
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        rng = np.random.default_rng(2)
+        m = build_classifier(cfg, "conv", "ct", policy=get_policy("parity"))
+        vol = jnp.asarray(
+            rng.normal(size=(2, 4, 6, 6, self.D)).astype(np.float32))
+        vm = jnp.asarray(rng.random((2, 4, 6, 6)) > 0.2)
+        v = m.init(jax.random.PRNGKey(0), vol, vm)
+        want = m.apply(v, vol, vm, deterministic=True)
+        p = export_classifier(
+            v["params"], cfg, "conv", "ct", tmp_path / "c.vdr",
+            batch=2, conv_shape=(4, 6, 6), policy="parity")
+        em = load_exported(p)
+        assert em.meta["conv_shape"] == [4, 6, 6]
+        got = em(vol, vm)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)

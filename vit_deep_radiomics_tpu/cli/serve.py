@@ -18,6 +18,14 @@ later process runs it without model-building code::
     # batched offline inference: (N, H, W, 3) float32 images -> features
     python -m vit_deep_radiomics_tpu.cli.serve run models/serving/medsam_b4.vdr \
         --input slices.npy --output features.npy
+
+    # the trained downstream classifier deploys the same way (static
+    # token/volume shapes + validity masks; conf supplies hyperparams)
+    python -m vit_deep_radiomics_tpu.cli.serve export-clf \
+        models/petct/medsam_transformer_stanford/ct/kfold_0/model_epoch_0007.msgpack \
+        -a transformer -m ct --out ct_clf.vdr --batch 8 --max-tokens 512
+    python -m vit_deep_radiomics_tpu.cli.serve run ct_clf.vdr \
+        --input tokens.npz --output preds.npz   # arrays per in_spec
 """
 
 from __future__ import annotations
@@ -52,18 +60,43 @@ def build_parser() -> argparse.ArgumentParser:
                     help="dinov2 backbones: patch-embed-only tokens "
                          "(reference parity) or full dense tokens")
 
+    exc = sub.add_parser(
+        "export-clf",
+        help="serialize a trained downstream classifier to a .vdr file")
+    exc.add_argument("checkpoint",
+                     help="fold checkpoint (model_epoch_NNNN.msgpack)")
+    exc.add_argument("-a", "--arch", default="transformer",
+                     choices=["transformer", "conv"])
+    exc.add_argument("-m", "--modality", default="ct",
+                     help="ct/pet/chest/petct/petchest")
+    exc.add_argument("-o", "--out", required=True, help="output .vdr path")
+    exc.add_argument("-b", "--batch", type=int, default=8,
+                     help="static serving batch size")
+    exc.add_argument("--max-tokens", type=int, default=512,
+                     help="static token-axis length (transformer archs)")
+    exc.add_argument("--conv-shape", type=int, nargs=3,
+                     default=(13, 12, 12), metavar=("S", "H", "W"),
+                     help="static volume shape (conv arch)")
+    exc.add_argument("--num-classes", type=int, default=2)
+    exc.add_argument("--precision", default="fast",
+                     choices=["fast", "parity", "bf16", "fp32"])
+
     info = sub.add_parser("info", help="print a .vdr artifact's header")
     info.add_argument("artifact")
 
     run = sub.add_parser("run", help="batched inference from an artifact")
     run.add_argument("artifact")
     run.add_argument("-i", "--input", required=True,
-                     help=".npy/.npz of (N, H, W, 3) float32 images "
-                          "(for .npz pass --key)")
+                     help="dense artifact: .npy/.npz of (N, H, W, 3) "
+                          "float32 images (for .npz pass --key). "
+                          "classifier artifact: .npz with one array per "
+                          "input in the artifact's in_spec (masks may be "
+                          "omitted: all-valid assumed)")
     run.add_argument("--key", default=None,
                      help="array name inside an .npz input")
     run.add_argument("-o", "--output", required=True,
-                     help="output .npy of (N, grid, grid, C) features")
+                     help="dense: output .npy of features; classifier: "
+                          "output .npz with one array per out_name")
     return p
 
 
@@ -92,6 +125,25 @@ def _export(args) -> int:
     return 0
 
 
+def _export_clf(args) -> int:
+    from flax import serialization
+
+    from ..engine.serve import export_classifier
+    from ..utils.config import load_conf
+
+    with open(args.checkpoint, "rb") as fh:
+        state = serialization.msgpack_restore(fh.read())
+    variables = state["params"] if "params" in state else state
+    path = export_classifier(
+        variables, load_conf(), args.arch, args.modality, args.out,
+        batch=args.batch, max_tokens=args.max_tokens,
+        conv_shape=tuple(args.conv_shape), policy=args.precision,
+        num_classes=args.num_classes,
+    )
+    print(path)
+    return 0
+
+
 def _info(args) -> int:
     from ..engine.serve import load_exported
 
@@ -114,6 +166,104 @@ def _load_images(path: str, key: str | None):
     return np.asarray(np.load(path), dtype=np.float32)
 
 
+def _run_classifier(args, model) -> int:
+    """Batched classifier inference from an .npz of named inputs.
+
+    Arrays must match the artifact's ``in_spec`` names; omitted masks
+    default to all-valid.  Shorter token/volume axes than the static
+    spec are zero-padded with the mask cleared over the padding; the
+    batch axis pads to the static serving batch.
+    """
+    import numpy as np
+
+    if not args.input.endswith(".npz"):
+        raise SystemExit(
+            "classifier artifacts take an .npz input with one array per "
+            f"in_spec entry {list(model.meta['in_spec'])}")
+    in_spec = model.meta["in_spec"]
+    batch = int(model.meta["batch"])
+    with np.load(args.input) as z:
+        given = {k: np.asarray(z[k]) for k in z.files}
+    unknown = set(given) - set(in_spec)
+    if unknown:
+        raise SystemExit(f"unknown input arrays {sorted(unknown)}; "
+                         f"this artifact takes {list(in_spec)}")
+
+    # batch size from the first provided data array
+    data_names = [k for k in in_spec if not k.endswith("mask")]
+    try:
+        n = next(given[k].shape[0] for k in data_names if k in given)
+    except StopIteration:
+        raise SystemExit(f"missing data arrays; need {data_names}")
+
+    inputs = []
+    for name, (shape, dtype) in in_spec.items():
+        is_mask = name.endswith("mask")
+        if name in given:
+            arr = given[name]
+        elif is_mask:
+            # default mask: valid over the matching data array's
+            # provided extent, False over the padding added below
+            # (mask dims mirror the data array's non-feature dims)
+            data_name = name.replace("mask", "tokens").replace(
+                "valid_tokens", "volume")
+            arr = np.zeros((n,) + tuple(shape[1:]), bool)
+            if data_name in given:
+                ext = given[data_name].shape[:arr.ndim]
+                arr[tuple(slice(0, e) for e in ext)] = True
+            else:
+                arr[:] = True
+        else:
+            raise SystemExit(f"missing required input '{name}'")
+        if arr.shape[0] != n:
+            raise SystemExit(
+                f"'{name}' batch {arr.shape[0]} != {n} of the data arrays")
+        if arr.ndim != len(shape):
+            raise SystemExit(
+                f"'{name}' must have {len(shape)} dims {shape}; "
+                f"got {list(arr.shape)}")
+        # zero-pad every non-batch axis up to the static spec
+        pads = [(0, 0)]
+        for have, want_ in zip(arr.shape[1:], shape[1:]):
+            if have > want_:
+                raise SystemExit(
+                    f"'{name}' axis size {have} exceeds the artifact's "
+                    f"static {want_}")
+            pads.append((0, want_ - have))
+        arr = np.pad(arr, pads)
+        inputs.append(arr.astype(bool if dtype == "bool" else np.float32))
+
+    pad = (-n) % batch
+    outs = None
+    t0 = time.time()
+    for i in range(0, n + pad, batch):
+        chunk = []
+        for arr in inputs:
+            part = arr[i:i + batch]
+            if part.shape[0] < batch:
+                part = np.pad(
+                    part, [(0, batch - part.shape[0])]
+                    + [(0, 0)] * (part.ndim - 1))
+            chunk.append(part)
+        got = model(*chunk)
+        got = got if isinstance(got, (tuple, list)) else (got,)
+        if outs is None:
+            outs = [[] for _ in got]
+        for acc, g in zip(outs, got):
+            acc.append(np.asarray(g))
+    dt = time.time() - t0
+    named = {name: np.concatenate(acc)[:n]
+             for name, acc in zip(model.meta["out_names"], outs)}
+    np.savez(args.output, **named)
+    print(json.dumps({
+        "items": n, "batch": batch, "seconds": round(dt, 3),
+        "items_per_s": round(n / dt, 2) if dt > 0 else None,
+        "outputs": {k: list(v.shape) for k, v in named.items()},
+        "output": args.output,
+    }))
+    return 0
+
+
 def _run(args) -> int:
     import numpy as np
 
@@ -122,6 +272,8 @@ def _run(args) -> int:
 
     enable_persistent_compile_cache()
     model = load_exported(args.artifact)
+    if model.meta.get("kind") == "classifier":
+        return _run_classifier(args, model)
     batch = int(model.meta["batch"])
     size = int(model.meta["image_size"])
     images = _load_images(args.input, args.key)
@@ -156,7 +308,8 @@ def main(argv=None) -> int:
 
     if not claim_primary_entry("serve"):
         return 0  # multi-process launch: host job runs on the primary
-    return {"export": _export, "info": _info, "run": _run}[args.cmd](args)
+    return {"export": _export, "export-clf": _export_clf, "info": _info,
+            "run": _run}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,10 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["export_dense_model", "load_exported", "ExportedModel"]
+__all__ = [
+    "export_dense_model", "export_classifier", "load_exported",
+    "ExportedModel",
+]
 
 _MAGIC = b"VDRX0001"
 
@@ -68,7 +71,8 @@ def export_dense_model(
     exported = jexport.export(jax.jit(forward))(spec)
     payload = exported.serialize()
 
-    header = json.dumps({
+    return _write_artifact(out_path, {
+        "kind": "dense",
         "model": backbone_cfg.name,
         "config": dataclasses.asdict(backbone_cfg),
         "batch": batch,
@@ -81,27 +85,151 @@ def export_dense_model(
                       backbone_cfg.width if patch_embed_only
                       else (backbone_cfg.neck_channels
                             or backbone_cfg.width)],
-    }).encode()
+    }, payload)
 
+
+def export_classifier(
+    variables: dict,
+    cfg: dict,
+    arch: str,
+    modality: str,
+    out_path,
+    *,
+    batch: int = 8,
+    max_tokens: int = 512,
+    conv_shape: tuple[int, int, int] = (13, 12, 12),
+    policy: str = "fast",
+    num_classes: int = 2,
+    modality_a: str = "pet",
+    modality_b: str = "ct",
+) -> str:
+    """Serialize a trained downstream classifier to a ``.vdr`` artifact.
+
+    Completes the deployment story for the models the reference actually
+    trains (models_archs.py:38-216): the per-patient diagnosis head is
+    the part a production system deploys, and the reference can only run
+    it inside a torch Python process with the model-building code on the
+    path.  Inputs are static-shape with explicit validity masks (the
+    serving analogue of the trainer's padded token buckets):
+
+    * transformer (unimodal): ``(tokens (B,T,D) f32, mask (B,T) bool)``
+      → ``(logits, cls_embedding)``
+    * bimodal petct/petchest: ``(ct_tokens, pet_tokens, ct_mask,
+      pet_mask)`` → ``(logits_joint, petct_cls, logits_ct, logits_pet)``
+    * conv: ``(volume (B,S,H,W,D) f32, valid (B,S,H,W) bool)``
+      → ``(logits, embedding)``
+
+    ``variables`` accepts either the flax variables dict or a fold
+    checkpoint's ``state["params"]`` (they are the same structure).
+    """
+    import jax
+    from jax import export as jexport
+
+    from ..core.precision import get_policy
+    from ..models.classifiers import build_classifier
+
+    if "params" not in variables:
+        variables = {"params": variables}
+    model = build_classifier(
+        cfg, arch, modality, modality_a, modality_b,
+        num_classes=num_classes, policy=get_policy(policy),
+    )
+    feature_dim = cfg["models"][arch]["feature_dim"]
+
+    f32, b8 = np.float32, np.bool_
+    if arch == "conv":
+        s, h, w = conv_shape
+        in_spec = {
+            "volume": ((batch, s, h, w, feature_dim), "float32"),
+            "valid_mask": ((batch, s, h, w), "bool"),
+        }
+
+        def forward(volume, valid_mask):
+            return model.apply(variables, volume, valid_mask,
+                               deterministic=True)
+
+        specs = [jax.ShapeDtypeStruct((batch, s, h, w, feature_dim), f32),
+                 jax.ShapeDtypeStruct((batch, s, h, w), b8)]
+        out_names = ["logits", "embedding"]
+    elif modality in ("petct", "petchest"):
+        in_spec = {
+            "ct_tokens": ((batch, max_tokens, feature_dim), "float32"),
+            "pet_tokens": ((batch, max_tokens, feature_dim), "float32"),
+            "ct_mask": ((batch, max_tokens), "bool"),
+            "pet_mask": ((batch, max_tokens), "bool"),
+        }
+
+        def forward(ct_tokens, pet_tokens, ct_mask, pet_mask):
+            return model.apply(
+                variables, ct_tokens=ct_tokens, pet_tokens=pet_tokens,
+                ct_mask=ct_mask, pet_mask=pet_mask, deterministic=True)
+
+        specs = [
+            jax.ShapeDtypeStruct((batch, max_tokens, feature_dim), f32),
+            jax.ShapeDtypeStruct((batch, max_tokens, feature_dim), f32),
+            jax.ShapeDtypeStruct((batch, max_tokens), b8),
+            jax.ShapeDtypeStruct((batch, max_tokens), b8),
+        ]
+        out_names = ["logits", "petct_cls", "logits_ct", "logits_pet"]
+    else:
+        in_spec = {
+            "tokens": ((batch, max_tokens, feature_dim), "float32"),
+            "mask": ((batch, max_tokens), "bool"),
+        }
+
+        def forward(tokens, mask):
+            return model.apply(variables, tokens, mask,
+                               deterministic=True)
+
+        specs = [
+            jax.ShapeDtypeStruct((batch, max_tokens, feature_dim), f32),
+            jax.ShapeDtypeStruct((batch, max_tokens), b8),
+        ]
+        out_names = ["logits", "cls_embedding"]
+
+    exported = jexport.export(jax.jit(forward))(*specs)
+    return _write_artifact(out_path, {
+        "kind": "classifier",
+        "arch": arch,
+        "modality": modality,
+        "batch": batch,
+        "feature_dim": feature_dim,
+        "num_classes": num_classes,
+        "max_tokens": (None if arch == "conv" else max_tokens),
+        "conv_shape": (list(conv_shape) if arch == "conv" else None),
+        "policy": policy,
+        "in_spec": {k: [list(s), d] for k, (s, d) in in_spec.items()},
+        "out_names": out_names,
+        "platforms": list(exported.platforms),
+    }, exported.serialize())
+
+
+def _write_artifact(out_path, header: dict, payload: bytes) -> str:
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
+    head = json.dumps(header).encode()
     with open(out_path, "wb") as fh:
         fh.write(_MAGIC)
-        fh.write(struct.pack("<I", len(header)))
-        fh.write(header)
+        fh.write(struct.pack("<I", len(head)))
+        fh.write(head)
         fh.write(payload)
     return str(out_path)
 
 
 @dataclasses.dataclass
 class ExportedModel:
-    """A deserialized serving artifact: ``model(images) → features``."""
+    """A deserialized serving artifact.
+
+    Dense artifacts: ``model(images) → features``.  Classifier
+    artifacts: positional inputs per ``meta['in_spec']`` order (tokens/
+    masks or volume/valid_mask) → tuple per ``meta['out_names']``.
+    """
 
     meta: dict
     _exported: object
 
-    def __call__(self, images):
-        return self._exported.call(images)
+    def __call__(self, *inputs):
+        return self._exported.call(*inputs)
 
 
 def load_exported(path) -> ExportedModel:
