@@ -400,3 +400,81 @@ def test_serve_cli_info_and_run(tmp_path, capsys):
     assert report["images"] == 5 and report["out_shape"][0] == 5
     got = np.load(tmp_path / "feats.npy")
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_serve_classifier_cli(tmp_path, capsys, monkeypatch):
+    """export-clf + classifier-aware run: a fold checkpoint serializes
+    to a .vdr, the CLI pads ragged token inputs + auto-builds the
+    validity mask, and outputs match the library oracle."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vit_deep_radiomics_tpu.cli import serve as cli_serve
+    from vit_deep_radiomics_tpu.core.precision import get_policy
+    from vit_deep_radiomics_tpu.models.classifiers import build_classifier
+    from vit_deep_radiomics_tpu.utils import config as config_mod
+
+    D = 16
+    cfg = {"models": {"transformer": {
+        "learning_rate": 5e-4, "feature_dim": D, "batch_size": 2,
+        "virtual_batch_size": 4, "num_epochs": 1, "patience": 5,
+        "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+        "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+    }}}
+    rng = np.random.default_rng(7)
+    m = build_classifier(cfg, "transformer", "ct",
+                         policy=get_policy("parity"))
+    toks0 = jnp.asarray(rng.normal(size=(2, 8, D)).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), toks0)
+    ckpt = tmp_path / "model_epoch_0000.msgpack"
+    state = jax.tree.map(np.asarray, {"params": dict(variables)})
+    ckpt.write_bytes(serialization.msgpack_serialize(state))
+
+    monkeypatch.setattr(config_mod, "load_conf", lambda *a, **k: cfg)
+    artifact = tmp_path / "clf.vdr"
+    rc = cli_serve.main([
+        "export-clf", str(ckpt), "-a", "transformer", "-m", "ct",
+        "-o", str(artifact), "--batch", "2", "--max-tokens", "8",
+        "--precision", "parity",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    # ragged input (5 items % batch 2, 5 tokens < static 8), mask omitted
+    tokens = rng.normal(size=(5, 5, D)).astype(np.float32)
+    np.savez(tmp_path / "in.npz", tokens=tokens)
+    rc = cli_serve.main([
+        "run", str(artifact),
+        "--input", str(tmp_path / "in.npz"),
+        "--output", str(tmp_path / "out.npz"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["items"] == 5
+    out = np.load(tmp_path / "out.npz")
+    assert set(out.files) == {"logits", "cls_embedding"}
+
+    padded = np.zeros((5, 8, D), np.float32)
+    padded[:, :5] = tokens
+    mask = np.zeros((5, 8), bool)
+    mask[:, :5] = True
+    want_logits, want_cls = m.apply(
+        variables, jnp.asarray(padded), jnp.asarray(mask),
+        deterministic=True)
+    np.testing.assert_allclose(out["logits"], np.asarray(want_logits),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out["cls_embedding"], np.asarray(want_cls),
+                               rtol=1e-5, atol=1e-5)
+
+    # wrong feature dim is rejected loudly, not zero-padded into garbage
+    np.savez(tmp_path / "bad.npz",
+             tokens=rng.normal(size=(2, 5, D // 2)).astype(np.float32))
+    with pytest.raises(SystemExit, match="feature dim"):
+        cli_serve.main([
+            "run", str(artifact),
+            "--input", str(tmp_path / "bad.npz"),
+            "--output", str(tmp_path / "bad_out.npz"),
+        ])

@@ -222,7 +222,13 @@ def _run_classifier(args, model) -> int:
             raise SystemExit(
                 f"'{name}' must have {len(shape)} dims {shape}; "
                 f"got {list(arr.shape)}")
-        # zero-pad every non-batch axis up to the static spec
+        # zero-pad the non-batch axes up to the static spec — except the
+        # feature axis of data arrays, which must match exactly (padding
+        # a wrong feature_dim would silently produce garbage logits)
+        if not is_mask and arr.shape[-1] != shape[-1]:
+            raise SystemExit(
+                f"'{name}' feature dim {arr.shape[-1]} != the artifact's "
+                f"{shape[-1]}")
         pads = [(0, 0)]
         for have, want_ in zip(arr.shape[1:], shape[1:]):
             if have > want_:
