@@ -241,6 +241,7 @@ def _run_classifier(args, model) -> int:
 
     pad = (-n) % batch
     outs = None
+    lat = []
     t0 = time.time()
     for i in range(0, n + pad, batch):
         chunk = []
@@ -251,12 +252,15 @@ def _run_classifier(args, model) -> int:
                     part, [(0, batch - part.shape[0])]
                     + [(0, 0)] * (part.ndim - 1))
             chunk.append(part)
+        tb = time.time()
         got = model(*chunk)
         got = got if isinstance(got, (tuple, list)) else (got,)
+        got = [np.asarray(g) for g in got]  # materialize = sync
+        lat.append(time.time() - tb)
         if outs is None:
             outs = [[] for _ in got]
         for acc, g in zip(outs, got):
-            acc.append(np.asarray(g))
+            acc.append(g)
     dt = time.time() - t0
     named = {name: np.concatenate(acc)[:n]
              for name, acc in zip(model.meta["out_names"], outs)}
@@ -264,10 +268,26 @@ def _run_classifier(args, model) -> int:
     print(json.dumps({
         "items": n, "batch": batch, "seconds": round(dt, 3),
         "items_per_s": round(n / dt, 2) if dt > 0 else None,
+        **_latency_stats(lat),
         "outputs": {k: list(v.shape) for k, v in named.items()},
         "output": args.output,
     }))
     return 0
+
+
+def _latency_stats(lat: list) -> dict:
+    """Per-batch wall latencies → p50/p99 (ms).  The first batch carries
+    the deserialized program's load/compile, so it is reported apart."""
+    if not lat:
+        return {}
+    import numpy as np
+
+    steady = lat[1:] or lat
+    return {
+        "first_batch_ms": round(lat[0] * 1e3, 2),
+        "latency_p50_ms": round(float(np.percentile(steady, 50)) * 1e3, 2),
+        "latency_p99_ms": round(float(np.percentile(steady, 99)) * 1e3, 2),
+    }
 
 
 def _run(args) -> int:
@@ -295,14 +315,18 @@ def _run(args) -> int:
             [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
     t0 = time.time()
     outs = []
+    lat = []
     for i in range(0, images.shape[0], batch):
+        tb = time.time()
         outs.append(np.asarray(model(images[i:i + batch])))
+        lat.append(time.time() - tb)
     feats = np.concatenate(outs)[:n]
     dt = time.time() - t0
     np.save(args.output, feats)
     print(json.dumps({
         "images": n, "batch": batch, "seconds": round(dt, 3),
         "img_per_s": round(n / dt, 2) if dt > 0 else None,
+        **_latency_stats(lat),
         "out_shape": list(feats.shape), "output": args.output,
     }))
     return 0
