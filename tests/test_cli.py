@@ -116,6 +116,34 @@ class TestCliPipeline:
                     / "petct/kfold_0")
         assert (fold_dir / "losses.html").exists()
 
+    def test_04a_multiprocess_fold_sharding(self, project, monkeypatch):
+        """Under a multi-process launch WITHOUT --data-parallel, each
+        process trains a disjoint round-robin shard of the folds instead
+        of duplicating them all (which would race artifact writes)."""
+        from vit_deep_radiomics_tpu.core import distributed as dist
+        from vit_deep_radiomics_tpu.engine import train as engine_train
+
+        seen = {}
+
+        def fake_train_kfold(df, cfg, tcfg, hdf5_ct_path, hdf5_pet_path,
+                             models_dir, mesh=None, folds=None, **kw):
+            seen["folds"] = folds
+            seen["mesh"] = mesh
+            return {}
+
+        monkeypatch.setattr(engine_train, "train_kfold", fake_train_kfold)
+        for pid, want in ((0, [0]), (1, [1])):
+            monkeypatch.setattr(
+                dist, "initialize_from_env",
+                lambda pid=pid: dist.LaunchEnv("h:1", 2, pid, "vdr"))
+            rc = cli_train.main([
+                "-a", "transformer", "-d", "stanford", "-m", "petct",
+                "-l", "crossmodal", "-e", "petct_mp",
+            ])
+            assert rc == 0
+            assert seen["mesh"] is None
+            assert list(seen["folds"]) == want
+
     def test_04b_sweep(self, project):
         """In-process grid sweep shares step caches across experiments
         and writes the same artifact tree as per-experiment train

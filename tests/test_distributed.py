@@ -76,6 +76,15 @@ class TestDetectLaunchEnv:
             "OMPI_COMM_WORLD_SIZE": "2", "OMPI_COMM_WORLD_RANK": "0",
         }) is None
 
+    def test_ompi_without_rank_raises_clearly(self):
+        # leaked OMPI_COMM_WORLD_SIZE + VDR_COORDINATOR_HOST without a
+        # rank must be a descriptive error, not a raw KeyError
+        with pytest.raises(RuntimeError, match="OMPI_COMM_WORLD_RANK"):
+            dist.detect_launch_env({
+                "OMPI_COMM_WORLD_SIZE": "2",
+                "VDR_COORDINATOR_HOST": "mpihost",
+            })
+
     def test_plain_env_is_none(self):
         assert dist.detect_launch_env({}) is None
 

@@ -236,8 +236,10 @@ def _run_classifier(args, model) -> int:
                     f"'{name}' axis size {have} exceeds the artifact's "
                     f"static {want_}")
             pads.append((0, want_ - have))
-        arr = np.pad(arr, pads)
-        inputs.append(arr.astype(bool if dtype == "bool" else np.float32))
+        if any(p != (0, 0) for p in pads):
+            arr = np.pad(arr, pads)
+        inputs.append(
+            arr.astype(bool if dtype == "bool" else np.float32, copy=False))
 
     pad = (-n) % batch
     outs = None

@@ -53,7 +53,7 @@ def main(argv=None) -> int:
     from ..engine.train import TrainerConfig, train_kfold
     from ..utils.config import load_conf
 
-    initialize_from_env()  # multi-host launch (no-op single-process)
+    lenv = initialize_from_env()  # multi-host launch (no-op single-process)
     mesh = None
     if args.data_parallel:
         import jax
@@ -65,6 +65,21 @@ def main(argv=None) -> int:
     cfg = load_conf()
     modality_b = "chest" if "chest" in args.modality else "ct"
     feature_dir = os.path.join(args.data_dir, "features")
+
+    folds = args.folds
+    if mesh is None and lenv is not None and lenv.num_processes > 1:
+        # Multi-process launch WITHOUT a global data mesh: every process
+        # would otherwise train identical folds and race writes to the
+        # same kfold_k artifacts.  Shard folds round-robin instead (fold
+        # directories are disjoint), mirroring cli/sweep's grid sharding.
+        from ..core.distributed import shard_for_process
+
+        fold_map = cfg["kfold_patients"][modality_b][args.dataset]
+        all_folds = folds if folds is not None else list(fold_map.keys())
+        folds = shard_for_process(
+            all_folds, pid=lenv.process_id, nproc=lenv.num_processes)
+        print(f"[train] process {lenv.process_id}/{lenv.num_processes}: "
+              f"folds {folds} of {all_folds}")
 
     df = pd.read_parquet(os.path.join(feature_dir, "petct.parquet"))
     batch_size = (
@@ -95,7 +110,7 @@ def main(argv=None) -> int:
                 feature_dir, "features_masks_pet.hdf5"),
             models_dir=args.models_dir,
             mesh=mesh,
-            folds=args.folds,
+            folds=folds,
         )
     return 0
 

@@ -145,10 +145,18 @@ def detect_launch_env(environ=None) -> LaunchEnv | None:
         host = env.get("VDR_COORDINATOR_HOST")
         if not host:
             return None
+        rank = env.get("OMPI_COMM_WORLD_RANK")
+        if rank is None:
+            raise RuntimeError(
+                f"OMPI_COMM_WORLD_SIZE={n} and VDR_COORDINATOR_HOST are "
+                "set but OMPI_COMM_WORLD_RANK is missing — an OpenMPI "
+                "launch needs both OMPI_COMM_WORLD_SIZE and "
+                "OMPI_COMM_WORLD_RANK (unset OMPI_COMM_WORLD_SIZE or "
+                "VDR_COORDINATOR_HOST for a single-process run)")
         return LaunchEnv(
             coordinator=f"{host}:{env.get('VDR_PORT', _DEFAULT_PORT)}",
             num_processes=n,
-            process_id=int(env["OMPI_COMM_WORLD_RANK"]),
+            process_id=int(rank),
             source="ompi",
         )
 

@@ -15,7 +15,7 @@ Typical use::
     tuner = FineTuner(FineTuneConfig(num_classes=2), mesh=mesh)
     state = tuner.init(rng, example_images)
     for images, masks, labels in batches:
-        state, loss = tuner.step(state, images, masks, labels)
+        state, loss, logits = tuner.step(state, images, masks, labels)
 
 ``freeze_below`` keeps the first N transformer blocks frozen (their
 gradients are zeroed through an optax mask), the standard recipe for
