@@ -94,6 +94,21 @@ class TestBlockDiagonalWindows:
             flash_attention(q, q, q, window_tokens=64,
                             interpret=INTERPRET)
 
+    def test_window_rejects_kv_len(self, rng):
+        # in window mode the kv tile follows the q tile (kv program id
+        # stays 0), so a global kv_len mask would compare tile-local
+        # columns against a global count — must be rejected, not
+        # silently mis-masked
+        import jax.numpy as jnp
+        q = _rand(rng, 1, 1, 128, 16)
+        bh = _rand(rng, 1, 1, 128, 8)
+        bw = _rand(rng, 1, 1, 128, 8)
+        with pytest.raises(ValueError, match="kv_len is not supported"):
+            flash_attention(q, q, q, bias_h=bh, bias_w=bw,
+                            kv_len=jnp.array([100]),
+                            kv_grid=(8, 8), window_tokens=64,
+                            block_q=128, block_k=128, interpret=INTERPRET)
+
     def test_window_must_divide_block(self, rng):
         q = _rand(rng, 1, 1, 128, 16)
         bh = _rand(rng, 1, 1, 128, 16)

@@ -75,17 +75,19 @@ class _TorchBimodal(torch.nn.Module):
     per-modality encoders + CLS, bidirectional cross-attention, three
     MLP heads + projection (models_archs.py:38-124 layout)."""
 
-    def __init__(self, d=32, heads=4, layers=1, ff=64, ncls=2):
+    def __init__(self, d=32, heads=4, layers=1, ff=64, ncls=2,
+                 layers_pet=None):
         super().__init__()
 
-        def encoder():
+        def encoder(n):
             layer = torch.nn.TransformerEncoderLayer(
                 d_model=d, nhead=heads, dim_feedforward=ff,
                 activation="gelu", batch_first=True, dropout=0.0)
-            return torch.nn.TransformerEncoder(layer, layers)
+            return torch.nn.TransformerEncoder(layer, n)
 
-        self.transformer_encoder_ct = encoder()
-        self.transformer_encoder_pet = encoder()
+        self.transformer_encoder_ct = encoder(layers)
+        self.transformer_encoder_pet = encoder(
+            layers if layers_pet is None else layers_pet)
         self.norm_ct = torch.nn.LayerNorm(d)
         self.norm_pet = torch.nn.LayerNorm(d)
         self.cls_token_ct = torch.nn.Parameter(torch.randn(1, 1, d))
@@ -146,6 +148,51 @@ class TestClassifierConversion:
         ):
             np.testing.assert_allclose(
                 np.asarray(ours), want, atol=3e-5, err_msg=name)
+
+    def test_bimodal_asymmetric_depths_inferred(self):
+        """CT and PET encoders may have different depths (the config
+        schema sets num_layers per modality); num_layers=None infers
+        each from the checkpoint keys."""
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleBimodalClassifier,
+        )
+
+        d, heads, ff, ncls = 32, 4, 64, 2
+        torch.manual_seed(3)
+        tm = _TorchBimodal(d, heads, layers=1, ff=ff, ncls=ncls,
+                           layers_pet=2).eval()
+        ct = torch.randn(2, 6, d)
+        pet = torch.randn(2, 4, d)
+        with torch.no_grad():
+            ref = [t.numpy() for t in tm(ct, pet)]
+
+        state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = transformer_classifier_params_from_torch(
+            state, bimodal=True)
+        assert set(params["encoder_ct"]) == {"layer_0"}
+        assert set(params["encoder_pet"]) == {"layer_0", "layer_1"}
+        model = TransformerNoduleBimodalClassifier(
+            input_dim=d, ffn_dim_ct=ff, ffn_dim_pet=ff,
+            num_heads_ct=heads, num_heads_pet=heads,
+            num_layers_ct=1, num_layers_pet=2,
+            num_classes=ncls, policy=PARITY, dropout_rate=0.0,
+        )
+        with jax.default_matmul_precision("highest"):
+            outs = model.apply(
+                {"params": params},
+                jnp.asarray(ct.numpy()), jnp.asarray(pet.numpy()),
+            )
+        for ours, want, name in zip(
+            outs, ref, ("logits_joint", "joint_cls", "logits_ct",
+                        "logits_pet")
+        ):
+            np.testing.assert_allclose(
+                np.asarray(ours), want, atol=3e-5, err_msg=name)
+        # an explicit num_layers that contradicts the checkpoint is
+        # rejected instead of silently truncating an encoder
+        with pytest.raises(ValueError, match="checkpoint has 2"):
+            transformer_classifier_params_from_torch(
+                state, 1, bimodal=True)
 
     def test_unimodal_roundtrip(self):
         d, heads, layers, ff, ncls = 32, 4, 2, 64, 2

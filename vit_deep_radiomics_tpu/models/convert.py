@@ -255,8 +255,17 @@ def _mlp_head(sd: Mapping[str, np.ndarray], base: str) -> dict:
     }
 
 
+def _count_encoder_layers(sd: Mapping[str, np.ndarray], prefix: str) -> int:
+    """Number of ``{prefix}.layers.N.*`` layers present in a state dict."""
+    n = 0
+    while any(k.startswith(f"{prefix}.layers.{n}.") for k in sd):
+        n += 1
+    return n
+
+
 def transformer_classifier_params_from_torch(
-    state: Mapping[str, np.ndarray], num_layers: int, bimodal: bool = False
+    state: Mapping[str, np.ndarray], num_layers: int | None = None,
+    bimodal: bool = False,
 ) -> dict:
     """Reference classifier ``.pth`` state dict → our classifier params.
 
@@ -266,8 +275,27 @@ def transformer_classifier_params_from_torch(
     :38-124, per-modality encoders + cross-attention + three heads)
     naming are both supported, so classifiers trained by the reference
     load directly for evaluation/embedding extraction here.
+
+    ``num_layers=None`` infers each encoder's depth from the checkpoint
+    keys — in bimodal mode per modality, since the config schema allows
+    asymmetric CT/PET depths (cfg_model[modality]['num_layers']).  An
+    explicit ``num_layers`` is validated against the checkpoint.
     """
     sd = dict(state)
+
+    def depth(prefix):
+        found = _count_encoder_layers(sd, prefix)
+        if found == 0:
+            if num_layers is None:
+                raise KeyError(
+                    f"no '{prefix}.layers.N' keys in the checkpoint")
+            return num_layers
+        if num_layers is not None and num_layers != found:
+            raise ValueError(
+                f"num_layers={num_layers} but checkpoint has {found} "
+                f"'{prefix}.layers.N' layers")
+        return found
+
     if not bimodal:
         return {
             "cls_token": sd["cls_token"],
@@ -275,7 +303,7 @@ def transformer_classifier_params_from_torch(
             "encoder": {
                 f"layer_{i}": _torch_encoder_layer(
                     sd, f"transformer_encoder.layers.{i}")
-                for i in range(num_layers)
+                for i in range(depth("transformer_encoder"))
             },
             "head": _mlp_head(sd, "classifier"),
         }
@@ -303,8 +331,10 @@ def transformer_classifier_params_from_torch(
                     "bias": sd["norm_ct.bias"]},
         "norm_pet": {"scale": sd["norm_pet.weight"],
                      "bias": sd["norm_pet.bias"]},
-        "encoder_ct": encoder("transformer_encoder_ct", num_layers),
-        "encoder_pet": encoder("transformer_encoder_pet", num_layers),
+        "encoder_ct": encoder(
+            "transformer_encoder_ct", depth("transformer_encoder_ct")),
+        "encoder_pet": encoder(
+            "transformer_encoder_pet", depth("transformer_encoder_pet")),
         "cross_attention_ct": cross_attn("cross_attention_ct"),
         "cross_attention_pet": cross_attn("cross_attention_pet"),
         "classifier_ct": _mlp_head(sd, "classifier_ct"),

@@ -159,13 +159,7 @@ def _flash_kernel(
         nrows = bh_sel.shape[-1]
         cat = jnp.concatenate([bh_sel, bias_w.astype(bh_sel.dtype)], axis=1)
         cat = (cat.astype(jnp.float32) * _LOG2E).astype(q.dtype)
-        e_rows = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 0)
-        e_cols = lax.broadcasted_iota(jnp.int32, (nrows + kw, block_k), 1)
-        expand = jnp.where(
-            e_rows < nrows,
-            (row_of_col(e_cols) == e_rows).astype(q.dtype),
-            (e_cols % kw == e_rows - nrows).astype(q.dtype),
-        )
+        expand = _bias_expand_matrix(nrows, kw, block_k, row_of_col, q.dtype)
         s = s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
 
     if has_kv_len:
@@ -302,6 +296,14 @@ def flash_attention(
             raise ValueError("window_tokens requires kv_grid")
         if sq != sk:
             raise ValueError("window_tokens requires Sq == Sk")
+        if has_kv_len:
+            # the kv tile follows the q tile (kv program id stays 0), so
+            # the kernel's kv_len mask would compare tile-local columns
+            # against a global count — reject like the fused-QKV variant
+            raise ValueError(
+                "kv_len is not supported in window mode; express validity "
+                "via the kv_grid (kh_valid, kw_valid) sub-grid instead"
+            )
         block_q = block_k = min(block_q, sq)
         if block_q % window_tokens or sq % block_q:
             raise ValueError(
@@ -833,15 +835,18 @@ def flash_attention_fused_qkv(
         qkv: (B, S, 3·H·D) projection output, columns ordered
             [q·H heads | k·H heads | v·H heads], each head D wide — the
             natural layout of ``x @ W_qkv`` with the standard weight order.
-        bias_h: optional (B, S, H, Kh) decomposed rel-pos row terms —
-            the NATURAL layout of the ``byxnd,ykd->byxnk`` bias einsum
-            (token-major, head interior), so no XLA-side transpose of a
-            narrow-minor-dim array is ever materialised; blocks take the
-            full Kh/Kw last axis, so no packing or padding is needed.  In global mode ``Kh·Kw == S``; in window
-            mode ``Kh·Kw == window_tokens`` with the per-window bias
-            layout (each query row carries its own window's grid-row
-            terms).
-        bias_w: optional (B, S, H, Kw) column terms.
+        bias_h: optional decomposed rel-pos row terms in PAIR-MERGED
+            layout ``(B, H/pair, S, pair·Kh)`` where ``pair = 128 // D``
+            head groups share one 128-lane block — produced by reshaping
+            the token-major ``byxnd,ykd->byxnk`` bias einsum output from
+            (B, S, H, Kh) via ``.reshape(B, S, H/pair, pair·Kh)`` then
+            swapping to head-group-major (see models/vit.py); no
+            narrow-minor-dim transpose is ever materialised.  In global
+            mode ``Kh·Kw == S``; in window mode ``Kh·Kw ==
+            window_tokens`` with the per-window bias layout (each query
+            row carries its own window's grid-row terms).
+        bias_w: optional ``(B, H/pair, S, pair·Kw)`` column terms, same
+            pair-merged layout.
         kv_len: optional (B,) int32 valid key counts (global mode only).
         schedule: global-mode issue order — ``base`` | ``skew`` |
             ``twolevel`` (see :func:`_fused_global_kernel`); identical

@@ -59,19 +59,12 @@ def roc_auc(y_true: jax.Array, y_score: jax.Array, weight: jax.Array | None = No
     fps = jnp.cumsum(ww * (1.0 - t))
 
     n = s.shape[0]
-    # last index of each tie group, via reverse scan carrying the last
-    # boundary position.
+    # last index of each tie group = nearest boundary at or after me:
+    # a reverse cummin over boundary positions (vectorized — a length-N
+    # sequential scan here serialized the whole metric on device).
     boundary = jnp.concatenate([s[:-1] != s[1:], jnp.array([True])])
     idx = jnp.arange(n)
-
-    def carry_last(carry, x):
-        i, is_boundary = x
-        carry = jnp.where(is_boundary, i, carry)
-        return carry, carry
-
-    _, group_last = lax.scan(
-        carry_last, n - 1, (idx, boundary), reverse=True
-    )
+    group_last = lax.cummin(jnp.where(boundary, idx, n), reverse=True)
     tps = tps[group_last]
     fps = fps[group_last]
 

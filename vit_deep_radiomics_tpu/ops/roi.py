@@ -101,20 +101,11 @@ def extract_roi(img: np.ndarray, mask: np.ndarray, margin: int = 1):
 
     Parity with reference extract_roi (visualization_utils.py:115-125):
     when shapes differ, box coords are scaled by the feature-map/image
-    ratio and re-floored to the margin.
+    ratio and re-floored to the margin.  The box arithmetic lives in
+    :func:`scaled_roi_box` so the device-side crop in engine/extract.py
+    shares identical geometry.
     """
-    xmin, ymin, xmax, ymax = extract_coords(mask, margin)
-    if img.shape[:2] != mask.shape[:2]:
-        hs = img.shape[0] / mask.shape[0]
-        ws = img.shape[1] / mask.shape[1]
-        xmin, ymin, xmax, ymax = (
-            int(v) for v in (xmin * ws, ymin * hs, xmax * ws, ymax * hs)
-        )
-        h = max(ymax - ymin, margin)
-        w = max(xmax - xmin, margin)
-        xmax = xmin + w
-        ymax = ymin + h
-    return crop_image(img, xmin, ymin, xmax, ymax)
+    return crop_image(img, *scaled_roi_box(img.shape, mask, margin))
 
 
 def square_crop_box(mask_union: np.ndarray, margin: int = 2):
