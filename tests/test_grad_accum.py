@@ -115,39 +115,49 @@ def _make_trainer(virtual_batch, n_epochs=10):
     return trainer
 
 
-def _torch_reference_epoch(tm, batches, accum, lr):
-    """The reference train loop for one epoch (train_models.py:653-688)."""
+def _torch_reference_epoch(tm, batches, accum_samples, lr):
+    """The reference train loop for one epoch (train_models.py:653-688).
+
+    The reference only ever runs batch 1 (train_models.py:579 TODO), so
+    its iters_to_accumulate counts SAMPLES; our batched trainer must
+    reproduce that sample-stream dynamics — flatten the micro-batches
+    into the reference's one-sample steps."""
     opt = torch.optim.AdamW(tm.parameters(), lr=lr, weight_decay=0.01)
     tm.train()
     opt.zero_grad()
     total = 0.0
-    n = len(batches)
-    for i, b in enumerate(batches):
-        x = torch.as_tensor(b["ct"])
-        y = torch.as_tensor(np.argmax(b["labels"], axis=-1))
-        logits, _ = tm(x)
-        loss = _torch_focal(logits, y) / accum
-        total += loss.item() * accum
+    samples = [
+        (b["ct"][j:j + 1], np.argmax(b["labels"][j], axis=-1))
+        for b in batches for j in range(b["ct"].shape[0])
+    ]
+    n = len(samples)
+    for i, (x, y) in enumerate(samples):
+        logits, _ = tm(torch.as_tensor(x))
+        loss = _torch_focal(logits, torch.as_tensor(y)[None]) / accum_samples
+        total += loss.item() * accum_samples
         loss.backward()
-        if (i + 1) % accum == 0 or i + 1 == n:
+        if (i + 1) % accum_samples == 0 or i + 1 == n:
             opt.step()
             opt.zero_grad()
     return total / n
 
 
 class TestGradAccumulationParity:
-    @pytest.mark.parametrize("n_batches,accum", [(7, 3), (6, 3), (4, 8)])
-    def test_trajectory_matches_torch(self, rng, n_batches, accum):
-        """Identical weights + data → identical params after one epoch,
-        covering an exact-multiple run, a trailing remainder, and the
-        accum > len(loader) clamp (min(virtual_batch, len(loader)))."""
+    @pytest.mark.parametrize("n_batches,vb", [(7, 6), (6, 6), (4, 16)])
+    def test_trajectory_matches_torch(self, rng, n_batches, vb):
+        """Identical weights + data → identical params after one epoch vs
+        the reference's BATCH-1 sample-stream loop, covering an
+        exact-multiple run, a trailing remainder, and the
+        virtual_batch > epoch-samples clamp.  virtual_batch_size counts
+        samples, so our batch-2 micro-steps must land on the same update
+        boundaries with the same mean-gradient scale."""
         torch.manual_seed(3)
         tm = _TorchUnimodal()
         state0 = {k: v.detach().numpy().copy()
                   for k, v in tm.state_dict().items()}
         batches = _make_batches(rng, n_batches)
 
-        trainer = _make_trainer(virtual_batch=accum)
+        trainer = _make_trainer(virtual_batch=vb)
         trainer.init_params(batches[0])
         trainer.params = jax.tree.map(
             jnp.asarray,
@@ -158,7 +168,9 @@ class TestGradAccumulationParity:
         with jax.default_matmul_precision("highest"):
             avg_loss, *_ = trainer.run_epoch(batches, epoch=0, train=True)
 
-        eff_accum = min(accum, n_batches)
+        # the trainer clamps to ceil(vb/B) micro-batches and divides by
+        # the full nominal virtual batch accum·B
+        eff_accum = min(-(-vb // BATCH), n_batches) * BATCH
         ref_loss = _torch_reference_epoch(
             tm, batches, eff_accum, lr=trainer.lr0)
 
@@ -186,10 +198,11 @@ class TestGradAccumulationParity:
                 atol=1e-4, err_msg=ks)
 
     def test_update_cadence(self, rng):
-        """7 micro-batches @ accum 3 → exactly 3 optimizer applications
+        """7 micro-batches of 2 samples @ virtual batch 6 samples →
+        3 micro-batches per update → exactly 3 optimizer applications
         (i = 2, 5 and the trailing remainder at 6)."""
         batches = _make_batches(rng, 7)
-        trainer = _make_trainer(virtual_batch=3)
+        trainer = _make_trainer(virtual_batch=6)
         trainer.init_params(batches[0])
 
         calls = []
@@ -208,11 +221,53 @@ class TestGradAccumulationParity:
         trainer.run_epoch(batches, epoch=0, train=True)
         assert len(calls) == 3
 
+    def test_trajectory_invariant_to_batch_size(self, rng):
+        """The same sample stream at batch 1 and batch 2 (same
+        virtual_batch_size in SAMPLES) lands on identical update
+        boundaries with identical mean gradients → identical params.
+        Pre-fix, batch 2 applied 2x the per-update gradient."""
+        batches2 = _make_batches(rng, 3)  # 6 samples at B=2
+        batches1 = []
+        for b in batches2:
+            for j in range(BATCH):
+                batches1.append({
+                    "ct": b["ct"][j:j + 1],
+                    "ct_mask": b["ct_mask"][j:j + 1],
+                    "labels": b["labels"][j:j + 1],
+                    "patient_ids": [b["patient_ids"][j]],
+                })
+
+        seed_trainer = _make_trainer(virtual_batch=4)
+        seed_trainer.init_params(batches2[0])
+        params0 = jax.device_get(seed_trainer.params)
+
+        finals = []
+        for bsz, batches in ((1, batches1), (2, batches2)):
+            trainer = _make_trainer(virtual_batch=4)
+            trainer.tcfg = TrainerConfig(
+                arch="transformer", modality="ct", loss="focal",
+                precision="parity", batch_size=bsz)
+            trainer.init_params(batches2[0])
+            trainer.params = jax.tree.map(jnp.asarray, params0)
+            trainer.opt_state = trainer.tx.init(trainer.params["params"])
+            with jax.default_matmul_precision("highest"):
+                trainer.run_epoch(batches, epoch=0, train=True)
+            finals.append(jax.device_get(trainer.params))
+        # atol 1e-4: fp32 reduction-order noise through Adam's
+        # grad/(sqrt(v)+eps) on near-zero-gradient elements is ~5e-5; a
+        # scale defect (the pre-fix 2x per-update gradient) shifts
+        # params by ~1e-3+
+        for (ka, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(finals[0]),
+            jax.tree_util.tree_leaves_with_path(finals[1]),
+        ):
+            np.testing.assert_allclose(a, b, atol=1e-4, err_msg=str(ka))
+
     def test_params_frozen_between_boundaries(self, rng):
         """Micro-batches inside a virtual batch must NOT move params
         (the round-1 defect: the optimizer stepped every micro-batch)."""
         batches = _make_batches(rng, 3)
-        trainer = _make_trainer(virtual_batch=3)
+        trainer = _make_trainer(virtual_batch=6)
         trainer.init_params(batches[0])
         before = jax.tree.map(np.asarray, trainer.params)
 

@@ -388,6 +388,55 @@ class TestDispatchAheadFailures:
         assert not (feat_dir / "stanford_dataset"
                     / f"{bad}_ct.parquet").exists()
 
+    def test_exhausted_failures_not_dispatched_on_resume(
+        self, small_extractor, tmp_path, monkeypatch
+    ):
+        """Keys the queue will skip (failed, retries exhausted) must stay
+        out of the dispatch-ahead order — otherwise their device
+        extraction runs for nothing and its HBM state is never popped."""
+        from vit_deep_radiomics_tpu.engine import extract as ex_mod
+        from vit_deep_radiomics_tpu.engine.extract import (
+            extract_isotropic_dataset,
+        )
+        from vit_deep_radiomics_tpu.engine.workqueue import WorkQueue
+
+        cohort = synthetic.synthetic_cohort(
+            n_patients=3, seed=12, dataset="stanford",
+            height=64, width=64, ct_slices=3, pet_slices=2,
+        )
+        h5 = tmp_path / "iso.hdf5"
+        csv = tmp_path / "iso.csv"
+        synthetic.write_isotropic_hdf5(cohort, h5, csv)
+        feat_dir = tmp_path / "features"
+        feat_dir.mkdir()
+        # pre-seed the queue: the middle patient's ct failed with
+        # retries exhausted on a previous run
+        bad_key = "stanford/stanford_001/ct"
+        q = WorkQueue(feat_dir / "extract_queue.json")
+        q.state["failed"][bad_key] = {"error": "boom", "retries": 99}
+        q.state["retries"][bad_key] = 99
+        q._save()
+
+        read_keys = []
+        orig_read = ex_mod.read_isotropic_hdf5
+
+        def spying_read(path, pid, modality):
+            read_keys.append(f"{pid}/{modality}")
+            return orig_read(path, pid, modality)
+
+        monkeypatch.setattr(ex_mod, "read_isotropic_hdf5", spying_read)
+        written = extract_isotropic_dataset(
+            h5, csv, feat_dir, small_extractor,
+            modalities=("pet", "ct"), datasets=("stanford",),
+            progress=lambda *_: None,
+        )
+        # 3 patients x 2 modalities - the skipped exhausted failure
+        assert len(written) == 5
+        # the exhausted key's volume was never read or dispatched
+        assert "stanford_001/ct" not in read_keys
+        q2 = WorkQueue(feat_dir / "extract_queue.json")
+        assert bad_key in q2.failed and bad_key not in q2.done
+
 
 class TestPipelineExtraction:
     def test_pipelined_matches_unmeshed(self, small_extractor, devices):

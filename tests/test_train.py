@@ -78,6 +78,30 @@ class TestWindows:
         assert padded.shape == (128, 8)
         assert mask.sum() == 100
 
+    def test_pad_tokens_overlong_warns(self, rng):
+        t = rng.normal(size=(300, 8)).astype(np.float32)
+        with pytest.warns(UserWarning, match="truncating"):
+            padded, mask = pad_tokens(t, (64, 128, 256))
+        assert padded.shape == (256, 8) and mask.all()
+
+    def test_token_buckets_extend_for_whole_volume(self, rng):
+        """Whole-volume token sets beyond the default 4096 cap get
+        doubled buckets instead of silent truncation."""
+        from vit_deep_radiomics_tpu.data.datasets import (
+            TokenItem, batch_items, token_buckets_for,
+        )
+
+        big = TokenItem(
+            rng.normal(size=(5000, 8)).astype(np.float32),
+            rng.normal(size=(600, 8)).astype(np.float32),
+            np.array([1.0, 0.0], np.float32), "p0",
+        )
+        buckets = token_buckets_for([big])
+        assert buckets[-1] >= 5000
+        b = next(batch_items([big], 1, buckets=buckets))
+        assert b["ct"].shape[1] == 8192
+        assert b["ct_mask"].sum() == 5000  # nothing dropped
+
 
 class TestCosineLr:
     def test_matches_torch_schedule(self):
@@ -192,6 +216,35 @@ class TestDatasetPipeline:
         assert b["ct"].shape[0] == 2
         assert b["ct_mask"].dtype == bool
 
+    def test_single_slice_volume_items(self, tmp_path):
+        """1-slice volumes (kept by prepare_windows, unlike the reference
+        which dropped them) must yield a usable item instead of crashing
+        on the squeezed one-row lookup / exclusive-end window quirk."""
+        rng = np.random.default_rng(0)
+        h5_ct = tmp_path / "f_ct.hdf5"
+        h5_pet = tmp_path / "f_pet.hdf5"
+        feat = [rng.normal(size=(4, 4, 16)).astype(np.float32)]
+        mask = [np.zeros((8, 8), np.float32)]
+        mask[0][2:6, 2:6] = 1.0
+        feature_store.save_features(h5_ct, feat, mask, "p0")
+        feature_store.save_features(h5_pet, feat, mask, "p0")
+        rows = [
+            {"patient_id": "p0", "modality": mod, "slice": 0,
+             "flip": "None", "angle": 0, "feature_id": 0,
+             "label": 1, "dataset": "stanford",
+             "spatial_res": (0.8, 0.8, 0.8)}
+            for mod in ("ct", "pet")
+        ]
+        df = prepare_windows(pd.DataFrame(rows))
+        ds = PETCTDataset(
+            df, h5_ct, h5_pet, use_augmentation=False,
+            feature_dim=16, arch="transformer",
+        )
+        assert len(ds) == 1
+        item = ds[0]
+        assert item.tokens_ct.shape[0] > 0
+        assert item.tokens_pet.shape[0] > 0
+
     def test_augmented_items_vary(self, extracted):
         df = prepare_windows(extracted["df"].copy())
         ds = PETCTDataset(
@@ -258,6 +311,23 @@ class TestTrainKfold:
             folds=[0], log=logs.append,
         )
         assert any("resumed" in str(s) for s in logs)
+
+    def test_resume_restores_patience_counter(self):
+        """The early-stop state replays from restored history instead of
+        resetting on every resume (live rule: strict improvement resets,
+        ties/NaNs count)."""
+        from vit_deep_radiomics_tpu.engine.train import _early_stop_state
+
+        assert _early_stop_state([]) == (-np.inf, 0)
+        # best at index 1, two stagnant epochs after it
+        best, since = _early_stop_state([0.5, 0.7, 0.7, 0.6])
+        assert best == pytest.approx(0.7) and since == 2
+        # improvement on the last epoch resets the counter
+        assert _early_stop_state([0.5, 0.6, 0.9])[1] == 0
+        # NaN targets (degenerate splits) never count as improvement
+        best, since = _early_stop_state([0.4, np.nan, np.nan])
+        assert best == pytest.approx(0.4) and since == 2
+        assert _early_stop_state([np.nan, np.nan]) == (-np.inf, 2)
 
     def test_evaluate_checkpoint(self, extracted):
         """engine.evaluate reproduces a trained fold's report shape."""

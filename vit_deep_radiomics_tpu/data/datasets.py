@@ -45,6 +45,7 @@ __all__ = [
     "TokenItem",
     "PETCTDataset",
     "pad_tokens",
+    "token_buckets_for",
     "batch_items",
 ]
 
@@ -321,9 +322,18 @@ class PETCTDataset:
             noise = np.zeros(3)
             scale = 1.0
 
-        ct_rows = self.df_ct.loc[(pid_new, angle, flip)]
+        # .loc[[key]] keeps a one-row match as a DataFrame — a bare
+        # .loc[key] squeezes it to a Series, crashing single-slice
+        # volumes (which prepare_windows deliberately keeps, unlike the
+        # reference which dropped them)
+        ct_rows = self.df_ct.loc[[(pid_new, angle, flip)]]
         ct_slices = np.asarray(ct_rows["slice"].values)
         lo_i, hi_i = int(ct_slices.argmin()), int(ct_slices.argmax())
+        if hi_i == lo_i:
+            # the reference's exclusive-end window quirk ([lo:hi],
+            # train_models.py:117) would select zero slices from a
+            # 1-slice volume; keep the one slice instead of crashing
+            hi_i = lo_i + 1
         if self.use_augmentation and len(ct_slices) > 7:
             wsize = int(self.rng.integers(7, len(ct_slices)))
             lo_i = int(self.rng.integers(0, len(ct_slices) - wsize))
@@ -340,7 +350,7 @@ class PETCTDataset:
         pet_max = self.slice_per_modality[(patient_id, self.modality_a)]
         lo = max(0, int(frac.min() * pet_max))
         hi = min(int(pet_max), int(frac.max() * pet_max))
-        pet_rows = self.df_pet.loc[(patient_id, angle, flip)]
+        pet_rows = self.df_pet.loc[[(patient_id, angle, flip)]]
         pet_sel = pet_rows[
             (pet_rows["slice"] >= lo) & (pet_rows["slice"] <= hi)]
         res_pet = np.abs(np.asarray(pet_rows["spatial_res"].values[0])) * scale
@@ -359,14 +369,40 @@ class PETCTDataset:
 DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 
 
+def token_buckets_for(items, base: Sequence[int] = DEFAULT_BUCKETS):
+    """Buckets extended (by doubling) to cover the longest item — used by
+    whole-volume mode, whose unchunked token sets may exceed the default
+    4096 cap that exists for compile-shape stability of the windowed
+    trainers.  Truncating there would silently train on a fraction of
+    the volume."""
+    longest = max(
+        (max(it.tokens_ct.shape[0], it.tokens_pet.shape[0])
+         for it in items),
+        default=0,
+    )
+    buckets = list(base)
+    while buckets[-1] < longest:
+        buckets.append(buckets[-1] * 2)
+    return tuple(buckets)
+
+
 def pad_tokens(
     tokens: np.ndarray, buckets: Sequence[int] = DEFAULT_BUCKETS
 ):
     """(L, D) → ((bucket, D), (bucket,) bool mask); overlong truncates to
-    the largest bucket (tail tokens dropped, logged by callers)."""
+    the largest bucket (tail tokens dropped, with a warning — whole-volume
+    callers avoid this via :func:`token_buckets_for`)."""
     n = tokens.shape[0]
     bucket = next((b for b in buckets if n <= b), buckets[-1])
     if n > bucket:
+        import warnings
+
+        warnings.warn(
+            f"token sequence of {n} exceeds the largest bucket {bucket}; "
+            f"truncating {n - bucket} tokens (pass extended buckets, e.g. "
+            "token_buckets_for(items), to keep them)",
+            stacklevel=2,
+        )
         tokens = tokens[:bucket]
         n = bucket
     out = np.zeros((bucket, tokens.shape[1]), np.float32)

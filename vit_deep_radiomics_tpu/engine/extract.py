@@ -123,7 +123,13 @@ class DenseExtractor:
         from ..core.mesh import enable_persistent_compile_cache
 
         enable_persistent_compile_cache()
-        self.config = config or ExtractionConfig()
+        # own copy: _setup_apply rounds slice_batch up to mesh multiples,
+        # which must not leak into a caller-shared config object (reusing
+        # one cfg across extractors would compound the rounding)
+        self.config = (
+            dataclasses.replace(config) if config is not None
+            else ExtractionConfig()
+        )
         self.policy: Policy = get_policy(self.config.precision)
         self.backbone_cfg, patch_only = _backbone_for(self.config)
         self.model = ViTDense(
@@ -221,27 +227,6 @@ class DenseExtractor:
         pw = -(-w // b) * b
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (vol.ndim - 2)
         return jnp.pad(vol, pad) if (ph, pw) != (h, w) else vol
-
-    def _vit_features(self, slices: jax.Array) -> np.ndarray:
-        """(S, out, out[, C]) resampled slices → (S, g, g, feat) maps,
-        batched through the jitted forward in slice_batch chunks."""
-        if slices.ndim == 3:
-            slices = jnp.repeat(slices[..., None], 3, axis=-1)
-        s = slices.shape[0]
-        sb = self.config.slice_batch
-        outs = []
-        for start in range(0, s, sb):
-            chunk = slices[start:start + sb]
-            if chunk.shape[0] < sb:  # pad final chunk for shape stability
-                pad = sb - chunk.shape[0]
-                chunk = jnp.concatenate(
-                    [chunk, jnp.repeat(chunk[-1:], pad, axis=0)], axis=0
-                )
-                out = self._apply(self.params, chunk)[: s - start]
-            else:
-                out = self._apply(self.params, chunk)
-            outs.append(np.asarray(out, np.float32))
-        return np.concatenate(outs, axis=0)
 
     class _SliceStream:
         """Cross-augmentation ViT batching: accumulates resampled slices
@@ -518,10 +503,27 @@ def extract_isotropic_dataset(
             feature_folder / f"features_masks_{modality}{part}.hdf5",
         )
 
+    queue = (WorkQueue(feature_folder / f"extract_queue{part}.json")
+             if use_queue else None)
+
+    def _queue_skips(key: str) -> bool:
+        """True when queue.run will not invoke the worker for *key*
+        (done, or failed with retries exhausted) — such keys must stay
+        out of the prefetch/dispatch-ahead order, or their device
+        extraction would run for nothing and the dispatched entry would
+        pin HBM for the rest of the sweep (nobody pops it)."""
+        if queue is None:
+            return False
+        return key in queue.state["done"] or (
+            key in queue.state["failed"]
+            and queue.state["retries"].get(key, 0) >= queue.max_retries
+        )
+
     # depth-2 read prefetch over the still-pending items (h5py calls hold
     # a global lock, so reads serialise against the writer thread but
     # still overlap device compute — the point of the exercise)
-    work_order = [k for k in items if not _paths(k)[0].exists()]
+    work_order = [k for k in items
+                  if not _paths(k)[0].exists() and not _queue_skips(k)]
     key_index = {k: i for i, k in enumerate(work_order)}
     read_pool = ThreadPoolExecutor(
         max_workers=1, thread_name_prefix="extract-read"
@@ -600,8 +602,7 @@ def extract_isotropic_dataset(
         return finalize
 
     try:
-        if use_queue:
-            queue = WorkQueue(feature_folder / f"extract_queue{part}.json")
+        if queue is not None:
             queue.run(items, worker, log=progress or print)
         else:
             for key in items:
@@ -704,7 +705,11 @@ def extract_tfds_dataset(
             log(f"Warning: skip {pid} with label {label}")
             return None
         if not mask.sum(axis=(0, 1)).max():
+            # warn-and-skip: nothing to crop from an all-zero nodule mask
+            # (extract_volume would raise, burning queue retries on a
+            # permanent data condition; ref :437-438 warns)
             log(f"Warning: {pid} has empty mask")
+            return None
         feats, masks, (sl, an, fl) = extractor.extract_volume(
             vol, mask, modality
         )

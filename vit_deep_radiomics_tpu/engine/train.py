@@ -11,9 +11,12 @@ redesigned for TPU:
   batch shards over the ``data`` axis with replicated params — XLA
   inserts the psum gradient reduction over ICI (no hand-written
   collectives needed at this scale),
-* **gradient accumulation** matching the reference's virtual batch
-  (loss pre-divided by the accumulation factor, optimizer applied every
-  k micro-batches, :655-688),
+* **gradient accumulation** matching the reference's virtual batch:
+  ``virtual_batch_size`` counts SAMPLES (the reference only ever runs
+  batch 1, so its ``iters_to_accumulate`` is a sample count, :655-688);
+  the optimizer applies every ``ceil(vb/batch_size)`` micro-batches with
+  the sum-reduced losses divided by the full nominal virtual batch, so
+  per-update gradients are sample means independent of ``batch_size``,
 * **optimizer parity**: AdamW(lr, wd=0.01) + torch-style
   ``CosineAnnealingLR(T_max=0.8·epochs, eta_min=1e-4)`` stepped per
   epoch (:600-601),
@@ -330,8 +333,19 @@ class FoldTrainer:
         losses, step_logits = [], []
 
         batches = list(batches)
+        bsz = max(1, self.tcfg.batch_size)
         if train:
-            accum = min(self.virtual_batch, max(1, len(batches)))
+            # virtual_batch_size counts SAMPLES per optimizer update (the
+            # reference only ever runs batch 1, so its iters_to_accumulate
+            # IS a sample count, train_models.py:655).  With micro-batches
+            # of bsz samples the update fires every ceil(vb/bsz) batches
+            # and the sum-reduced focal losses divide by the FULL nominal
+            # virtual batch (accum·bsz) — the same fixed divisor the
+            # reference applies even to the trailing remainder — so the
+            # per-update gradient is the sample mean regardless of
+            # batch_size (equal-trajectory-tested in test_grad_accum.py).
+            n_micro = max(1, -(-self.virtual_batch // bsz))
+            accum = min(n_micro, max(1, len(batches)))
             # host-side key table: rngs[i] below must not be a per-step
             # device gather dispatch
             rngs = np.asarray(jax.random.split(
@@ -339,7 +353,7 @@ class FoldTrainer:
             ))
             # epoch-constant scalars pushed once, not once per step
             lr_dev = jnp.float32(lr)
-            accum_dev = jnp.float32(1.0 / accum)
+            accum_dev = jnp.float32(1.0 / (accum * bsz))
             # fresh accumulator each epoch (reference zero_grads at epoch
             # start, train_models.py:653)
             grad_accum = jax.tree.map(
@@ -393,7 +407,7 @@ class FoldTrainer:
             pids.extend(batch["patient_ids"])
 
         n_batches = len(batches)
-        scale = accum if train else 1.0
+        scale = accum * bsz if train else 1.0
         if n_batches:
             # two device calls for the whole epoch (losses, logits)
             total_loss = float(jnp.stack(losses).sum()) * scale
@@ -418,8 +432,25 @@ class FoldTrainer:
             total_loss = 0.0
             y_score = np.empty((0,), np.float32)
             y_true = np.empty((0,), np.int64)
-        avg_loss = total_loss / max(1, n_batches)
+        # per-SAMPLE average (== per-batch at the reference's batch 1;
+        # with batch>1 a per-batch average would scale with batch_size)
+        avg_loss = total_loss / max(1, len(pids))
         return avg_loss, y_true, y_score, pids
+
+
+def _early_stop_state(targets) -> tuple[float, int]:
+    """(best_target, epochs_since_improvement) replayed from a restored
+    target-metric history — the live loop's strict-improvement rule
+    (``target > best`` resets the counter; ties and NaNs increment it),
+    so a mid-fold resume continues the patience countdown exactly where
+    the crashed run left it."""
+    targets = np.asarray(list(targets), np.float64)
+    if targets.size == 0:
+        return -np.inf, 0
+    if not np.any(np.isfinite(targets)):
+        return -np.inf, int(targets.size)
+    best_idx = int(np.nanargmax(targets))  # first occurrence of the max
+    return float(targets[best_idx]), int(targets.size) - 1 - best_idx
 
 
 def train_fold(
@@ -497,8 +528,11 @@ def train_fold(
         weights = weights / weights.sum()
         return list(sampler_rng.choice(n, size=n, replace=True, p=weights))
 
-    best_target = -np.inf
-    epochs_since_improvement = 0
+    # mid-fold resume: rebuild the early-stopping state from the restored
+    # history — otherwise every resume resets the patience counter and a
+    # crash/resume cycle can extend a fold far past its stop point
+    best_target, epochs_since_improvement = _early_stop_state(
+        history["target_metric"])
 
     def _bucket_sorted(items):
         """Order items by their token buckets so batches are
@@ -524,8 +558,17 @@ def train_fold(
             [train_ds[i] for i in _draw_train_indices()])
         test_items = _bucket_sorted(
             [test_ds[i] for i in range(len(test_ds))])
-        train_batches = list(batch_items(train_items, tcfg.batch_size))
-        test_batches = list(batch_items(test_items, tcfg.batch_size))
+        bkw = {}
+        if tcfg.whole_volume:
+            # unchunked token sets may exceed the default 4096 bucket
+            # cap; extend instead of silently truncating the volume
+            from ..data.datasets import token_buckets_for
+
+            bkw["buckets"] = token_buckets_for(train_items + test_items)
+        train_batches = list(
+            batch_items(train_items, tcfg.batch_size, **bkw))
+        test_batches = list(
+            batch_items(test_items, tcfg.batch_size, **bkw))
 
         tr_loss, tr_y, tr_s, tr_pids = trainer.run_epoch(
             train_batches, epoch, train=True, rng_seed=tcfg.seed)
