@@ -396,6 +396,10 @@ def main(argv=None):
                 + f" --xla_force_host_platform_device_count={cpu}"
             )
         _enable_cache()
+        if cpu is None:
+            # real-device scaling rides out tunnel outages like the
+            # other modes (--cpu N uses virtual CPU devices, no wait)
+            _wait_for_backend()
         stats = measure_scaling(cpu=cpu)
         top = stats["sizes"][-1]
         print(json.dumps({

@@ -176,11 +176,11 @@ def aggregate_experiments(
             model_name = " ".join(parts[0:2])
             dataset = " ".join(parts[2:])
 
+            best_rows = df.merge(
+                best[["kfold", "epoch"]], on=["kfold", "epoch"]
+            )
             for split in ("train", "test"):
-                rows = df.merge(
-                    best[["kfold", "epoch"]], on=["kfold", "epoch"]
-                )
-                rows = rows[rows["split"] == split]
+                rows = best_rows[best_rows["split"] == split]
                 mean = rows.mean(numeric_only=True)
                 std = rows.std(numeric_only=True)
 

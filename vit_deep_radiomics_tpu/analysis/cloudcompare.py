@@ -79,7 +79,10 @@ def export_umap_to_cloud_compare(
     """
     df_umap = df_umap.groupby("patient_id").mean(numeric_only=True)
     if use_2d:
-        vals = df_umap.to_numpy()
+        # project the UMAP coordinates only — the patient-mean frame also
+        # carries y_true/y_pred/y_score columns, which must not leak
+        # label information into the spatial layout
+        vals = df_umap[["umap_x", "umap_y", "umap_z"]].to_numpy()
         centered = vals - vals.mean(axis=0)
         _u, _s, vt = np.linalg.svd(centered, full_matrices=False)
         df_umap[["x", "y"]] = centered @ vt[:2].T

@@ -96,16 +96,29 @@ def extract_embeddings(
 ) -> pd.DataFrame:
     """Deterministic inference with a restored checkpoint →
     (patient_id_new, y_true, y_pred, y_score, embedding) frame."""
-    trainer = FoldTrainer(cfg, tcfg)
-    dfw = prepare_windows(df.copy())
+    # mirror train_kfold's modality/window handling (train.py::train_kfold)
+    # so chest-modality and whole-volume checkpoints embed the token sets
+    # they trained on
+    modality_a = "pet"
+    modality_b = "chest" if "chest" in tcfg.modality else "ct"
+    trainer = FoldTrainer(cfg, tcfg, None, modality_a, modality_b)
+    df = df.copy()
+    df["flip"] = df["flip"].astype(str)
+    dfw = prepare_windows(df, modality_a, modality_b,
+                          whole_volume=tcfg.whole_volume)
     ds = PETCTDataset(
         dfw, hdf5_ct_path, hdf5_pet_path,
         use_augmentation=False,
+        modality_a=modality_a, modality_b=modality_b,
         feature_dim=cfg["models"][tcfg.arch]["feature_dim"],
         arch=tcfg.arch, num_classes=tcfg.num_classes,
     )
     items = [ds[i] for i in range(len(ds))]
     batches = list(batch_items(items, tcfg.batch_size))
+    if not batches:
+        raise ValueError(
+            f"no embeddable windows for modality '{tcfg.modality}' — the "
+            "frame has no rows for its modalities")
     trainer.init_params(batches[0])
     state = ckpt.load_checkpoint(
         {"params": trainer.params, "opt_state": trainer.opt_state,

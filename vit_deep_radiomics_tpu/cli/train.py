@@ -67,7 +67,17 @@ def main(argv=None) -> int:
     feature_dir = os.path.join(args.data_dir, "features")
 
     folds = args.folds
-    if mesh is None and lenv is not None and lenv.num_processes > 1:
+    # resolve the process grid from the launch env OR the live JAX grid —
+    # VDR_DISTRIBUTED=auto / JAX_COORDINATOR_ADDRESS launches initialize
+    # jax.distributed without a LaunchEnv description
+    nproc = lenv.num_processes if lenv is not None else 1
+    pid = lenv.process_id if lenv is not None else 0
+    if nproc <= 1:
+        import jax
+
+        if jax.process_count() > 1:
+            nproc, pid = jax.process_count(), jax.process_index()
+    if mesh is None and nproc > 1:
         # Multi-process launch WITHOUT a global data mesh: every process
         # would otherwise train identical folds and race writes to the
         # same kfold_k artifacts.  Shard folds round-robin instead (fold
@@ -76,9 +86,8 @@ def main(argv=None) -> int:
 
         fold_map = cfg["kfold_patients"][modality_b][args.dataset]
         all_folds = folds if folds is not None else list(fold_map.keys())
-        folds = shard_for_process(
-            all_folds, pid=lenv.process_id, nproc=lenv.num_processes)
-        print(f"[train] process {lenv.process_id}/{lenv.num_processes}: "
+        folds = shard_for_process(all_folds, pid=pid, nproc=nproc)
+        print(f"[train] process {pid}/{nproc}: "
               f"folds {folds} of {all_folds}")
 
     df = pd.read_parquet(os.path.join(feature_dir, "petct.parquet"))

@@ -67,7 +67,9 @@ def main(argv=None) -> int:
                              dataset=dataset, backbone=args.backbone,
                              batch_size=1)
         df = df_all[(df_all["dataset"] == dataset)].copy()
-        modality_b = "chest" if modality == "chest" else "ct"
+        # 'chest' in modality, not ==: petchest trains on the chest store
+        # (same test as cli/train.py:66, engine/train.py::train_kfold)
+        modality_b = "chest" if "chest" in modality else "ct"
         emb = extract_embeddings(
             df, cfg, tcfg,
             os.path.join(feature_dir, f"features_masks_{modality_b}.hdf5"),

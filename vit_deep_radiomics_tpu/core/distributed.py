@@ -88,6 +88,8 @@ def _first_slurm_host(nodelist: str) -> str:
             cur.append(ch)
     if cur:
         groups.append("".join(cur))
+    if not groups:
+        return ""  # empty nodelist → caller's `if not host` fallback
     first = groups[0]
     if "[" not in first:
         return first
