@@ -188,6 +188,7 @@ def _small_cfg(folds, feature_dim=16):
                 "num_epochs": 2, "patience": 15,
                 "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
                 "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+                "chest": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
             },
             "conv": {
                 "learning_rate": 5e-4, "feature_dim": 16,
@@ -359,6 +360,53 @@ class TestTrainKfold:
         )
         assert report["split"] == "test" and report["epoch"] == epoch
         assert "ROC AUC" in report and "accuracy" in report
+
+    def test_chest_modality_end_to_end(self, extracted):
+        """petchest trains against the chest feature store and both
+        evaluate_checkpoint and extract_embeddings handle the chest
+        modality (they previously built an empty CT frame and crashed)."""
+        import shutil
+
+        from vit_deep_radiomics_tpu.analysis.embeddings import (
+            extract_embeddings,
+        )
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+        from vit_deep_radiomics_tpu.engine.evaluate import evaluate_checkpoint
+
+        df = extracted["df"].copy()
+        df.loc[df["modality"] == "ct", "modality"] = "chest"
+        h5_chest = (extracted["hdf5_ct"].parent
+                    / "features_masks_chest.hdf5")
+        if not h5_chest.exists():
+            shutil.copy(extracted["hdf5_ct"], h5_chest)
+        folds = splits.build_kfold_patients(df, n_splits=2)
+        cfg = _small_cfg(folds)
+        tcfg = TrainerConfig(
+            arch="transformer", modality="petchest", loss="crossmodal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=1,
+        )
+        models_dir = extracted["dir"] / "models_chest"
+        train_kfold(
+            df, cfg, tcfg, h5_chest, extracted["hdf5_pet"], models_dir,
+            folds=[0], log=lambda *_: None,
+        )
+        fold_dir = (models_dir / "petct" / "medsam_transformer_stanford"
+                    / "petchest" / "kfold_0")
+        assert (fold_dir / "losses.html").exists()
+        epoch = ckpt.best_epochs(fold_dir)[-1]
+        test_patients = folds["chest"]["stanford"][0]["test"]
+        df_test = df[df["patient_id"].isin(test_patients)]
+        report = evaluate_checkpoint(
+            df_test, cfg, tcfg, h5_chest, extracted["hdf5_pet"],
+            fold_dir, epoch,
+        )
+        assert "ROC AUC" in report
+        emb = extract_embeddings(
+            df_test, cfg, tcfg, h5_chest, extracted["hdf5_pet"],
+            fold_dir, epoch,
+        )
+        assert len(emb) > 0
 
     def test_conv_arch_smoke(self, extracted):
         cfg = _small_cfg(extracted["folds"])
