@@ -114,14 +114,16 @@ def _wait_for_backend() -> None:
     then raises after the PJRT client's own internal retries.  A bench
     run landing mid-outage should be patient — it is the round's
     recorded artifact.  Bounded by ``VDR_BENCH_PATIENCE`` seconds
-    (default 2400); healthy backends return on the first attempt.
+    (default 5400 — outages of well over an hour have been observed when
+    a prior client was killed mid-claim); healthy backends return on the
+    first attempt.
     """
     import os
 
     import jax
 
     deadline = time.monotonic() + float(
-        os.environ.get("VDR_BENCH_PATIENCE", "2400"))
+        os.environ.get("VDR_BENCH_PATIENCE", "5400"))
     while True:
         try:
             jax.devices()
