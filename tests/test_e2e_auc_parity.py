@@ -51,6 +51,21 @@ class TestAUCParityNorthStar:
         result = compare_aucs(ref, ours, tol=0.005)
         assert result["all_within_tol"], result
 
+    def test_batched_trainer_keeps_parity(self, parity_runs,
+                                          tmp_path_factory):
+        """batch_size=2 must land on the SAME converged AUC as the
+        reference's batch-1 loop: virtual batches count samples, so the
+        update boundaries and sample-mean gradients are unchanged."""
+        ref, _ = parity_runs
+        root = tmp_path_factory.mktemp("parity_b2") / "proj"
+        project, df = build_parity_project(
+            root, n_patients=12, n_folds=2, num_epochs=6,
+            twins=((2, 3), (8, 9)),
+        )
+        ours_b2 = run_our_trainer(project, df, batch_size=2)
+        result = compare_aucs(ref, ours_b2, tol=0.005)
+        assert result["all_within_tol"], result
+
     def test_both_trainers_learn(self, parity_runs):
         """Guard against vacuous parity: the planted signal must actually
         be learned (final AUC ≫ chance) by BOTH trainers."""

@@ -150,8 +150,14 @@ def run_our_trainer(
     modality: str = "ct",
     loss: str = "focal",
     folds=None,
+    batch_size: int = 1,
 ) -> dict[int, list[float]]:
-    """train_kfold on the same artifacts → {fold: [test AUC per epoch]}."""
+    """train_kfold on the same artifacts → {fold: [test AUC per epoch]}.
+
+    ``batch_size > 1`` exercises the claim that virtual batches count
+    samples: batched training must land on the same converged AUC as the
+    reference's batch-1 loop (same update boundaries, sample-mean
+    gradients)."""
     from vit_deep_radiomics_tpu.engine.train import (
         TrainerConfig,
         train_kfold,
@@ -159,13 +165,14 @@ def run_our_trainer(
 
     tcfg = TrainerConfig(
         arch=arch, modality=modality, loss=loss, dataset=dataset,
-        batch_size=1, precision="parity",
+        batch_size=batch_size, precision="parity",
     )
     results = train_kfold(
         df, project["cfg"], tcfg,
         project["feature_dir"] / "features_masks_ct.hdf5",
         project["feature_dir"] / "features_masks_pet.hdf5",
-        project["root"] / f"models_ours_{arch}_{modality}_{loss}",
+        project["root"]
+        / f"models_ours_{arch}_{modality}_{loss}_b{batch_size}",
         folds=folds, log=lambda *_: None,
     )
     return {
