@@ -116,6 +116,24 @@ class TestCliPipeline:
                     / "petct/kfold_0")
         assert (fold_dir / "losses.html").exists()
 
+    def test_04aa_evaluate_cli(self, project):
+        """Standalone evaluation of the fold just trained: same report
+        contract as the trainer's per-epoch JSONs."""
+        import json
+
+        from vit_deep_radiomics_tpu.cli import evaluate as cli_evaluate
+
+        out = project / "eval_report.json"
+        rc = cli_evaluate.main([
+            "-a", "transformer", "-d", "stanford", "-m", "petct",
+            "-l", "crossmodal", "-e", "petct",
+            "--fold", "0", "--out", str(out),
+        ])
+        assert rc == 0
+        report = json.loads(out.read_text())
+        assert report["split"] == "test"
+        assert "ROC AUC" in report and "accuracy" in report
+
     def test_04a_multiprocess_fold_sharding(self, project, monkeypatch):
         """Under a multi-process launch WITHOUT --data-parallel, each
         process trains a disjoint round-robin shard of the folds instead

@@ -247,16 +247,31 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         project, df = build_parity_project(Path(tmp) / "proj", **kw)
         matrix = {}
+        ref_first = None
         for arch, modality, loss in configs:
             name = f"{arch}_{modality}_{loss}"
             print(f"[{name}] reference trainer (CPU oracle)...",
                   flush=True)
             ref = run_reference_trainer(
                 project["root"], arch=arch, modality=modality, loss=loss)
+            if ref_first is None:
+                ref_first = ref
             print(f"[{name}] our trainer...", flush=True)
             ours = run_our_trainer(
                 project, df, arch=arch, modality=modality, loss=loss)
             matrix[name] = compare_aucs(ref, ours)
+        if args.matrix:
+            # batched-trainer family: batch 2 vs the reference's batch-1
+            # loop — virtual batches count samples, so the converged AUC
+            # must be identical (the reference itself cannot batch)
+            arch, modality, loss = configs[0]
+            print(f"[{arch}_{modality}_{loss}_b2] our trainer (batch 2)"
+                  "...", flush=True)
+            ours_b2 = run_our_trainer(
+                project, df, arch=arch, modality=modality, loss=loss,
+                batch_size=2)
+            matrix[f"{arch}_{modality}_{loss}_batch2"] = compare_aucs(
+                ref_first, ours_b2)
     # headline config at the top level (artifact schema unchanged);
     # additional families under "matrix"
     result = dict(matrix[f"{configs[0][0]}_{configs[0][1]}_{configs[0][2]}"])

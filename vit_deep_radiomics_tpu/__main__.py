@@ -15,6 +15,7 @@ COMMANDS = {
     "train": "vit_deep_radiomics_tpu.cli.train",
     "finetune": "vit_deep_radiomics_tpu.cli.finetune",
     "sweep": "vit_deep_radiomics_tpu.cli.sweep",
+    "evaluate": "vit_deep_radiomics_tpu.cli.evaluate",
     "aggregate": "vit_deep_radiomics_tpu.cli.aggregate",
     "umap": "vit_deep_radiomics_tpu.cli.umap_embed",
     "pointcloud": "vit_deep_radiomics_tpu.cli.pointcloud",
