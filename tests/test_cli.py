@@ -515,6 +515,37 @@ def test_serve_classifier_cli(tmp_path, capsys, monkeypatch):
     np.testing.assert_allclose(out["cls_embedding"], np.asarray(want_cls),
                                rtol=1e-5, atol=1e-5)
 
+    # --labels adds device-kernel AUC/accuracy/F1 for each logits output
+    labels = np.array([0, 1, 0, 1, 1], np.float32)
+    np.save(tmp_path / "labels.npy", labels)
+    rc = cli_serve.main([
+        "run", str(artifact),
+        "--input", str(tmp_path / "in.npz"),
+        "--output", str(tmp_path / "out2.npz"),
+        "--labels", str(tmp_path / "labels.npy"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    ev = report["eval"]["logits"]
+    assert set(ev) == {"auc", "accuracy", "macro_f1"}
+    from sklearn.metrics import roc_auc_score
+
+    lg = out["logits"]
+    score = np.exp(lg - lg.max(-1, keepdims=True))
+    score = (score / score.sum(-1, keepdims=True))[:, 1]
+    assert ev["auc"] == pytest.approx(
+        float(roc_auc_score(labels, score)), abs=1e-6)
+
+    # label count must match the input count
+    np.save(tmp_path / "labels_short.npy", labels[:3])
+    with pytest.raises(SystemExit, match="entries for"):
+        cli_serve.main([
+            "run", str(artifact),
+            "--input", str(tmp_path / "in.npz"),
+            "--output", str(tmp_path / "out3.npz"),
+            "--labels", str(tmp_path / "labels_short.npy"),
+        ])
+
     # wrong feature dim is rejected loudly, not zero-padded into garbage
     np.savez(tmp_path / "bad.npz",
              tokens=rng.normal(size=(2, 5, D // 2)).astype(np.float32))

@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "omitted: all-valid assumed)")
     run.add_argument("--key", default=None,
                      help="array name inside an .npz input")
+    run.add_argument("--labels", default=None,
+                     help="classifier artifacts: optional .npy of (N,) "
+                          "{0,1} labels — adds AUC/accuracy/F1 (device "
+                          "metric kernels) to the report line")
     run.add_argument("-o", "--output", required=True,
                      help="dense: output .npy of features; classifier: "
                           "output .npz with one array per out_name")
@@ -267,14 +271,47 @@ def _run_classifier(args, model) -> int:
     named = {name: np.concatenate(acc)[:n]
              for name, acc in zip(model.meta["out_names"], outs)}
     np.savez(args.output, **named)
+    extra = {}
+    if getattr(args, "labels", None):
+        extra["eval"] = _eval_logits(named, np.load(args.labels), n)
     print(json.dumps({
         "items": n, "batch": batch, "seconds": round(dt, 3),
         "items_per_s": round(n / dt, 2) if dt > 0 else None,
         **_latency_stats(lat),
         "outputs": {k: list(v.shape) for k, v in named.items()},
         "output": args.output,
+        **extra,
     }))
     return 0
+
+
+def _eval_logits(named: dict, labels, n: int) -> dict:
+    """AUC/accuracy/macro-F1 of each logits output vs (N,) {0,1} labels,
+    via the device metric kernels (ops/metrics.py) — the same math the
+    trainer reports per epoch."""
+    import numpy as np
+
+    from ..ops.metrics import binary_report_metrics, roc_auc
+
+    labels = np.asarray(labels).reshape(-1)[:n].astype(np.float32)
+    if labels.shape[0] != n:
+        raise SystemExit(
+            f"--labels has {labels.shape[0]} entries for {n} inputs")
+    out = {}
+    for name, lg in named.items():
+        if not name.startswith("logits") or lg.ndim != 2:
+            continue
+        lg = lg - lg.max(axis=-1, keepdims=True)
+        e = np.exp(lg)
+        score = (e / e.sum(axis=-1, keepdims=True))[:, 1]
+        pred = (score >= 0.5).astype(np.float32)
+        rep = binary_report_metrics(labels, pred)
+        out[name] = {
+            "auc": float(roc_auc(labels, score)),
+            "accuracy": float(rep["accuracy"]),
+            "macro_f1": float(rep["macro_f1"]),
+        }
+    return out
 
 
 def _latency_stats(lat: list) -> dict:
