@@ -216,7 +216,17 @@ def compare_aucs(
 
 def main() -> None:
     import argparse
+    import os
     import tempfile
+
+    if os.environ.get("VDR_PARITY_BACKEND", "cpu") == "cpu":
+        # This is a CPU harness by design: the reference loop is torch-CPU
+        # and the comparison must not depend on (or hang with) the
+        # tunneled TPU.  sitecustomize overrides JAX_PLATFORMS, so force
+        # via the config knob.  VDR_PARITY_BACKEND=default opts out.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--full", action="store_true",
