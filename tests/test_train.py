@@ -408,6 +408,33 @@ class TestTrainKfold:
         )
         assert len(emb) > 0
 
+    def test_whole_volume_fold_smoke(self, extracted):
+        """Whole-volume mode end to end over the 8-device mesh: one
+        unchunked token set per patient, ring-attention sequence
+        parallelism in the classifier, extended token buckets (no
+        truncation warning may fire)."""
+        import warnings
+
+        from vit_deep_radiomics_tpu.core.mesh import make_mesh
+
+        cfg = _small_cfg(extracted["folds"])
+        tcfg = TrainerConfig(
+            arch="transformer", modality="ct", loss="focal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=1, whole_volume=True,
+        )
+        models_dir = extracted["dir"] / "models_wv"
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)  # no truncation
+            train_kfold(
+                extracted["df"], cfg, tcfg,
+                extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
+                folds=[0], mesh=make_mesh(), log=lambda *_: None,
+            )
+        fold_dir = (models_dir / "petct" / "medsam_transformer_stanford"
+                    / "ct" / "kfold_0")
+        assert (fold_dir / "losses.html").exists()
+
     def test_conv_arch_smoke(self, extracted):
         cfg = _small_cfg(extracted["folds"])
         tcfg = TrainerConfig(

@@ -143,6 +143,7 @@ class FoldTrainer:
             and np.prod(list(mesh.shape.values())) > 1
         ):
             seq_mesh = mesh
+        self._seq_parallel = seq_mesh is not None
         self.model = build_classifier(
             cfg, tcfg.arch, tcfg.modality, modality_a, modality_b,
             num_classes=tcfg.num_classes, policy=self.policy,
@@ -212,11 +213,18 @@ class FoldTrainer:
     def _shard(self, tree):
         if self.mesh is None:
             return tree
-        from ..core.mesh import data_sharding, put_global
+        from ..core.mesh import data_sharding, put_global, replicated
 
         def put(x):
             if hasattr(x, "ndim") and x.ndim >= 1:
-                sh = data_sharding(self.mesh, x.ndim)
+                if self._seq_parallel:
+                    # whole-volume ring attention shards the TOKEN axis
+                    # over `data` inside the module (shard_map); the
+                    # batch itself must enter replicated, not
+                    # batch-sharded (batch << device count here)
+                    sh = replicated(self.mesh)
+                else:
+                    sh = data_sharding(self.mesh, x.ndim)
                 if self._multiproc:
                     return put_global(x, sh)
                 return jax.device_put(x, sh)
