@@ -546,6 +546,27 @@ def test_serve_classifier_cli(tmp_path, capsys, monkeypatch):
             "--labels", str(tmp_path / "labels_short.npy"),
         ])
 
+    # polymorphic-batch artifact: same outputs, no batch padding
+    poly_artifact = tmp_path / "clf_poly.vdr"
+    rc = cli_serve.main([
+        "export-clf", str(ckpt), "-a", "transformer", "-m", "ct",
+        "-o", str(poly_artifact), "--batch", "poly", "--max-tokens", "8",
+        "--precision", "parity",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_serve.main([
+        "run", str(poly_artifact),
+        "--input", str(tmp_path / "in.npz"),
+        "--output", str(tmp_path / "out_poly.npz"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["items"] == 5 and report["batch"] == 5
+    out_poly = np.load(tmp_path / "out_poly.npz")
+    np.testing.assert_allclose(out_poly["logits"], out["logits"],
+                               rtol=1e-5, atol=1e-5)
+
     # wrong feature dim is rejected loudly, not zero-padded into garbage
     np.savez(tmp_path / "bad.npz",
              tokens=rng.normal(size=(2, 5, D // 2)).astype(np.float32))

@@ -117,6 +117,39 @@ class TestClassifierExport:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
+    def test_polymorphic_batch_roundtrip(self, cfg, tmp_path):
+        """batch='poly' exports a symbolic batch dimension: one artifact
+        serves any batch size with no padding."""
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        rng = np.random.default_rng(4)
+        m = build_classifier(cfg, "transformer", "ct",
+                             policy=get_policy("parity"))
+        toks2 = jnp.asarray(
+            rng.normal(size=(2, 8, self.D)).astype(np.float32))
+        mask2 = jnp.asarray(rng.random((2, 8)) > 0.3)
+        v = m.init(jax.random.PRNGKey(0), toks2, mask2)
+        p = export_classifier(
+            v, cfg, "transformer", "ct", tmp_path / "poly.vdr",
+            batch="poly", max_tokens=8, policy="parity")
+        em = load_exported(p)
+        assert em.meta["batch"] == "poly"
+        assert em.meta["in_spec"]["tokens"][0][0] is None
+        for n in (1, 2, 5):
+            toks = jnp.asarray(
+                rng.normal(size=(n, 8, self.D)).astype(np.float32))
+            mask = jnp.asarray(rng.random((n, 8)) > 0.3)
+            want = m.apply(v, toks, mask, deterministic=True)
+            got = em(toks, mask)
+            assert got[0].shape == (n, 2)
+            for a, b in zip(got, want):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
     def test_bimodal_roundtrip(self, cfg, tmp_path):
         from vit_deep_radiomics_tpu.core.precision import get_policy
         from vit_deep_radiomics_tpu.engine.serve import export_classifier

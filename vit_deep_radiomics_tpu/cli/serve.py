@@ -70,8 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     exc.add_argument("-m", "--modality", default="ct",
                      help="ct/pet/chest/petct/petchest")
     exc.add_argument("-o", "--out", required=True, help="output .vdr path")
-    exc.add_argument("-b", "--batch", type=int, default=8,
-                     help="static serving batch size")
+    exc.add_argument("-b", "--batch", default="8",
+                     help="static serving batch size, or 'poly' for a "
+                          "shape-polymorphic batch dimension (one "
+                          "artifact serves any batch, no padding)")
     exc.add_argument("--max-tokens", type=int, default=512,
                      help="static token-axis length (transformer archs)")
     exc.add_argument("--conv-shape", type=int, nargs=3,
@@ -138,9 +140,10 @@ def _export_clf(args) -> int:
     with open(args.checkpoint, "rb") as fh:
         state = serialization.msgpack_restore(fh.read())
     variables = state["params"] if "params" in state else state
+    batch = args.batch if args.batch == "poly" else int(args.batch)
     path = export_classifier(
         variables, load_conf(), args.arch, args.modality, args.out,
-        batch=args.batch, max_tokens=args.max_tokens,
+        batch=batch, max_tokens=args.max_tokens,
         conv_shape=tuple(args.conv_shape), policy=args.precision,
         num_classes=args.num_classes,
     )
@@ -185,7 +188,7 @@ def _run_classifier(args, model) -> int:
             "classifier artifacts take an .npz input with one array per "
             f"in_spec entry {list(model.meta['in_spec'])}")
     in_spec = model.meta["in_spec"]
-    batch = int(model.meta["batch"])
+    batch = model.meta["batch"]
     with np.load(args.input) as z:
         given = {k: np.asarray(z[k]) for k in z.files}
     unknown = set(given) - set(in_spec)
@@ -245,6 +248,12 @@ def _run_classifier(args, model) -> int:
         inputs.append(
             arr.astype(bool if dtype == "bool" else np.float32, copy=False))
 
+    if batch == "poly":
+        # shape-polymorphic artifact: one call over all items, no batch
+        # padding (the runtime specializes per shape on first call)
+        batch = n
+    else:
+        batch = int(batch)
     pad = (-n) % batch
     outs = None
     lat = []

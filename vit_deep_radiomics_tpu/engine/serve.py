@@ -95,7 +95,7 @@ def export_classifier(
     modality: str,
     out_path,
     *,
-    batch: int = 8,
+    batch: int | str = 8,
     max_tokens: int = 512,
     conv_shape: tuple[int, int, int] = (13, 12, 12),
     policy: str = "fast",
@@ -104,6 +104,11 @@ def export_classifier(
     modality_b: str = "ct",
 ) -> str:
     """Serialize a trained downstream classifier to a ``.vdr`` artifact.
+
+    ``batch="poly"`` exports with a SYMBOLIC batch dimension
+    (``jax.export`` shape polymorphism): one artifact serves any batch
+    size with no padding — the runtime specializes per shape on first
+    call.  Token/volume axes stay static (the masks carry raggedness).
 
     Completes the deployment story for the models the reference actually
     trains (models_archs.py:38-216): the per-patient diagnosis head is
@@ -136,27 +141,34 @@ def export_classifier(
     )
     feature_dim = cfg["models"][arch]["feature_dim"]
 
+    poly = batch == "poly"
+    if poly:
+        (bdim,) = jexport.symbolic_shape("b")
+        bs = None  # JSON spec: batch dim unconstrained
+    else:
+        bdim = bs = int(batch)
+
     f32, b8 = np.float32, np.bool_
     if arch == "conv":
         s, h, w = conv_shape
         in_spec = {
-            "volume": ((batch, s, h, w, feature_dim), "float32"),
-            "valid_mask": ((batch, s, h, w), "bool"),
+            "volume": ((bs, s, h, w, feature_dim), "float32"),
+            "valid_mask": ((bs, s, h, w), "bool"),
         }
 
         def forward(volume, valid_mask):
             return model.apply(variables, volume, valid_mask,
                                deterministic=True)
 
-        specs = [jax.ShapeDtypeStruct((batch, s, h, w, feature_dim), f32),
-                 jax.ShapeDtypeStruct((batch, s, h, w), b8)]
+        specs = [jax.ShapeDtypeStruct((bdim, s, h, w, feature_dim), f32),
+                 jax.ShapeDtypeStruct((bdim, s, h, w), b8)]
         out_names = ["logits", "embedding"]
     elif modality in ("petct", "petchest"):
         in_spec = {
-            "ct_tokens": ((batch, max_tokens, feature_dim), "float32"),
-            "pet_tokens": ((batch, max_tokens, feature_dim), "float32"),
-            "ct_mask": ((batch, max_tokens), "bool"),
-            "pet_mask": ((batch, max_tokens), "bool"),
+            "ct_tokens": ((bs, max_tokens, feature_dim), "float32"),
+            "pet_tokens": ((bs, max_tokens, feature_dim), "float32"),
+            "ct_mask": ((bs, max_tokens), "bool"),
+            "pet_mask": ((bs, max_tokens), "bool"),
         }
 
         def forward(ct_tokens, pet_tokens, ct_mask, pet_mask):
@@ -165,16 +177,16 @@ def export_classifier(
                 ct_mask=ct_mask, pet_mask=pet_mask, deterministic=True)
 
         specs = [
-            jax.ShapeDtypeStruct((batch, max_tokens, feature_dim), f32),
-            jax.ShapeDtypeStruct((batch, max_tokens, feature_dim), f32),
-            jax.ShapeDtypeStruct((batch, max_tokens), b8),
-            jax.ShapeDtypeStruct((batch, max_tokens), b8),
+            jax.ShapeDtypeStruct((bdim, max_tokens, feature_dim), f32),
+            jax.ShapeDtypeStruct((bdim, max_tokens, feature_dim), f32),
+            jax.ShapeDtypeStruct((bdim, max_tokens), b8),
+            jax.ShapeDtypeStruct((bdim, max_tokens), b8),
         ]
         out_names = ["logits", "petct_cls", "logits_ct", "logits_pet"]
     else:
         in_spec = {
-            "tokens": ((batch, max_tokens, feature_dim), "float32"),
-            "mask": ((batch, max_tokens), "bool"),
+            "tokens": ((bs, max_tokens, feature_dim), "float32"),
+            "mask": ((bs, max_tokens), "bool"),
         }
 
         def forward(tokens, mask):
@@ -182,8 +194,8 @@ def export_classifier(
                                deterministic=True)
 
         specs = [
-            jax.ShapeDtypeStruct((batch, max_tokens, feature_dim), f32),
-            jax.ShapeDtypeStruct((batch, max_tokens), b8),
+            jax.ShapeDtypeStruct((bdim, max_tokens, feature_dim), f32),
+            jax.ShapeDtypeStruct((bdim, max_tokens), b8),
         ]
         out_names = ["logits", "cls_embedding"]
 
@@ -192,7 +204,7 @@ def export_classifier(
         "kind": "classifier",
         "arch": arch,
         "modality": modality,
-        "batch": batch,
+        "batch": "poly" if poly else int(batch),
         "feature_dim": feature_dim,
         "num_classes": num_classes,
         "max_tokens": (None if arch == "conv" else max_tokens),
