@@ -150,6 +150,35 @@ class TestClassifierExport:
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
+    def test_multi_platform_export(self, cfg, tmp_path):
+        """platforms=('cpu','tpu') lowers both targets into one artifact
+        (export anywhere, deploy anywhere); the CPU call still matches
+        the oracle."""
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        rng = np.random.default_rng(5)
+        m = build_classifier(cfg, "transformer", "ct",
+                             policy=get_policy("parity"))
+        toks = jnp.asarray(
+            rng.normal(size=(2, 8, self.D)).astype(np.float32))
+        mask = jnp.asarray(rng.random((2, 8)) > 0.3)
+        v = m.init(jax.random.PRNGKey(0), toks, mask)
+        p = export_classifier(
+            v, cfg, "transformer", "ct", tmp_path / "xp.vdr",
+            batch=2, max_tokens=8, policy="parity",
+            platforms=("cpu", "tpu"))
+        em = load_exported(p)
+        assert set(em.meta["platforms"]) == {"cpu", "tpu"}
+        want = m.apply(v, toks, mask, deterministic=True)
+        got = em(toks, mask)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
     def test_bimodal_roundtrip(self, cfg, tmp_path):
         from vit_deep_radiomics_tpu.core.precision import get_policy
         from vit_deep_radiomics_tpu.engine.serve import export_classifier

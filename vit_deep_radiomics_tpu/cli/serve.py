@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["fast", "parity", "bf16", "fp32"])
     ex.add_argument("--image-size", type=int, default=None)
     ex.add_argument("--no-flash", action="store_true")
+    ex.add_argument("--platforms", nargs="+", default=None,
+                    help="lower for multiple targets in one artifact "
+                         "(e.g. --platforms cpu tpu); flash kernels are "
+                         "TPU-only — combine with --no-flash")
     ex.add_argument("--dinov2-mode", default="full",
                     choices=["patch_embed", "full"],
                     help="dinov2 backbones: patch-embed-only tokens "
@@ -80,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                      default=(13, 12, 12), metavar=("S", "H", "W"),
                      help="static volume shape (conv arch)")
     exc.add_argument("--num-classes", type=int, default=2)
+    exc.add_argument("--platforms", nargs="+", default=None,
+                     help="lower for multiple targets in one artifact "
+                          "(e.g. --platforms cpu tpu)")
     exc.add_argument("--precision", default="fast",
                      choices=["fast", "parity", "bf16", "fp32"])
 
@@ -126,6 +133,7 @@ def _export(args) -> int:
         batch=args.batch, policy=args.precision,
         use_flash=not args.no_flash,
         patch_embed_only=ext.model.patch_embed_only,
+        platforms=tuple(args.platforms) if args.platforms else None,
     )
     print(path)
     return 0
@@ -146,6 +154,7 @@ def _export_clf(args) -> int:
         batch=batch, max_tokens=args.max_tokens,
         conv_shape=tuple(args.conv_shape), policy=args.precision,
         num_classes=args.num_classes,
+        platforms=tuple(args.platforms) if args.platforms else None,
     )
     print(path)
     return 0

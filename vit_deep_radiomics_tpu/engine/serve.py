@@ -42,6 +42,7 @@ def export_dense_model(
     policy: str = "fast",
     use_flash: bool | None = None,
     patch_embed_only: bool = False,
+    platforms: tuple[str, ...] | None = None,
 ) -> str:
     """Serialize ``ViTDense(backbone_cfg).apply(params, ·)`` to disk.
 
@@ -68,7 +69,10 @@ def export_dense_model(
         return model.apply(params, images)
 
     spec = jax.ShapeDtypeStruct((batch, size, size, 3), np.float32)
-    exported = jexport.export(jax.jit(forward))(spec)
+    # platforms=("cpu","tpu") lowers for BOTH targets (export once on a
+    # CPU host, deploy on TPU); note the Pallas flash kernels lower for
+    # TPU only — use use_flash=False for a cross-platform dense artifact
+    exported = jexport.export(jax.jit(forward), platforms=platforms)(spec)
     payload = exported.serialize()
 
     return _write_artifact(out_path, {
@@ -102,8 +106,13 @@ def export_classifier(
     num_classes: int = 2,
     modality_a: str = "pet",
     modality_b: str = "ct",
+    platforms: tuple[str, ...] | None = None,
 ) -> str:
     """Serialize a trained downstream classifier to a ``.vdr`` artifact.
+
+    ``platforms=("cpu", "tpu")`` lowers for both targets in one
+    artifact — export on any host, deploy anywhere (the classifiers are
+    pure XLA, so every platform lowering is available everywhere).
 
     ``batch="poly"`` exports with a SYMBOLIC batch dimension
     (``jax.export`` shape polymorphism): one artifact serves any batch
@@ -199,7 +208,8 @@ def export_classifier(
         ]
         out_names = ["logits", "cls_embedding"]
 
-    exported = jexport.export(jax.jit(forward))(*specs)
+    exported = jexport.export(
+        jax.jit(forward), platforms=platforms)(*specs)
     return _write_artifact(out_path, {
         "kind": "classifier",
         "arch": arch,
