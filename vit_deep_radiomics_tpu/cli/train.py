@@ -36,6 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of training here")
+    p.add_argument("--use-sampler", action="store_true",
+                   help="class-balanced resampling with replacement "
+                        "(the reference's WeightedRandomSampler, off by "
+                        "default there too, train_models.py:521)")
+    p.add_argument("--whole-volume", action="store_true",
+                   help="no slice chunking: one unchunked token set per "
+                        "patient; with --data-parallel the classifier "
+                        "runs ring-attention sequence parallelism over "
+                        "the mesh")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over a data mesh spanning every "
                         "visible device — including other hosts' under "
@@ -101,6 +110,7 @@ def main(argv=None) -> int:
         dataset=args.dataset, backbone=args.backbone,
         experiment=args.experiment, batch_size=max(1, batch_size),
         precision=args.precision, max_epochs=args.max_epochs,
+        use_sampler=args.use_sampler, whole_volume=args.whole_volume,
     )
     import contextlib
 
