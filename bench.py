@@ -453,7 +453,21 @@ def main(argv=None):
         "achieved_tflops": round(value * flops / 1e12, 2),
         "mfu_vs_v5e_bf16_peak": round(
             value * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
+        **_hbm_stats(),
     }))
+
+
+def _hbm_stats() -> dict:
+    """Peak/in-use HBM of device 0, when the runtime exposes it."""
+    from vit_deep_radiomics_tpu.utils.profiling import device_memory_stats
+
+    stats = device_memory_stats()
+    out = {}
+    if "peak_bytes_in_use" in stats:
+        out["hbm_peak_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    if "bytes_limit" in stats:
+        out["hbm_limit_gib"] = round(stats["bytes_limit"] / 2**30, 3)
+    return out
 
 
 if __name__ == "__main__":

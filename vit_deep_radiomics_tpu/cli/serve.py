@@ -289,7 +289,7 @@ def _run_classifier(args, model) -> int:
     named = {name: np.concatenate(acc)[:n]
              for name, acc in zip(model.meta["out_names"], outs)}
     np.savez(args.output, **named)
-    extra = {}
+    extra = _device_mem()
     if getattr(args, "labels", None):
         extra["eval"] = _eval_logits(named, np.load(args.labels), n)
     print(json.dumps({
@@ -330,6 +330,18 @@ def _eval_logits(named: dict, labels, n: int) -> dict:
             "macro_f1": float(rep["macro_f1"]),
         }
     return out
+
+
+def _device_mem() -> dict:
+    """Serving telemetry: peak device memory, when the runtime exposes
+    it (TPU does; CPU returns nothing)."""
+    from ..utils.profiling import device_memory_stats
+
+    stats = device_memory_stats()
+    if "peak_bytes_in_use" in stats:
+        return {"device_peak_mem_gib":
+                round(stats["peak_bytes_in_use"] / 2**30, 3)}
+    return {}
 
 
 def _latency_stats(lat: list) -> dict:

@@ -20,7 +20,24 @@ import time
 import jax
 import jax.numpy as jnp
 
-__all__ = ["trace", "annotate", "Throughput", "sync"]
+__all__ = ["trace", "annotate", "Throughput", "sync",
+           "device_memory_stats"]
+
+
+def device_memory_stats(device=None) -> dict:
+    """HBM telemetry for one device: {bytes_in_use, peak_bytes_in_use,
+    bytes_limit, ...} when the runtime exposes ``memory_stats`` (TPU
+    does), else {}.  Useful for serving/production capacity planning —
+    the reference's closest analogue is torch.cuda.empty_cache() calls
+    with no visibility at all (tfds_dense_descriptor.py:137)."""
+    import jax
+
+    dev = device if device is not None else jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        return {}
+    return dict(stats) if stats else {}
 
 
 def sync(*arrays) -> None:
