@@ -459,15 +459,9 @@ def main(argv=None):
 
 def _hbm_stats() -> dict:
     """Peak/in-use HBM of device 0, when the runtime exposes it."""
-    from vit_deep_radiomics_tpu.utils.profiling import device_memory_stats
+    from vit_deep_radiomics_tpu.utils.profiling import memory_summary_gib
 
-    stats = device_memory_stats()
-    out = {}
-    if "peak_bytes_in_use" in stats:
-        out["hbm_peak_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
-    if "bytes_limit" in stats:
-        out["hbm_limit_gib"] = round(stats["bytes_limit"] / 2**30, 3)
-    return out
+    return memory_summary_gib()
 
 
 if __name__ == "__main__":

@@ -576,3 +576,39 @@ def test_serve_classifier_cli(tmp_path, capsys, monkeypatch):
             "--input", str(tmp_path / "bad.npz"),
             "--output", str(tmp_path / "bad_out.npz"),
         ])
+
+    # poly inputs stream in --poly-chunk slices (2+2+1 here), with the
+    # final remainder unpadded; outputs match the one-call run
+    rc = cli_serve.main([
+        "run", str(poly_artifact),
+        "--input", str(tmp_path / "in.npz"),
+        "--output", str(tmp_path / "out_poly2.npz"),
+        "--poly-chunk", "2",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["items"] == 5 and report["batch"] == 2
+    out_poly2 = np.load(tmp_path / "out_poly2.npz")
+    np.testing.assert_allclose(out_poly2["logits"], out["logits"],
+                               rtol=1e-5, atol=1e-5)
+    assert out_poly2["logits"].shape[0] == 5
+
+    # zero-item inputs fail with a clear message on both artifact kinds
+    np.savez(tmp_path / "empty.npz",
+             tokens=np.zeros((0, 5, D), np.float32))
+    for art in (artifact, poly_artifact):
+        with pytest.raises(SystemExit, match="0 items"):
+            cli_serve.main([
+                "run", str(art),
+                "--input", str(tmp_path / "empty.npz"),
+                "--output", str(tmp_path / "empty_out.npz"),
+            ])
+
+    # malformed --batch values exit via argparse, not a traceback
+    with pytest.raises(SystemExit):
+        cli_serve.main([
+            "export-clf", str(ckpt), "-a", "transformer", "-m", "ct",
+            "-o", str(tmp_path / "x.vdr"), "--batch", "8x",
+        ])
+    err = capsys.readouterr().err
+    assert "positive integer or 'poly'" in err

@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
     exc.add_argument("-m", "--modality", default="ct",
                      help="ct/pet/chest/petct/petchest")
     exc.add_argument("-o", "--out", required=True, help="output .vdr path")
-    exc.add_argument("-b", "--batch", default="8",
+    exc.add_argument("-b", "--batch", type=_batch_size_or_poly, default="8",
                      help="static serving batch size, or 'poly' for a "
                           "shape-polymorphic batch dimension (one "
                           "artifact serves any batch, no padding)")
@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
                           "omitted: all-valid assumed)")
     run.add_argument("--key", default=None,
                      help="array name inside an .npz input")
+    run.add_argument("--poly-chunk", type=int, default=1024,
+                     help="poly-batch artifacts: stream this many items "
+                          "per device call instead of one giant batch "
+                          "(0 = the whole input in one call)")
     run.add_argument("--labels", default=None,
                      help="classifier artifacts: optional .npy of (N,) "
                           "{0,1} labels — adds AUC/accuracy/F1 (device "
@@ -148,7 +152,7 @@ def _export_clf(args) -> int:
     with open(args.checkpoint, "rb") as fh:
         state = serialization.msgpack_restore(fh.read())
     variables = state["params"] if "params" in state else state
-    batch = args.batch if args.batch == "poly" else int(args.batch)
+    batch = args.batch
     path = export_classifier(
         variables, load_conf(), args.arch, args.modality, args.out,
         batch=batch, max_tokens=args.max_tokens,
@@ -165,6 +169,21 @@ def _info(args) -> int:
 
     print(json.dumps(load_exported(args.artifact).meta, indent=2))
     return 0
+
+
+def _batch_size_or_poly(text: str):
+    """argparse type for --batch: a positive int, or the literal 'poly'."""
+    if text == "poly":
+        return text
+    try:
+        value = int(text)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected a positive integer or 'poly', got {text!r}")
+    if value < 1:
+        raise argparse.ArgumentTypeError(
+            f"batch size must be >= 1, got {value}")
+    return value
 
 
 def _load_images(path: str, key: str | None):
@@ -257,13 +276,18 @@ def _run_classifier(args, model) -> int:
         inputs.append(
             arr.astype(bool if dtype == "bool" else np.float32, copy=False))
 
-    if batch == "poly":
-        # shape-polymorphic artifact: one call over all items, no batch
-        # padding (the runtime specializes per shape on first call)
-        batch = n
+    if n == 0:
+        raise SystemExit("input holds 0 items; nothing to run")
+    poly = batch == "poly"
+    if poly:
+        # shape-polymorphic artifact: stream --poly-chunk items per call
+        # with no batch padding (the runtime specializes per distinct
+        # shape, so this costs at most two specializations: the chunk
+        # size and the final remainder)
+        batch = min(n, max(1, getattr(args, "poly_chunk", None) or n))
     else:
         batch = int(batch)
-    pad = (-n) % batch
+    pad = 0 if poly else (-n) % batch
     outs = None
     lat = []
     t0 = time.time()
@@ -271,7 +295,7 @@ def _run_classifier(args, model) -> int:
         chunk = []
         for arr in inputs:
             part = arr[i:i + batch]
-            if part.shape[0] < batch:
+            if part.shape[0] < batch and not poly:
                 part = np.pad(
                     part, [(0, batch - part.shape[0])]
                     + [(0, 0)] * (part.ndim - 1))
@@ -335,13 +359,9 @@ def _eval_logits(named: dict, labels, n: int) -> dict:
 def _device_mem() -> dict:
     """Serving telemetry: peak device memory, when the runtime exposes
     it (TPU does; CPU returns nothing)."""
-    from ..utils.profiling import device_memory_stats
+    from ..utils.profiling import memory_summary_gib
 
-    stats = device_memory_stats()
-    if "peak_bytes_in_use" in stats:
-        return {"device_peak_mem_gib":
-                round(stats["peak_bytes_in_use"] / 2**30, 3)}
-    return {}
+    return memory_summary_gib()
 
 
 def _latency_stats(lat: list) -> dict:
@@ -378,6 +398,8 @@ def _run(args) -> int:
             f"artifact; got {images.shape}")
 
     n = images.shape[0]
+    if n == 0:
+        raise SystemExit("input holds 0 images; nothing to run")
     pad = (-n) % batch
     if pad:
         images = np.concatenate(

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["trace", "annotate", "Throughput", "sync",
-           "device_memory_stats"]
+           "device_memory_stats", "memory_summary_gib"]
 
 
 def device_memory_stats(device=None) -> dict:
@@ -30,14 +30,26 @@ def device_memory_stats(device=None) -> dict:
     does), else {}.  Useful for serving/production capacity planning —
     the reference's closest analogue is torch.cuda.empty_cache() calls
     with no visibility at all (tfds_dense_descriptor.py:137)."""
-    import jax
-
     dev = device if device is not None else jax.devices()[0]
     try:
         stats = dev.memory_stats()
     except Exception:
         return {}
     return dict(stats) if stats else {}
+
+
+def memory_summary_gib(device=None) -> dict:
+    """``device_memory_stats`` reduced to the GiB numbers report lines
+    want: ``{hbm_peak_gib, hbm_limit_gib}`` when the runtime exposes
+    them (TPU does), {} otherwise (CPU).  Shared by bench.py and the
+    serve CLI so the telemetry keys/units stay in one place."""
+    stats = device_memory_stats(device)
+    out = {}
+    if "peak_bytes_in_use" in stats:
+        out["hbm_peak_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    if "bytes_limit" in stats:
+        out["hbm_limit_gib"] = round(stats["bytes_limit"] / 2**30, 3)
+    return out
 
 
 def sync(*arrays) -> None:
