@@ -118,6 +118,19 @@ class TestRuntimeUtils:
         assert tp.images_per_sec_per_chip <= tp.images_per_sec
         assert "img/s" in tp.report()
 
+    def test_memory_summary_gib(self, monkeypatch):
+        """GiB summary keys/units shared by bench.py and serve run."""
+        monkeypatch.setattr(
+            profiling, "device_memory_stats",
+            lambda device=None: {"peak_bytes_in_use": 3 * 2**30,
+                                 "bytes_limit": 16 * 2**30,
+                                 "bytes_in_use": 1})
+        assert profiling.memory_summary_gib() == {
+            "hbm_peak_gib": 3.0, "hbm_limit_gib": 16.0}
+        monkeypatch.setattr(profiling, "device_memory_stats",
+                            lambda device=None: {})
+        assert profiling.memory_summary_gib() == {}
+
     def test_check_finite(self):
         debugging.check_finite("ok", np.ones(3))
         with pytest.raises(FloatingPointError, match="non-finite"):
