@@ -53,3 +53,64 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def extracted(tmp_path_factory):
+    """Synthetic cohort → extraction outputs + merged metadata + folds.
+    Shared by the trainer test modules (test_train.py, test_foldpar.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.precision import get_policy
+    from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
+    from vit_deep_radiomics_tpu.engine.extract import (
+        DenseExtractor,
+        ExtractionConfig,
+        extract_isotropic_dataset,
+    )
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    tmp = tmp_path_factory.mktemp("e2e")
+    cohort = synthetic.synthetic_cohort(
+        n_patients=4, seed=7, dataset="stanford",
+        height=64, width=64, ct_slices=4, pet_slices=2,
+    )
+    h5 = tmp / "iso.hdf5"
+    csv = tmp / "iso.csv"
+    synthetic.write_isotropic_hdf5(cohort, h5, csv)
+
+    small = dataclasses.replace(
+        SAM_VIT_B, image_size=64, width=96, depth=1, num_heads=3,
+        window_size=2, global_indexes=(0,), neck_channels=16,
+    )
+    ex = DenseExtractor.__new__(DenseExtractor)
+    ex.config = ExtractionConfig(
+        model_name="medsam", image_size=64, slice_batch=4,
+        precision="parity", use_flash=False, volume_bucket=32,
+        flips=(None,), angles=(0, 90),
+    )
+    ex.policy = get_policy("parity")
+    ex.backbone_cfg = small
+    ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
+    ex.image_size = 64
+    ex.params = jax.jit(ex.model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
+    )
+    ex._apply = jax.jit(ex.model.apply)
+
+    feat_dir = tmp / "features"
+    extract_isotropic_dataset(
+        h5, csv, feat_dir, ex, modalities=("pet", "ct"),
+        datasets=("stanford",),
+    )
+    df = feature_store.merge_metadata(feat_dir, datasets=("stanford_dataset",))
+    folds = splits.build_kfold_patients(df, n_splits=2)
+    return {
+        "dir": tmp,
+        "df": df,
+        "folds": folds,
+        "hdf5_ct": feat_dir / "features_masks_ct.hdf5",
+        "hdf5_pet": feat_dir / "features_masks_pet.hdf5",
+    }

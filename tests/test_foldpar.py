@@ -1,0 +1,236 @@
+"""Fold-parallel (vmapped lockstep) k-fold training — equality vs the
+sequential trainer and end-to-end artifact contract."""
+
+import numpy as np
+import pytest
+
+from vit_deep_radiomics_tpu.data.datasets import TokenItem, batch_items
+from vit_deep_radiomics_tpu.engine.foldpar import (
+    ParallelFoldTrainer,
+    stack_fold_batches,
+    train_kfold_parallel,
+)
+from vit_deep_radiomics_tpu.engine.train import FoldTrainer, TrainerConfig
+
+
+def _cfg(feature_dim=16, num_epochs=3, virtual_batch=4, batch=2):
+    return {
+        "models": {
+            "transformer": {
+                "learning_rate": 5e-4, "feature_dim": feature_dim,
+                "batch_size": batch, "virtual_batch_size": virtual_batch,
+                "num_epochs": num_epochs, "patience": 15,
+                "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+                "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            },
+            "conv": {
+                "learning_rate": 5e-4, "feature_dim": feature_dim,
+                "batch_size": 1, "virtual_batch_size": virtual_batch,
+                "num_epochs": num_epochs, "patience": 15,
+                "ct": {"div": 2}, "pet": {"div": 2},
+            },
+        },
+    }
+
+
+def _items(rng, n, length, feature_dim=16, tag="p"):
+    """Token items with IDENTICAL lengths so sequential and lockstep
+    batches share shapes exactly (same buckets, same dropout draws)."""
+    out = []
+    for i in range(n):
+        label = np.zeros(2, np.float32)
+        label[i % 2] = 1.0
+        out.append(TokenItem(
+            tokens_ct=rng.normal(size=(length, feature_dim))
+            .astype(np.float32),
+            tokens_pet=rng.normal(size=(length, feature_dim))
+            .astype(np.float32),
+            label_onehot=label,
+            patient_id=f"{tag}{i}",
+        ))
+    return out
+
+
+class TestStackFoldBatches:
+    def test_pads_to_shared_shapes_and_weights(self, rng):
+        a = next(batch_items(_items(rng, 2, 10), 2))
+        b = next(batch_items(_items(rng, 1, 200, tag="q"), 2))
+        stacked, real = stack_fold_batches([a, b, None], 2)
+        # token axis = max bucket (256), batch axis = 2, fold axis = 3
+        assert stacked["ct"].shape == (3, 2, 256, 16)
+        assert stacked["ct_mask"].shape == (3, 2, 256)
+        np.testing.assert_array_equal(
+            stacked["example_weight"],
+            [[1.0, 1.0], [1.0, 0.0], [0.0, 0.0]])
+        assert real[0] == (2, ["p0", "p1"])
+        assert real[1] == (1, ["q0"])
+        assert real[2] == (0, [])
+        # real rows land unchanged in their fold slots
+        np.testing.assert_array_equal(
+            stacked["ct"][0, :, :128], a["ct"])
+        np.testing.assert_array_equal(
+            stacked["ct"][1, 0, :256], b["ct"][0])
+        assert not stacked["ct_mask"][2].any()
+
+
+class TestLockstepEquality:
+    """Same items, same seeds, aligned shapes → the vmapped lockstep
+    trajectory must match per-fold sequential training."""
+
+    @pytest.mark.parametrize("modality,loss", [
+        ("ct", "focal"), ("petct", "crossmodal"),
+    ])
+    def test_matches_sequential(self, rng, modality, loss):
+        cfg = _cfg()
+        tcfg = TrainerConfig(
+            arch="transformer", modality=modality, loss=loss,
+            dataset="stanford", batch_size=2, precision="parity",
+        )
+        # fold 0: 8 items (4 batches, applies at steps 2 and 4);
+        # fold 1: 6 items (3 batches, applies at 2 and the remainder 3)
+        fold_items = [_items(rng, 8, 100, tag="a"),
+                      _items(rng, 6, 100, tag="b")]
+        fold_batches = [list(batch_items(it, 2)) for it in fold_items]
+
+        seq_trainers = []
+        seq_results = []
+        for f in range(2):
+            t = FoldTrainer(cfg, tcfg)
+            t.init_params(fold_batches[f][0])
+            seq_trainers.append(t)
+        for epoch in range(2):
+            epoch_out = []
+            for f, t in enumerate(seq_trainers):
+                tr = t.run_epoch(fold_batches[f], epoch, train=True,
+                                 rng_seed=tcfg.seed)
+                te = t.run_epoch(fold_batches[f], epoch, train=False)
+                epoch_out.append((tr, te))
+            seq_results.append(epoch_out)
+
+        par = ParallelFoldTrainer(cfg, tcfg, n_folds=2)
+        par.init_stacked(fold_batches[0][0])
+        for epoch in range(2):
+            tr_par = par.run_lockstep_epoch(
+                fold_batches, epoch, train=True, rng_seed=tcfg.seed)
+            te_par = par.run_lockstep_epoch(
+                fold_batches, epoch, train=False)
+            for f in range(2):
+                (tr_seq, te_seq) = seq_results[epoch][f]
+                for (seq, parr) in ((tr_seq, tr_par[f]),
+                                    (te_seq, te_par[f])):
+                    assert parr[0] == pytest.approx(seq[0], rel=2e-4), \
+                        f"loss fold {f} epoch {epoch}"
+                    np.testing.assert_array_equal(parr[1], seq[1])
+                    np.testing.assert_allclose(
+                        parr[2], seq[2], rtol=2e-4, atol=2e-5)
+                    assert parr[3] == seq[3]
+        # final parameters coincide too
+        import jax
+
+        for f in range(2):
+            p_par, _ = par.fold_state(f)
+            flat_par = jax.tree.leaves(p_par)
+            flat_seq = jax.tree.leaves(seq_trainers[f].params)
+            for a, b in zip(flat_par, flat_seq):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    def test_exhausted_fold_state_frozen(self, rng):
+        """A fold with an empty batch list rides along bit-frozen."""
+        cfg = _cfg()
+        tcfg = TrainerConfig(
+            arch="transformer", modality="ct", loss="focal",
+            batch_size=2, precision="parity",
+        )
+        batches = [list(batch_items(_items(rng, 4, 64), 2)), []]
+        par = ParallelFoldTrainer(cfg, tcfg, n_folds=2)
+        par.init_stacked(batches[0][0])
+        import jax
+
+        before = [np.asarray(x) for x in jax.tree.leaves(
+            jax.tree.map(lambda v: v[1], par.params))]
+        res = par.run_lockstep_epoch(batches, 0, train=True)
+        after = [np.asarray(x) for x in jax.tree.leaves(
+            jax.tree.map(lambda v: v[1], par.params))]
+        for a, b in zip(before, after):
+            np.testing.assert_array_equal(a, b)
+        assert res[1][3] == [] and res[1][0] == 0.0
+        # the active fold DID move
+        moved = any(
+            not np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(
+                jax.tree.leaves(jax.tree.map(lambda v: v[0], par.params)),
+                before)
+        )
+        assert moved
+
+
+class TestTrainKfoldParallel:
+    def test_end_to_end_artifacts(self, extracted):
+        """train_kfold(fold_parallel=True) produces the sequential
+        path's artifact contract for every fold in one run."""
+        cfg = _cfg(num_epochs=2)
+        cfg["kfold_patients"] = extracted["folds"]
+        tcfg = TrainerConfig(
+            arch="transformer", modality="petct", loss="crossmodal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=2, fold_parallel=True,
+        )
+        from vit_deep_radiomics_tpu.engine.train import train_kfold
+
+        models_dir = extracted["dir"] / "models_foldpar"
+        results = train_kfold(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
+            folds=[0, 1], log=lambda *_: None,
+        )
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+
+        for k in (0, 1):
+            hist = results[k]
+            assert len(hist) == 2
+            assert np.isfinite(hist["train_loss"]).all()
+            fold_dir = (models_dir / "petct" / "medsam_transformer_stanford"
+                        / "petct" / f"kfold_{k}")
+            assert (fold_dir / "train_metrics_0.json").exists()
+            assert (fold_dir / "test_metrics_1.json").exists()
+            assert (fold_dir / "losses.html").exists()
+            assert ckpt.best_epochs(fold_dir)
+
+    def test_conv_arch_smoke(self, extracted):
+        cfg = _cfg(num_epochs=1)
+        cfg["kfold_patients"] = extracted["folds"]
+        tcfg = TrainerConfig(
+            arch="conv", modality="ct", loss="focal",
+            dataset="stanford", batch_size=1, precision="parity",
+            max_epochs=1, fold_parallel=True,
+        )
+        results = train_kfold_parallel(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"],
+            extracted["dir"] / "models_foldpar_conv",
+            folds=[0, 1], log=lambda *_: None,
+        )
+        for k in (0, 1):
+            assert np.isfinite(results[k]["train_loss"]).all()
+
+    def test_rejects_multi_device_mesh(self, extracted, devices):
+        from jax.sharding import Mesh
+
+        cfg = _cfg(num_epochs=1)
+        cfg["kfold_patients"] = extracted["folds"]
+        tcfg = TrainerConfig(fold_parallel=True, max_epochs=1,
+                             precision="parity")
+        with pytest.raises(ValueError, match="single-device"):
+            train_kfold_parallel(
+                extracted["df"], cfg, tcfg,
+                extracted["hdf5_ct"], extracted["hdf5_pet"],
+                extracted["dir"] / "x",
+                mesh=Mesh(np.array(devices[:8]).reshape(8, 1),
+                          ("data", "model")),
+            )
+
+    def test_rejects_whole_volume(self):
+        with pytest.raises(ValueError, match="whole_volume"):
+            ParallelFoldTrainer(
+                _cfg(), TrainerConfig(whole_volume=True), n_folds=2)

@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "patient; with --data-parallel the classifier "
                         "runs ring-attention sequence parallelism over "
                         "the mesh")
+    p.add_argument("--fold-parallel", action="store_true",
+                   help="train every fold in ONE vmapped lockstep "
+                        "program (engine/foldpar.py) instead of the "
+                        "sequential fold loop — one dispatch advances "
+                        "all folds; excludes --data-parallel/"
+                        "--whole-volume and mid-fold resume")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over a data mesh spanning every "
                         "visible device — including other hosts' under "
@@ -111,7 +117,11 @@ def main(argv=None) -> int:
         experiment=args.experiment, batch_size=max(1, batch_size),
         precision=args.precision, max_epochs=args.max_epochs,
         use_sampler=args.use_sampler, whole_volume=args.whole_volume,
+        fold_parallel=args.fold_parallel,
     )
+    if args.fold_parallel and mesh is not None:
+        raise SystemExit("--fold-parallel is a single-device program; "
+                         "drop --data-parallel")
     import contextlib
 
     from ..utils.profiling import trace

@@ -1,0 +1,474 @@
+"""Fold-parallel k-fold training: every fold in ONE vmapped program.
+
+The reference trains its 5 folds strictly sequentially on one GPU
+(/root/reference/src/train_models.py:561 — the outer fold loop around
+the whole epoch loop).  The sequential rebuild already shares compiled
+steps across folds, but still dispatches one device call per fold per
+micro-batch — and the downstream classifiers are tiny (feature_dim 256,
+batch ≤ 8), so each call underfills the MXU and pays the full
+per-dispatch latency of the host→device link.
+
+TPU-first alternative: stack the folds on a leading axis and train them
+in lockstep with ``jax.vmap`` —
+
+* one jitted micro-step advances ALL folds (params, grad accumulators
+  and optimizer states are stacked pytrees),
+* per-fold virtual-batch cadence survives via a ``do_apply`` mask into
+  the (vmapped) optimizer application: folds whose accumulation group
+  ends this step apply AdamW, the rest carry their accumulator,
+* folds with fewer batches this epoch (or already early-stopped) ride
+  along on zero-weight dummy batches — ``example_weight = 0`` rows
+  contribute exactly 0 to the focal losses and gradients
+  (models/losses.py), so their state is bit-frozen,
+* per-step batches are host-stacked to shared bucket shapes (token
+  buckets / conv shape buckets are per-step maxima across folds; the
+  models are mask-aware, so the extra padding only costs compute).
+
+Semantics match the sequential path (same item order, same dropout key
+table, same optimizer cadence, same checkpoint/early-stop rules);
+equality is asserted in tests/test_foldpar.py.  Not supported here:
+mid-fold resume (use the sequential path to resume a crashed run) and
+multi-process meshes / whole-volume sequence parallelism (the fold axis
+replaces the data axis as the batch-level parallelism).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+import optax
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from ..analysis import reports
+from ..data.datasets import PETCTDataset, batch_items
+from ..engine import checkpoint as ckpt
+from .train import (
+    FoldTrainer,
+    TrainerConfig,
+    _bucket_sorted,
+    _draw_train_indices,
+    _patient_weights,
+    cosine_lr,
+)
+
+__all__ = ["ParallelFoldTrainer", "train_kfold_parallel"]
+
+
+def stack_fold_batches(
+    batches: Sequence[dict | None], batch_size: int
+) -> tuple[dict, list]:
+    """Stack one lockstep step's per-fold batches into (F, ...) arrays.
+
+    Every ndarray key pads to the max shape across folds (batch axis to
+    ``batch_size``, token/volume axes to the per-step maxima); bools pad
+    False, floats pad 0.  Adds ``example_weight``: 1 for real rows, 0
+    for padding and for folds with no batch this step (``None``), which
+    zeroes their loss and gradients exactly.
+
+    Returns ``(stacked, real)`` where ``real[f]`` is ``(n_real_rows,
+    patient_ids)`` for host-side bookkeeping.
+    """
+    template = next(b for b in batches if b is not None)
+    keys = [k for k, v in template.items() if isinstance(v, np.ndarray)]
+    # target shape per key: max over folds, batch axis = batch_size
+    target: dict[str, tuple] = {}
+    for k in keys:
+        dims = np.array(template[k].shape, np.int64)
+        for b in batches:
+            if b is not None:
+                dims = np.maximum(dims, np.array(b[k].shape))
+        dims[0] = batch_size
+        target[k] = tuple(int(d) for d in dims)
+
+    stacked = {
+        k: np.zeros((len(batches),) + target[k], template[k].dtype)
+        for k in keys
+    }
+    weight = np.zeros((len(batches), batch_size), np.float32)
+    real = []
+    for f, b in enumerate(batches):
+        if b is None:
+            real.append((0, []))
+            continue
+        n = b[keys[0]].shape[0]
+        for k in keys:
+            arr = b[k]
+            stacked[k][(f,) + tuple(slice(0, e) for e in arr.shape)] = arr
+        weight[f, :n] = 1.0
+        real.append((n, list(b["patient_ids"])))
+    stacked["example_weight"] = weight
+    return stacked, real
+
+
+class ParallelFoldTrainer(FoldTrainer):
+    """FoldTrainer whose params/opt_state carry a leading fold axis and
+    whose jitted steps are vmapped over it.  ``mesh`` is unsupported —
+    the fold axis IS the batch-level parallelism here."""
+
+    def __init__(self, cfg, tcfg: TrainerConfig, n_folds: int,
+                 modality_a: str = "pet", modality_b: str = "ct",
+                 step_cache: dict | None = None):
+        if tcfg.whole_volume:
+            raise ValueError(
+                "fold_parallel does not compose with whole_volume "
+                "sequence parallelism; run the sequential trainer")
+        super().__init__(cfg, tcfg, mesh=None, modality_a=modality_a,
+                         modality_b=modality_b, step_cache=step_cache)
+        self.n_folds = n_folds
+
+    # -- setup -----------------------------------------------------------
+
+    def init_stacked(self, sample_batch: dict) -> None:
+        """Init once (all folds start from PRNGKey(seed) like the
+        sequential path, so the stacks are tiles of one init)."""
+        super().init_params(sample_batch)
+        tile = lambda x: jnp.broadcast_to(  # noqa: E731
+            x[None], (self.n_folds,) + x.shape)
+        self.params = jax.tree.map(tile, self.params)
+        self.opt_state = jax.tree.map(tile, self.opt_state)
+
+    def fold_state(self, f: int) -> tuple:
+        """(params, opt_state) of fold *f*, shaped like the sequential
+        trainer's — checkpoint-compatible with evaluate/convert/umap."""
+        take = lambda x: x[f]  # noqa: E731
+        return (jax.tree.map(take, self.params),
+                jax.tree.map(take, self.opt_state))
+
+    # -- vmapped steps -----------------------------------------------------
+
+    def _get_vstep(self, shape_key, train: bool):
+        key = ("foldpar", shape_key, train)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def forward(params, batch, rng):
+            args, kwargs = self._model_inputs(batch, deterministic=not train)
+            if train:
+                kwargs["rngs"] = {"dropout": rng}
+            outputs = self.model.apply(params, *args, **kwargs)
+            return outputs if isinstance(outputs, tuple) else (outputs,)
+
+        if train:
+            def one(params, grad_accum, batch, rng, scale):
+                def loss_fn(p):
+                    outputs = forward(p, batch, rng)
+                    loss = self._loss_from_outputs(
+                        outputs, batch["labels"], batch["example_weight"])
+                    return loss * scale, outputs[0]
+
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                grad_accum = jax.tree.map(
+                    jnp.add, grad_accum, grads["params"])
+                return grad_accum, loss, logits
+
+            # rng broadcasts: the sequential path uses the SAME key table
+            # for every fold (train.py run_epoch), so lockstep does too
+            fn = jax.jit(
+                jax.vmap(one, in_axes=(0, 0, 0, None, 0)),
+                donate_argnums=(1,),
+            )
+        else:
+            def one(params, batch):
+                outputs = forward(params, batch, None)
+                loss = self._loss_from_outputs(
+                    outputs, batch["labels"], batch["example_weight"])
+                return loss, outputs[0]
+
+            fn = jax.jit(jax.vmap(one, in_axes=(0, 0)))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_vapply(self):
+        """Vmapped AdamW application gated per fold by ``do_apply``:
+        applied folds update params/opt_state and zero their accumulator,
+        the rest pass every piece of state through unchanged."""
+        key = ("foldpar", "apply_accum")
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def one(params, opt_state, grad_accum, lr, do_apply):
+            updates, new_opt = self.tx.update(
+                grad_accum, opt_state, params["params"])
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            new_params = {
+                "params": optax.apply_updates(params["params"], updates)
+            }
+            sel = lambda a, b: jnp.where(do_apply, a, b)  # noqa: E731
+            return (
+                jax.tree.map(sel, new_params, params),
+                jax.tree.map(sel, new_opt, opt_state),
+                jax.tree.map(
+                    lambda g: jnp.where(do_apply, jnp.zeros_like(g), g),
+                    grad_accum),
+            )
+
+        fn = jax.jit(
+            jax.vmap(one, in_axes=(0, 0, 0, None, 0)),
+            donate_argnums=(0, 1, 2),
+        )
+        self._jit_cache[key] = fn
+        return fn
+
+    # -- lockstep epoch -----------------------------------------------------
+
+    def run_lockstep_epoch(
+        self, fold_batches: Sequence[list], epoch: int, train: bool,
+        rng_seed: int = 0,
+    ) -> list[tuple]:
+        """One epoch for every fold at once; returns the sequential
+        ``run_epoch`` tuple ``(avg_loss, y_true, y_score, patient_ids)``
+        per fold (empty-batch folds get empty results)."""
+        assert len(fold_batches) == self.n_folds
+        lr = cosine_lr(epoch, self.lr0, self.num_epochs)
+        n_steps = max((len(b) for b in fold_batches), default=0)
+        bsz = max(1, self.tcfg.batch_size)
+
+        if train:
+            n_micro = max(1, -(-self.virtual_batch // bsz))
+            accum = [min(n_micro, max(1, len(b))) for b in fold_batches]
+            scale = jnp.asarray(
+                [1.0 / (a * bsz) for a in accum], jnp.float32)
+            rngs = np.asarray(jax.random.split(
+                jax.random.PRNGKey(rng_seed * 100003 + epoch),
+                max(1, n_steps)))
+            lr_dev = jnp.float32(lr)
+            grad_accum = jax.tree.map(jnp.zeros_like, self.params["params"])
+            vapply = self._get_vapply()
+
+        cast_bf16 = self.policy.compute_dtype == jnp.bfloat16
+        losses, step_logits = [], []
+        reals: list[list] = []
+        for s in range(n_steps):
+            step_batches = [
+                b[s] if s < len(b) else None for b in fold_batches
+            ]
+            stacked, real = stack_fold_batches(step_batches, bsz)
+            reals.append(real)
+            if cast_bf16:
+                import ml_dtypes
+
+                for k in ("ct", "pet"):
+                    v = stacked.get(k)
+                    if v is not None and v.dtype == np.float32:
+                        stacked[k] = v.astype(ml_dtypes.bfloat16)
+            skey = self._shape_key(stacked)
+            if train:
+                vstep = self._get_vstep(skey, True)
+                grad_accum, loss, logits = vstep(
+                    self.params, grad_accum, stacked, rngs[s], scale)
+                # per-fold cadence: fire on the fold's accum boundary or
+                # its trailing remainder (train_models.py:685); exhausted
+                # or stopped folds never fire
+                do_apply = jnp.asarray([
+                    s < len(b) and ((s + 1) % a == 0 or s + 1 == len(b))
+                    for b, a in zip(fold_batches, accum)
+                ])
+                self.params, self.opt_state, grad_accum = vapply(
+                    self.params, self.opt_state, grad_accum, lr_dev,
+                    do_apply)
+            else:
+                vstep = self._get_vstep(skey, False)
+                loss, logits = vstep(self.params, stacked)
+            losses.append(loss)
+            step_logits.append(logits)
+
+        results = []
+        if n_steps:
+            # two device pulls for the whole epoch, same as sequential
+            loss_mat = np.asarray(jnp.stack(losses, axis=0))   # (S, F)
+            logit_mats = [
+                np.asarray(l.astype(jnp.float32)) for l in step_logits
+            ]                                                   # (F,bsz,C)
+        for f, batches in enumerate(fold_batches):
+            if not batches:
+                results.append((
+                    0.0, np.empty((0,), np.int64),
+                    np.empty((0,), np.float32), []))
+                continue
+            pids: list = []
+            y_true_parts, logit_parts = [], []
+            for s in range(len(batches)):
+                n, p = reals[s][f]
+                pids.extend(p)
+                y_true_parts.append(
+                    np.argmax(batches[s]["labels"], axis=-1))
+                logit_parts.append(logit_mats[s][f, :n])
+            rescale = (accum[f] * bsz) if train else 1.0
+            total_loss = float(loss_mat[: len(batches), f].sum()) * rescale
+            lg = np.concatenate(logit_parts, axis=0)
+            lg = lg - lg.max(axis=-1, keepdims=True)
+            e = np.exp(lg)
+            y_score = (e / e.sum(axis=-1, keepdims=True))[:, 1]
+            results.append((
+                total_loss / max(1, len(pids)),
+                np.concatenate(y_true_parts),
+                y_score,
+                pids,
+            ))
+        return results
+
+
+def train_kfold_parallel(
+    df: pd.DataFrame,
+    cfg: dict,
+    tcfg: TrainerConfig,
+    hdf5_ct_path,
+    hdf5_pet_path,
+    models_dir,
+    mesh=None,
+    folds: Sequence | None = None,
+    log=print,
+    step_cache: dict | None = None,
+) -> dict:
+    """`train_kfold` with every fold in one lockstep vmapped program.
+
+    Same inputs/outputs/artifacts as the sequential
+    :func:`engine.train.train_kfold` (per-fold report JSONs, losses.html,
+    gated checkpoints, early stopping); ``mesh`` must be None and
+    existing fold checkpoints are NOT resumed (the sequential path
+    handles resume).
+    """
+    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+        raise ValueError(
+            "train_kfold_parallel is a single-device program (the fold "
+            "axis replaces the data axis); pass mesh=None or use the "
+            "sequential train_kfold for data parallelism")
+    from ..core.mesh import enable_persistent_compile_cache
+    from ..data.datasets import prepare_windows
+
+    enable_persistent_compile_cache()
+
+    modality_a = "pet"
+    modality_b = "chest" if "chest" in tcfg.modality else "ct"
+    df = df.copy()
+    df["flip"] = df["flip"].astype(str)
+    df = prepare_windows(df, modality_a, modality_b,
+                         whole_volume=tcfg.whole_volume)
+
+    fold_map = cfg["kfold_patients"][modality_b][tcfg.dataset]
+    fold_keys = list(folds) if folds is not None else list(fold_map.keys())
+    base = (
+        Path(models_dir) / tcfg.experiment
+        / f"{tcfg.backbone}_{tcfg.arch}_{tcfg.dataset}" / tcfg.modality
+    )
+
+    trainer = ParallelFoldTrainer(
+        cfg, tcfg, n_folds=len(fold_keys),
+        modality_a=modality_a, modality_b=modality_b,
+        step_cache=step_cache)
+
+    ds_kwargs = dict(
+        hdf5_ct_path=hdf5_ct_path, hdf5_pet_path=hdf5_pet_path,
+        modality_a=modality_a, modality_b=modality_b,
+        feature_dim=trainer.feature_dim, arch=tcfg.arch,
+        num_classes=tcfg.num_classes,
+    )
+    train_dss, test_dss, save_dirs = [], [], []
+    for kfold in fold_keys:
+        train_p = fold_map[kfold]["train"]
+        test_p = fold_map[kfold]["test"]
+        df_train = df[df["patient_id"].isin(train_p)].reset_index(drop=True)
+        df_test = df[df["patient_id"].isin(test_p)].reset_index(drop=True)
+        log(f"fold {kfold}: {len(train_p)} train / {len(test_p)} test "
+            "patients")
+        train_dss.append(PETCTDataset(df_train, use_augmentation=True,
+                                      seed=tcfg.seed, **ds_kwargs))
+        test_dss.append(PETCTDataset(df_test, use_augmentation=False,
+                                     seed=tcfg.seed + 1, **ds_kwargs))
+        d = base / f"kfold_{kfold}"
+        d.mkdir(parents=True, exist_ok=True)
+        save_dirs.append(d)
+
+    trainer.init_stacked(next(batch_items([test_dss[0][0]], 1)))
+
+    # per-fold bookkeeping, exactly the sequential train_fold's
+    history = [
+        {k: [] for k in (
+            "epoch", "train_loss", "test_loss", "train_auc", "test_auc",
+            "train_f1", "test_f1", "target_metric")}
+        for _ in fold_keys
+    ]
+    # one rng per fold, all seeded like the sequential path (every fold
+    # sees the same stream there too — train_fold builds it from tcfg.seed)
+    sampler_rngs = [np.random.default_rng(tcfg.seed + 17)
+                    for _ in fold_keys]
+    best_target = [-np.inf] * len(fold_keys)
+    since_improve = [0] * len(fold_keys)
+    stopped = [False] * len(fold_keys)
+
+    for epoch in range(trainer.num_epochs):
+        if all(stopped):
+            break
+        train_fb, test_fb = [], []
+        for f in range(len(fold_keys)):
+            if stopped[f]:
+                train_fb.append([])
+                test_fb.append([])
+                continue
+            items = _bucket_sorted(
+                [train_dss[f][i] for i in _draw_train_indices(
+                    train_dss[f], tcfg, sampler_rngs[f])])
+            t_items = _bucket_sorted(
+                [test_dss[f][i] for i in range(len(test_dss[f]))])
+            train_fb.append(list(batch_items(items, tcfg.batch_size)))
+            test_fb.append(list(batch_items(t_items, tcfg.batch_size)))
+
+        train_res = trainer.run_lockstep_epoch(
+            train_fb, epoch, train=True, rng_seed=tcfg.seed)
+        test_res = trainer.run_lockstep_epoch(
+            test_fb, epoch, train=False)
+
+        for f, kfold in enumerate(fold_keys):
+            if stopped[f]:
+                continue
+            tr_loss, tr_y, tr_s, tr_pids = train_res[f]
+            te_loss, te_y, te_s, te_pids = test_res[f]
+            tr_rep = reports.device_epoch_report(
+                tr_y, tr_s, _patient_weights(tr_pids), kfold=kfold,
+                loss=tr_loss, epoch=epoch, split="train")
+            te_rep = reports.device_epoch_report(
+                te_y, te_s, _patient_weights(te_pids), kfold=kfold,
+                loss=te_loss, epoch=epoch, split="test")
+            reports.save_report_json(tr_rep, save_dirs[f], "train", epoch)
+            reports.save_report_json(te_rep, save_dirs[f], "test", epoch)
+            log(reports.format_report(te_rep))
+
+            target = te_rep["ROC AUC"] ** 2 * math.sqrt(
+                te_rep["macro avg"]["f1-score"])
+            h = history[f]
+            h["epoch"].append(epoch)
+            h["train_loss"].append(tr_loss)
+            h["test_loss"].append(te_loss)
+            h["train_auc"].append(tr_rep["ROC AUC"])
+            h["test_auc"].append(te_rep["ROC AUC"])
+            h["train_f1"].append(tr_rep["macro avg"]["f1-score"])
+            h["test_f1"].append(te_rep["macro avg"]["f1-score"])
+            h["target_metric"].append(target)
+            reports.write_metrics_html(
+                pd.DataFrame(h), save_dirs[f] / "losses.html",
+                title=f"{tcfg.dataset} fold {kfold}")
+
+            if (not np.isfinite(target)
+                    or target >= np.nanmean(h["target_metric"])):
+                params_f, opt_f = trainer.fold_state(f)
+                ckpt.save_checkpoint_async(
+                    {"params": params_f, "opt_state": opt_f,
+                     "epoch": epoch, "history": h},
+                    save_dirs[f], epoch)
+            if target > best_target[f]:
+                best_target[f] = target
+                since_improve[f] = 0
+            else:
+                since_improve[f] += 1
+            if since_improve[f] >= trainer.patience:
+                log(f"early stopping fold {kfold} at epoch {epoch}")
+                stopped[f] = True
+    ckpt.wait_pending()
+    return {k: pd.DataFrame(history[f]) for f, k in enumerate(fold_keys)}

@@ -77,6 +77,10 @@ class TrainerConfig:
                                          # multi-device mesh the unimodal
                                          # transformer runs ring-attention
                                          # sequence parallelism
+    fold_parallel: bool = False          # train ALL folds in one vmapped
+                                         # lockstep program (engine/
+                                         # foldpar.py) instead of the
+                                         # sequential fold loop
 
 
 def cosine_lr(epoch: int, lr0: float, num_epochs: int,
@@ -446,6 +450,41 @@ class FoldTrainer:
         return avg_loss, y_true, y_score, pids
 
 
+def _draw_train_indices(train_ds, tcfg: TrainerConfig, sampler_rng) -> list:
+    """Epoch item order: shuffled, or class-balanced resampling with
+    replacement when use_sampler is set (reference WeightedRandomSampler
+    semantics, train_models.py:314-329, 624-632)."""
+    n = len(train_ds)
+    if not tcfg.use_sampler:
+        return list(sampler_rng.permutation(n))
+    labels = train_ds.items["label"].astype(int).to_numpy()
+    _, inv, counts = np.unique(labels, return_inverse=True,
+                               return_counts=True)
+    weights = 1.0 / counts[inv]
+    weights = weights / weights.sum()
+    return list(sampler_rng.choice(n, size=n, replace=True, p=weights))
+
+
+def _bucket_sorted(items):
+    """Order items by their token buckets so batches are
+    length-homogeneous: few (bucket_ct, bucket_pet) combinations to
+    compile AND minimal padding compute (fold-level fixed buckets
+    were measured slower — padding waste beats compile savings)."""
+    from ..data.datasets import DEFAULT_BUCKETS
+
+    def bucket(n):
+        return next((b for b in DEFAULT_BUCKETS if n <= b),
+                    DEFAULT_BUCKETS[-1])
+
+    if not items or items[0].tokens_ct.ndim != 2:
+        return items
+    return sorted(
+        items,
+        key=lambda it: (bucket(it.tokens_ct.shape[0]),
+                        bucket(it.tokens_pet.shape[0])),
+    )
+
+
 def _early_stop_state(targets) -> tuple[float, int]:
     """(best_target, epochs_since_improvement) replayed from a restored
     target-metric history — the live loop's strict-improvement rule
@@ -521,49 +560,16 @@ def train_fold(
 
     sampler_rng = np.random.default_rng(tcfg.seed + 17)
 
-    def _draw_train_indices() -> list[int]:
-        """Epoch item order: shuffled, or class-balanced resampling with
-        replacement when use_sampler is set (reference
-        WeightedRandomSampler semantics, train_models.py:314-329,
-        624-632)."""
-        n = len(train_ds)
-        if not tcfg.use_sampler:
-            return list(sampler_rng.permutation(n))
-        labels = train_ds.items["label"].astype(int).to_numpy()
-        _, inv, counts = np.unique(labels, return_inverse=True,
-                                   return_counts=True)
-        weights = 1.0 / counts[inv]
-        weights = weights / weights.sum()
-        return list(sampler_rng.choice(n, size=n, replace=True, p=weights))
-
     # mid-fold resume: rebuild the early-stopping state from the restored
     # history — otherwise every resume resets the patience counter and a
     # crash/resume cycle can extend a fold far past its stop point
     best_target, epochs_since_improvement = _early_stop_state(
         history["target_metric"])
 
-    def _bucket_sorted(items):
-        """Order items by their token buckets so batches are
-        length-homogeneous: few (bucket_ct, bucket_pet) combinations to
-        compile AND minimal padding compute (fold-level fixed buckets
-        were measured slower — padding waste beats compile savings)."""
-        from ..data.datasets import DEFAULT_BUCKETS
-
-        def bucket(n):
-            return next((b for b in DEFAULT_BUCKETS if n <= b),
-                        DEFAULT_BUCKETS[-1])
-
-        if not items or items[0].tokens_ct.ndim != 2:
-            return items
-        return sorted(
-            items,
-            key=lambda it: (bucket(it.tokens_ct.shape[0]),
-                            bucket(it.tokens_pet.shape[0])),
-        )
-
     for epoch in range(start_epoch, trainer.num_epochs):
         train_items = _bucket_sorted(
-            [train_ds[i] for i in _draw_train_indices()])
+            [train_ds[i]
+             for i in _draw_train_indices(train_ds, tcfg, sampler_rng)])
         test_items = _bucket_sorted(
             [test_ds[i] for i in range(len(test_ds))])
         bkw = {}
@@ -661,7 +667,16 @@ def train_kfold(
 ) -> dict:
     """Reference __main__ equivalent: loop folds from the generated kfold
     YAML (cfg['kfold_patients'][modality_b][dataset], train_models.py:560-574),
-    writing models/<experiment>/<backbone>_<arch>_<dataset>/<modality>/kfold_k."""
+    writing models/<experiment>/<backbone>_<arch>_<dataset>/<modality>/kfold_k.
+
+    With ``tcfg.fold_parallel`` every fold trains in ONE vmapped lockstep
+    program instead of this sequential loop (engine/foldpar.py)."""
+    if tcfg.fold_parallel:
+        from .foldpar import train_kfold_parallel
+
+        return train_kfold_parallel(
+            df, cfg, tcfg, hdf5_ct_path, hdf5_pet_path, models_dir,
+            mesh=mesh, folds=folds, log=log, step_cache=step_cache)
     from ..core.mesh import enable_persistent_compile_cache
     from ..data.datasets import prepare_windows
 
