@@ -293,6 +293,107 @@ def measure_e2e(n_patients: int = 6) -> dict:
     }
 
 
+def measure_foldpar(n_patients: int = 8, epochs: int = 3,
+                    folds: int = 2) -> dict:
+    """Sequential vs fold-parallel k-fold training A/B (same data, same
+    flagship classifier config, warm compiles both sides via a shared
+    first untimed run per mode).  The descriptors come from a tiny
+    backbone — the A/B measures the downstream trainer, whose inputs are
+    (tokens, 256) either way."""
+    import dataclasses
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.precision import get_policy
+    from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
+    from vit_deep_radiomics_tpu.engine.extract import (
+        DenseExtractor,
+        ExtractionConfig,
+        extract_isotropic_dataset,
+    )
+    from vit_deep_radiomics_tpu.engine.train import (
+        TrainerConfig,
+        train_kfold,
+    )
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp = Path(tmp)
+        cohort = synthetic.synthetic_cohort(
+            n_patients=n_patients, seed=0, dataset="stanford",
+            height=96, width=96, ct_slices=8, pet_slices=4,
+        )
+        synthetic.write_isotropic_hdf5(
+            cohort, tmp / "iso.hdf5", tmp / "iso.csv")
+        small = dataclasses.replace(
+            SAM_VIT_B, image_size=64, width=128, depth=1, num_heads=4,
+            window_size=2, global_indexes=(0,), neck_channels=256,
+        )
+        ex = DenseExtractor.__new__(DenseExtractor)
+        ex.config = ExtractionConfig(
+            model_name="medsam", image_size=64, slice_batch=8,
+            precision="fast", use_flash=False, volume_bucket=32,
+            flips=(None,), angles=(0, 90),
+        )
+        ex.policy = get_policy("fast")
+        ex.backbone_cfg = small
+        ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
+        ex.image_size = 64
+        ex.params = jax.jit(ex.model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        ex._apply = jax.jit(ex.model.apply)
+        extract_isotropic_dataset(
+            tmp / "iso.hdf5", tmp / "iso.csv", tmp / "features", ex,
+            modalities=("pet", "ct"), datasets=("stanford",),
+        )
+        df = feature_store.merge_metadata(
+            tmp / "features", datasets=("stanford_dataset",))
+        fold_map = splits.build_kfold_patients(df, n_splits=folds)
+        cfg = {
+            "models": {
+                "transformer": {
+                    "learning_rate": 5e-4, "feature_dim": 256,
+                    "batch_size": 8, "virtual_batch_size": 32,
+                    "num_epochs": epochs, "patience": 15,
+                    "ct": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
+                    "pet": {"num_layers": 2, "num_heads": 4,
+                            "mlp_ratio": 4},
+                },
+            },
+            "kfold_patients": fold_map,
+        }
+        timings = {}
+        for mode in ("sequential", "fold_parallel"):
+            tcfg = TrainerConfig(
+                arch="transformer", modality="petct", loss="crossmodal",
+                dataset="stanford", batch_size=8, precision="fast",
+                max_epochs=epochs,
+                fold_parallel=(mode == "fold_parallel"),
+            )
+            step_cache: dict = {}
+            for run in ("warm", "timed"):
+                t0 = time.perf_counter()
+                train_kfold(
+                    df, cfg, tcfg,
+                    tmp / "features/features_masks_ct.hdf5",
+                    tmp / "features/features_masks_pet.hdf5",
+                    tmp / f"models_{mode}_{run}",
+                    log=lambda *_: None, step_cache=step_cache,
+                )
+                timings[f"{mode}_{run}_s"] = round(
+                    time.perf_counter() - t0, 2)
+    return {
+        **timings,
+        "folds": folds,
+        "epochs": epochs,
+        "speedup_warm": round(
+            timings["sequential_timed_s"]
+            / timings["fold_parallel_timed_s"], 2),
+    }
+
+
 def measure_scaling(cpu: int | None = None, steps: int = 8) -> dict:
     """Data-parallel scaling harness (VERDICT r1 missing #6).
 
@@ -421,6 +522,17 @@ def main(argv=None):
             "value": stats["extract_img_per_s_e2e"],
             "unit": "img/s",
             "vs_baseline": 0.0,
+            **stats,
+        }))
+        return
+    if argv and argv[0] == "foldpar":
+        _wait_for_backend()
+        stats = measure_foldpar()
+        print(json.dumps({
+            "metric": "kfold_train_foldpar_speedup",
+            "value": stats["speedup_warm"],
+            "unit": "x_vs_sequential_kfold",
+            "vs_baseline": stats["speedup_warm"],
             **stats,
         }))
         return

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restrict the grid to these datasets")
     p.add_argument("--archs", nargs="*", default=None,
                    help="restrict the grid to these archs")
+    p.add_argument("--fold-parallel", action="store_true",
+                   help="train each experiment's folds in one vmapped "
+                        "lockstep program (engine/foldpar.py)")
     return p
 
 
@@ -85,6 +88,7 @@ def main(argv=None) -> int:
             backbone=args.backbone, experiment=args.experiment,
             batch_size=max(1, batch_size), precision=args.precision,
             max_epochs=args.max_epochs,
+            fold_parallel=args.fold_parallel,
         )
         print(f"=== {arch} / {dataset} / {modality} / {loss} ===")
         train_kfold(
