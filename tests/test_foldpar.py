@@ -214,21 +214,59 @@ class TestTrainKfoldParallel:
         for k in (0, 1):
             assert np.isfinite(results[k]["train_loss"]).all()
 
-    def test_rejects_multi_device_mesh(self, extracted, devices):
+    def test_fold_mesh_matches_single_device(self, rng, devices):
+        """Folds sharded one-per-device over the mesh's data axis (stack
+        padded 2 → 8 with frozen dummy folds) produce the same per-fold
+        trajectories as the unsharded lockstep."""
+        from jax.sharding import Mesh
+
+        cfg = _cfg()
+        tcfg = TrainerConfig(
+            arch="transformer", modality="ct", loss="focal",
+            batch_size=2, precision="parity",
+        )
+        fold_batches = [
+            list(batch_items(_items(rng, 8, 100, tag="a"), 2)),
+            list(batch_items(_items(rng, 6, 100, tag="b"), 2)),
+        ]
+        mesh = Mesh(np.array(devices[:8]).reshape(8, 1),
+                    ("data", "model"))
+        plain = ParallelFoldTrainer(cfg, tcfg, n_folds=2)
+        plain.init_stacked(fold_batches[0][0])
+        sharded = ParallelFoldTrainer(cfg, tcfg, n_folds=2,
+                                      fold_mesh=mesh)
+        assert sharded._stack_n == 8
+        sharded.init_stacked(fold_batches[0][0])
+        for epoch in range(2):
+            a = plain.run_lockstep_epoch(
+                fold_batches, epoch, train=True, rng_seed=0)
+            b = sharded.run_lockstep_epoch(
+                fold_batches, epoch, train=True, rng_seed=0)
+            for f in range(2):
+                assert b[f][0] == pytest.approx(a[f][0], rel=2e-4)
+                np.testing.assert_allclose(
+                    b[f][2], a[f][2], rtol=2e-4, atol=2e-5)
+                assert b[f][3] == a[f][3]
+        import jax
+
+        for f in range(2):
+            pa, _ = plain.fold_state(f)
+            pb, _ = sharded.fold_state(f)
+            for x, y in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-5)
+
+    def test_rejects_multiprocess_and_model_axis(self, devices):
         from jax.sharding import Mesh
 
         cfg = _cfg(num_epochs=1)
-        cfg["kfold_patients"] = extracted["folds"]
         tcfg = TrainerConfig(fold_parallel=True, max_epochs=1,
                              precision="parity")
-        with pytest.raises(ValueError, match="single-device"):
-            train_kfold_parallel(
-                extracted["df"], cfg, tcfg,
-                extracted["hdf5_ct"], extracted["hdf5_pet"],
-                extracted["dir"] / "x",
-                mesh=Mesh(np.array(devices[:8]).reshape(8, 1),
-                          ("data", "model")),
-            )
+        with pytest.raises(ValueError, match="must be 1"):
+            ParallelFoldTrainer(
+                cfg, tcfg, n_folds=2,
+                fold_mesh=Mesh(np.array(devices[:8]).reshape(4, 2),
+                               ("data", "model")))
 
     def test_rejects_whole_volume(self):
         with pytest.raises(ValueError, match="whole_volume"):

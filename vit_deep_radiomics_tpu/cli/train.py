@@ -49,7 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train every fold in ONE vmapped lockstep "
                         "program (engine/foldpar.py) instead of the "
                         "sequential fold loop — one dispatch advances "
-                        "all folds; excludes --data-parallel/"
+                        "all folds; with --data-parallel the FOLD axis "
+                        "shards over the device mesh (one fold per "
+                        "device, zero collectives); excludes "
                         "--whole-volume and mid-fold resume")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over a data mesh spanning every "
@@ -119,9 +121,6 @@ def main(argv=None) -> int:
         use_sampler=args.use_sampler, whole_volume=args.whole_volume,
         fold_parallel=args.fold_parallel,
     )
-    if args.fold_parallel and mesh is not None:
-        raise SystemExit("--fold-parallel is a single-device program; "
-                         "drop --data-parallel")
     import contextlib
 
     from ..utils.profiling import trace

@@ -108,12 +108,18 @@ def stack_fold_batches(
 
 class ParallelFoldTrainer(FoldTrainer):
     """FoldTrainer whose params/opt_state carry a leading fold axis and
-    whose jitted steps are vmapped over it.  ``mesh`` is unsupported —
-    the fold axis IS the batch-level parallelism here."""
+    whose jitted steps are vmapped over it.
+
+    With ``fold_mesh`` (a single-process mesh) the FOLD axis shards over
+    the mesh's ``data`` axis — k-fold cross-validation is embarrassingly
+    parallel, so k folds land on k devices with zero collectives (the
+    stack pads to a multiple of the axis size with frozen dummy folds).
+    Without a mesh the lockstep still wins on a high-latency link by
+    collapsing k dispatches into one."""
 
     def __init__(self, cfg, tcfg: TrainerConfig, n_folds: int,
                  modality_a: str = "pet", modality_b: str = "ct",
-                 step_cache: dict | None = None):
+                 step_cache: dict | None = None, fold_mesh=None):
         if tcfg.whole_volume:
             raise ValueError(
                 "fold_parallel does not compose with whole_volume "
@@ -121,17 +127,49 @@ class ParallelFoldTrainer(FoldTrainer):
         super().__init__(cfg, tcfg, mesh=None, modality_a=modality_a,
                          modality_b=modality_b, step_cache=step_cache)
         self.n_folds = n_folds
+        self.fold_mesh = None
+        self._stack_n = n_folds
+        if fold_mesh is not None:
+            from ..core.mesh import DATA_AXIS, mesh_spans_processes
+
+            if mesh_spans_processes(fold_mesh):
+                raise ValueError(
+                    "fold-parallel training is single-process; use the "
+                    "sequential trainer + --data-parallel across hosts")
+            axis = int(fold_mesh.shape[DATA_AXIS])
+            for name, size in fold_mesh.shape.items():
+                if name != DATA_AXIS and int(size) != 1:
+                    raise ValueError(
+                        f"fold_mesh axis {name!r} must be 1 (folds shard "
+                        f"over {DATA_AXIS!r} only); got {size}")
+            if axis > 1:
+                self.fold_mesh = fold_mesh
+                self._stack_n = -(-n_folds // axis) * axis
 
     # -- setup -----------------------------------------------------------
+
+    def _put_fold_sharded(self, tree):
+        """Pin the leading fold axis of every leaf over the mesh's data
+        axis (no-op without a fold mesh)."""
+        if self.fold_mesh is None:
+            return tree
+        from ..core.mesh import data_sharding
+
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, data_sharding(self.fold_mesh, x.ndim)),
+            tree)
 
     def init_stacked(self, sample_batch: dict) -> None:
         """Init once (all folds start from PRNGKey(seed) like the
         sequential path, so the stacks are tiles of one init)."""
         super().init_params(sample_batch)
         tile = lambda x: jnp.broadcast_to(  # noqa: E731
-            x[None], (self.n_folds,) + x.shape)
-        self.params = jax.tree.map(tile, self.params)
-        self.opt_state = jax.tree.map(tile, self.opt_state)
+            x[None], (self._stack_n,) + x.shape)
+        self.params = self._put_fold_sharded(
+            jax.tree.map(tile, self.params))
+        self.opt_state = self._put_fold_sharded(
+            jax.tree.map(tile, self.opt_state))
 
     def fold_state(self, f: int) -> tuple:
         """(params, opt_state) of fold *f*, shaped like the sequential
@@ -226,6 +264,11 @@ class ParallelFoldTrainer(FoldTrainer):
         ``run_epoch`` tuple ``(avg_loss, y_true, y_score, patient_ids)``
         per fold (empty-batch folds get empty results)."""
         assert len(fold_batches) == self.n_folds
+        # dummy folds pad the stack to the fold-mesh axis size; they see
+        # only zero-weight batches and never fire the optimizer
+        fold_batches = list(fold_batches) + [
+            [] for _ in range(self._stack_n - self.n_folds)
+        ]
         lr = cosine_lr(epoch, self.lr0, self.num_epochs)
         n_steps = max((len(b) for b in fold_batches), default=0)
         bsz = max(1, self.tcfg.batch_size)
@@ -259,6 +302,7 @@ class ParallelFoldTrainer(FoldTrainer):
                     if v is not None and v.dtype == np.float32:
                         stacked[k] = v.astype(ml_dtypes.bfloat16)
             skey = self._shape_key(stacked)
+            stacked = self._put_fold_sharded(stacked)
             if train:
                 vstep = self._get_vstep(skey, True)
                 grad_accum, loss, logits = vstep(
@@ -312,7 +356,7 @@ class ParallelFoldTrainer(FoldTrainer):
                 y_score,
                 pids,
             ))
-        return results
+        return results[: self.n_folds]
 
 
 def train_kfold_parallel(
@@ -331,15 +375,11 @@ def train_kfold_parallel(
 
     Same inputs/outputs/artifacts as the sequential
     :func:`engine.train.train_kfold` (per-fold report JSONs, losses.html,
-    gated checkpoints, early stopping); ``mesh`` must be None and
-    existing fold checkpoints are NOT resumed (the sequential path
-    handles resume).
+    gated checkpoints, early stopping).  A single-process ``mesh`` shards
+    the FOLD axis over its ``data`` axis — one fold per device, zero
+    collectives.  Existing fold checkpoints are NOT resumed (the
+    sequential path handles resume).
     """
-    if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
-        raise ValueError(
-            "train_kfold_parallel is a single-device program (the fold "
-            "axis replaces the data axis); pass mesh=None or use the "
-            "sequential train_kfold for data parallelism")
     from ..core.mesh import enable_persistent_compile_cache
     from ..data.datasets import prepare_windows
 
@@ -362,7 +402,7 @@ def train_kfold_parallel(
     trainer = ParallelFoldTrainer(
         cfg, tcfg, n_folds=len(fold_keys),
         modality_a=modality_a, modality_b=modality_b,
-        step_cache=step_cache)
+        step_cache=step_cache, fold_mesh=mesh)
 
     ds_kwargs = dict(
         hdf5_ct_path=hdf5_ct_path, hdf5_pet_path=hdf5_pet_path,
