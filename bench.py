@@ -211,6 +211,24 @@ def get_baseline() -> float:
     return baseline
 
 
+def _flagship_clf_cfg(fold_map, epochs: int) -> dict:
+    """The flagship downstream-transformer config (the
+    conf/parameters_models.yaml schema) shared by the e2e and foldpar
+    benches — one literal so the two benches cannot drift apart."""
+    return {
+        "models": {
+            "transformer": {
+                "learning_rate": 5e-4, "feature_dim": 256,
+                "batch_size": 8, "virtual_batch_size": 32,
+                "num_epochs": epochs, "patience": 15,
+                "ct": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
+                "pet": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
+            },
+        },
+        "kfold_patients": fold_map,
+    }
+
+
 def measure_e2e(n_patients: int = 6) -> dict:
     """End-to-end pipeline bench, reproducible from the harness
     (VERDICT r1 #9): synthetic isotropic cohort → FULL extraction sweep
@@ -259,19 +277,7 @@ def measure_e2e(n_patients: int = 6) -> dict:
         df = feature_store.merge_metadata(
             tmp / "features", datasets=("stanford_dataset",))
         folds = splits.build_kfold_patients(df, n_splits=2)
-        cfg = {
-            "models": {
-                "transformer": {
-                    "learning_rate": 5e-4, "feature_dim": 256,
-                    "batch_size": 8, "virtual_batch_size": 32,
-                    "num_epochs": 3, "patience": 15,
-                    "ct": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
-                    "pet": {"num_layers": 2, "num_heads": 4,
-                            "mlp_ratio": 4},
-                },
-            },
-            "kfold_patients": folds,
-        }
+        cfg = _flagship_clf_cfg(folds, epochs=3)
         tcfg = TrainerConfig(
             arch="transformer", modality="petct", loss="crossmodal",
             dataset="stanford", batch_size=8, precision="fast",
@@ -303,10 +309,6 @@ def measure_foldpar(n_patients: int = 8, epochs: int = 3,
     import dataclasses
     import tempfile
 
-    import jax
-    import jax.numpy as jnp
-
-    from vit_deep_radiomics_tpu.core.precision import get_policy
     from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
     from vit_deep_radiomics_tpu.engine.extract import (
         DenseExtractor,
@@ -317,7 +319,7 @@ def measure_foldpar(n_patients: int = 8, epochs: int = 3,
         TrainerConfig,
         train_kfold,
     )
-    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B
 
     with tempfile.TemporaryDirectory() as tmp:
         tmp = Path(tmp)
@@ -331,19 +333,14 @@ def measure_foldpar(n_patients: int = 8, epochs: int = 3,
             SAM_VIT_B, image_size=64, width=128, depth=1, num_heads=4,
             window_size=2, global_indexes=(0,), neck_channels=256,
         )
-        ex = DenseExtractor.__new__(DenseExtractor)
-        ex.config = ExtractionConfig(
-            model_name="medsam", image_size=64, slice_batch=8,
-            precision="fast", use_flash=False, volume_bucket=32,
-            flips=(None,), angles=(0, 90),
+        ex = DenseExtractor(
+            ExtractionConfig(
+                model_name="medsam", image_size=64, slice_batch=8,
+                precision="fast", use_flash=False, volume_bucket=32,
+                flips=(None,), angles=(0, 90),
+            ),
+            backbone_cfg=small,
         )
-        ex.policy = get_policy("fast")
-        ex.backbone_cfg = small
-        ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
-        ex.image_size = 64
-        ex.params = jax.jit(ex.model.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-        ex._apply = jax.jit(ex.model.apply)
         extract_isotropic_dataset(
             tmp / "iso.hdf5", tmp / "iso.csv", tmp / "features", ex,
             modalities=("pet", "ct"), datasets=("stanford",),
@@ -351,19 +348,7 @@ def measure_foldpar(n_patients: int = 8, epochs: int = 3,
         df = feature_store.merge_metadata(
             tmp / "features", datasets=("stanford_dataset",))
         fold_map = splits.build_kfold_patients(df, n_splits=folds)
-        cfg = {
-            "models": {
-                "transformer": {
-                    "learning_rate": 5e-4, "feature_dim": 256,
-                    "batch_size": 8, "virtual_batch_size": 32,
-                    "num_epochs": epochs, "patience": 15,
-                    "ct": {"num_layers": 2, "num_heads": 4, "mlp_ratio": 4},
-                    "pet": {"num_layers": 2, "num_heads": 4,
-                            "mlp_ratio": 4},
-                },
-            },
-            "kfold_patients": fold_map,
-        }
+        cfg = _flagship_clf_cfg(fold_map, epochs=epochs)
         timings = {}
         for mode in ("sequential", "fold_parallel"):
             tcfg = TrainerConfig(

@@ -61,16 +61,13 @@ def extracted(tmp_path_factory):
     Shared by the trainer test modules (test_train.py, test_foldpar.py)."""
     import dataclasses
 
-    import jax.numpy as jnp
-
-    from vit_deep_radiomics_tpu.core.precision import get_policy
     from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
     from vit_deep_radiomics_tpu.engine.extract import (
         DenseExtractor,
         ExtractionConfig,
         extract_isotropic_dataset,
     )
-    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B
 
     tmp = tmp_path_factory.mktemp("e2e")
     cohort = synthetic.synthetic_cohort(
@@ -85,20 +82,14 @@ def extracted(tmp_path_factory):
         SAM_VIT_B, image_size=64, width=96, depth=1, num_heads=3,
         window_size=2, global_indexes=(0,), neck_channels=16,
     )
-    ex = DenseExtractor.__new__(DenseExtractor)
-    ex.config = ExtractionConfig(
-        model_name="medsam", image_size=64, slice_batch=4,
-        precision="parity", use_flash=False, volume_bucket=32,
-        flips=(None,), angles=(0, 90),
+    ex = DenseExtractor(
+        ExtractionConfig(
+            model_name="medsam", image_size=64, slice_batch=4,
+            precision="parity", use_flash=False, volume_bucket=32,
+            flips=(None,), angles=(0, 90),
+        ),
+        backbone_cfg=small,
     )
-    ex.policy = get_policy("parity")
-    ex.backbone_cfg = small
-    ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
-    ex.image_size = 64
-    ex.params = jax.jit(ex.model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
-    )
-    ex._apply = jax.jit(ex.model.apply)
 
     feat_dir = tmp / "features"
     extract_isotropic_dataset(

@@ -140,12 +140,11 @@ class TestPrimaryGating:
 
 @pytest.fixture(scope="module")
 def tiny_extractor():
-    from vit_deep_radiomics_tpu.core.precision import get_policy
     from vit_deep_radiomics_tpu.engine.extract import (
         DenseExtractor,
         ExtractionConfig,
     )
-    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B
 
     cfg = ExtractionConfig(
         model_name="medsam", image_size=64, slice_batch=4,
@@ -156,16 +155,7 @@ def tiny_extractor():
         SAM_VIT_B, image_size=64, width=96, depth=2, num_heads=3,
         window_size=2, global_indexes=(1,), neck_channels=32,
     )
-    ex = DenseExtractor.__new__(DenseExtractor)
-    ex.config = cfg
-    ex.policy = get_policy(cfg.precision)
-    ex.backbone_cfg = small
-    ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
-    ex.image_size = 64
-    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    ex.params = jax.jit(ex.model.init)(jax.random.PRNGKey(0), dummy)
-    ex._apply = jax.jit(ex.model.apply)
-    return ex
+    return DenseExtractor(cfg, backbone_cfg=small)
 
 
 class TestMultiProcessSweep:

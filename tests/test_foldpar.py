@@ -179,6 +179,14 @@ class TestTrainKfoldParallel:
         from vit_deep_radiomics_tpu.engine.train import train_kfold
 
         models_dir = extracted["dir"] / "models_foldpar"
+        # fold-parallel never resumes: artifacts left by a previous,
+        # longer run must not survive to be picked up by latest_epoch/
+        # best-epoch consumers after this (shorter) run
+        stale_dir = (models_dir / "petct" / "medsam_transformer_stanford"
+                     / "petct" / "kfold_0")
+        stale_dir.mkdir(parents=True)
+        (stale_dir / "model_epoch_0099.msgpack").write_bytes(b"stale")
+        (stale_dir / "test_metrics_99.json").write_text("{}")
         results = train_kfold(
             extracted["df"], cfg, tcfg,
             extracted["hdf5_ct"], extracted["hdf5_pet"], models_dir,
@@ -186,6 +194,8 @@ class TestTrainKfoldParallel:
         )
         from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
 
+        assert not (stale_dir / "model_epoch_0099.msgpack").exists()
+        assert not (stale_dir / "test_metrics_99.json").exists()
         for k in (0, 1):
             hist = results[k]
             assert len(hist) == 2
@@ -256,7 +266,9 @@ class TestTrainKfoldParallel:
                 np.testing.assert_allclose(
                     np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-5)
 
-    def test_rejects_multiprocess_and_model_axis(self, devices):
+    def test_rejects_multiprocess_and_model_axis(
+        self, devices, monkeypatch
+    ):
         from jax.sharding import Mesh
 
         cfg = _cfg(num_epochs=1)
@@ -266,6 +278,17 @@ class TestTrainKfoldParallel:
             ParallelFoldTrainer(
                 cfg, tcfg, n_folds=2,
                 fold_mesh=Mesh(np.array(devices[:8]).reshape(4, 2),
+                               ("data", "model")))
+        # single-process runs can't build a real multi-host mesh, so
+        # simulate one: the guard must fire before any axis validation
+        from vit_deep_radiomics_tpu.core import mesh as mesh_mod
+
+        monkeypatch.setattr(
+            mesh_mod, "mesh_spans_processes", lambda m: True)
+        with pytest.raises(ValueError, match="single-process"):
+            ParallelFoldTrainer(
+                cfg, tcfg, n_folds=2,
+                fold_mesh=Mesh(np.array(devices[:8]).reshape(8, 1),
                                ("data", "model")))
 
     def test_rejects_whole_volume(self):

@@ -116,19 +116,7 @@ def small_extractor():
         SAM_VIT_B, image_size=64, width=96, depth=2, num_heads=3,
         window_size=2, global_indexes=(1,), neck_channels=32,
     )
-    ex = DenseExtractor.__new__(DenseExtractor)
-    ex.config = cfg
-    from vit_deep_radiomics_tpu.core.precision import get_policy
-    from vit_deep_radiomics_tpu.models.vit import ViTDense
-
-    ex.policy = get_policy(cfg.precision)
-    ex.backbone_cfg = small
-    ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
-    ex.image_size = 64
-    dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    ex.params = jax.jit(ex.model.init)(jax.random.PRNGKey(0), dummy)
-    ex._apply = jax.jit(ex.model.apply)
-    return ex
+    return DenseExtractor(cfg, backbone_cfg=small)
 
 
 class TestExtractVolume:
@@ -261,16 +249,9 @@ class TestShardedExtraction:
             vol, mask, "ct"
         )
 
-        import copy
-
-        sharded = DenseExtractor.__new__(DenseExtractor)
-        sharded.config = copy.deepcopy(small_extractor.config)
-        sharded.policy = small_extractor.policy
-        sharded.backbone_cfg = small_extractor.backbone_cfg
-        sharded.model = small_extractor.model
-        sharded.image_size = small_extractor.image_size
-        sharded.params = small_extractor.params
-        sharded._setup_apply(make_mesh())
+        sharded = DenseExtractor(
+            small_extractor.config, params=small_extractor.params,
+            mesh=make_mesh(), backbone_cfg=small_extractor.backbone_cfg)
         assert sharded.config.slice_batch % 8 == 0
 
         feats, masks, meta = sharded.extract_volume(vol, mask, "ct")
@@ -301,16 +282,9 @@ class TestShardedExtraction:
         csv = tmp_path / "iso.csv"
         synthetic.write_isotropic_hdf5(cohort, h5, csv)
 
-        import copy
-
-        sharded = DenseExtractor.__new__(DenseExtractor)
-        sharded.config = copy.deepcopy(small_extractor.config)
-        sharded.policy = small_extractor.policy
-        sharded.backbone_cfg = small_extractor.backbone_cfg
-        sharded.model = small_extractor.model
-        sharded.image_size = small_extractor.image_size
-        sharded.params = small_extractor.params
-        sharded._setup_apply(make_mesh())
+        sharded = DenseExtractor(
+            small_extractor.config, params=small_extractor.params,
+            mesh=make_mesh(), backbone_cfg=small_extractor.backbone_cfg)
 
         single_dir = tmp_path / "single"
         mesh_dir = tmp_path / "mesh"
@@ -445,8 +419,7 @@ class TestPipelineExtraction:
         import dataclasses
 
         from vit_deep_radiomics_tpu.core.mesh import make_mesh
-        from vit_deep_radiomics_tpu.core.precision import get_policy
-        from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+        from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B
 
         # depth 4, globals (1, 3): the [w, g] stage pattern repeats at
         # 2 stages (the module-scope fixture's depth 2 cannot split)
@@ -459,31 +432,17 @@ class TestPipelineExtraction:
             precision="parity", use_flash=False, volume_bucket=32,
             flips=(None,), angles=(0, 90), pipeline=True,
         )
-        ex = DenseExtractor.__new__(DenseExtractor)
-        ex.config = cfg
-        ex.policy = get_policy(cfg.precision)
-        ex.backbone_cfg = small
-        ex.model = ViTDense(small, policy=ex.policy, use_flash=False)
-        ex.image_size = 64
-        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        ex.params = jax.jit(ex.model.init)(jax.random.PRNGKey(0), dummy)
         mesh = make_mesh(devices[:8], model_parallel=2)
-        ex._setup_apply(mesh)
+        ex = DenseExtractor(cfg, mesh=mesh, backbone_cfg=small)
         assert ex.config.slice_batch == 8  # rounded to stages x data
 
         rng = np.random.default_rng(2)
         vol, mask, _ = synthetic.synthetic_volume(rng, 64, 64, 3)
         feats, masks, meta = ex.extract_volume(vol, mask, "ct")
 
-        base = DenseExtractor.__new__(DenseExtractor)
-        base.config = dataclasses.replace(cfg, pipeline=False,
-                                          slice_batch=4)
-        base.policy = ex.policy
-        base.backbone_cfg = small
-        base.model = ex.model
-        base.image_size = 64
-        base.params = ex.params
-        base._setup_apply(None)
+        base = DenseExtractor(
+            dataclasses.replace(cfg, pipeline=False, slice_batch=4),
+            params=ex.params, backbone_cfg=small)
         bfeats, bmasks, bmeta = base.extract_volume(vol, mask, "ct")
 
         assert meta == bmeta and len(feats) == len(bfeats)

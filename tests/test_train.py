@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from vit_deep_radiomics_tpu.data import feature_store, splits, synthetic
+from vit_deep_radiomics_tpu.data import feature_store, splits
 from vit_deep_radiomics_tpu.data.datasets import (
     PETCTDataset,
     batch_items,

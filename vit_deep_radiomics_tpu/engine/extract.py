@@ -112,6 +112,7 @@ class DenseExtractor:
         params=None,
         rng_seed: int = 0,
         mesh=None,
+        backbone_cfg=None,
     ):
         """With ``mesh`` given, the ViT forward runs under ``shard_map``
         with the slice batch split over the ``data`` axis and params
@@ -131,7 +132,13 @@ class DenseExtractor:
             else ExtractionConfig()
         )
         self.policy: Policy = get_policy(self.config.precision)
-        self.backbone_cfg, patch_only = _backbone_for(self.config)
+        if backbone_cfg is not None:
+            # explicit (e.g. down-scaled) ViT config in place of the
+            # model_name lookup — benches and tests build tiny extractors
+            # this way; image_size comes from the backbone, not the config
+            self.backbone_cfg, patch_only = backbone_cfg, False
+        else:
+            self.backbone_cfg, patch_only = _backbone_for(self.config)
         self.model = ViTDense(
             self.backbone_cfg,
             policy=self.policy,

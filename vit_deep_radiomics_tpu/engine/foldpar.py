@@ -34,7 +34,6 @@ replaces the data axis as the batch-level parallelism).
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 from typing import Sequence
 
@@ -49,6 +48,7 @@ from ..analysis import reports
 from ..data.datasets import PETCTDataset, batch_items
 from ..engine import checkpoint as ckpt
 from .train import (
+    FoldBookkeeping,
     FoldTrainer,
     TrainerConfig,
     _bucket_sorted,
@@ -309,14 +309,18 @@ class ParallelFoldTrainer(FoldTrainer):
                     self.params, grad_accum, stacked, rngs[s], scale)
                 # per-fold cadence: fire on the fold's accum boundary or
                 # its trailing remainder (train_models.py:685); exhausted
-                # or stopped folds never fire
-                do_apply = jnp.asarray([
+                # or stopped folds never fire.  The mask is pure host
+                # data, so steps where NO fold is at a boundary skip the
+                # optimizer dispatch entirely (the sequential trainer
+                # only calls apply on boundaries too)
+                do_apply = [
                     s < len(b) and ((s + 1) % a == 0 or s + 1 == len(b))
                     for b, a in zip(fold_batches, accum)
-                ])
-                self.params, self.opt_state, grad_accum = vapply(
-                    self.params, self.opt_state, grad_accum, lr_dev,
-                    do_apply)
+                ]
+                if any(do_apply):
+                    self.params, self.opt_state, grad_accum = vapply(
+                        self.params, self.opt_state, grad_accum, lr_dev,
+                        jnp.asarray(do_apply))
             else:
                 vstep = self._get_vstep(skey, False)
                 loss, logits = vstep(self.params, stacked)
@@ -325,11 +329,14 @@ class ParallelFoldTrainer(FoldTrainer):
 
         results = []
         if n_steps:
-            # two device pulls for the whole epoch, same as sequential
+            # two device pulls for the whole epoch, same as sequential —
+            # every step's logits share the (F, bsz, C) shape (the batch
+            # axis is padded to bsz by stack_fold_batches), so one stack
+            # covers the epoch
             loss_mat = np.asarray(jnp.stack(losses, axis=0))   # (S, F)
-            logit_mats = [
-                np.asarray(l.astype(jnp.float32)) for l in step_logits
-            ]                                                   # (F,bsz,C)
+            logit_mats = np.asarray(
+                jnp.stack(step_logits, axis=0).astype(jnp.float32)
+            )                                                   # (S,F,bsz,C)
         for f, batches in enumerate(fold_batches):
             if not batches:
                 results.append((
@@ -424,23 +431,37 @@ def train_kfold_parallel(
                                      seed=tcfg.seed + 1, **ds_kwargs))
         d = base / f"kfold_{kfold}"
         d.mkdir(parents=True, exist_ok=True)
+        # fold-parallel never resumes: stale per-epoch artifacts from a
+        # previous (possibly longer) run in the same directory would mix
+        # with this run's — latest_epoch/best-epoch consumers (evaluate,
+        # convert, umap, aggregation) would pick checkpoints or report
+        # JSONs belonging to the abandoned run — so clear them up front
+        for stale in (*d.glob("model_epoch_*.msgpack"),
+                      *d.glob("train_metrics_*.json"),
+                      *d.glob("test_metrics_*.json")):
+            stale.unlink()
         save_dirs.append(d)
 
     trainer.init_stacked(next(batch_items([test_dss[0][0]], 1)))
 
-    # per-fold bookkeeping, exactly the sequential train_fold's
+    # per-fold bookkeeping: the SAME FoldBookkeeping the sequential
+    # train_fold runs (one source of truth for the target metric,
+    # checkpoint gate and patience rule)
     history = [
         {k: [] for k in (
             "epoch", "train_loss", "test_loss", "train_auc", "test_auc",
             "train_f1", "test_f1", "target_metric")}
         for _ in fold_keys
     ]
+    books = [
+        FoldBookkeeping(history[f], trainer.patience, save_dirs[f],
+                        kfold, tcfg.dataset, log=log)
+        for f, kfold in enumerate(fold_keys)
+    ]
     # one rng per fold, all seeded like the sequential path (every fold
     # sees the same stream there too — train_fold builds it from tcfg.seed)
     sampler_rngs = [np.random.default_rng(tcfg.seed + 17)
                     for _ in fold_keys]
-    best_target = [-np.inf] * len(fold_keys)
-    since_improve = [0] * len(fold_keys)
     stopped = [False] * len(fold_keys)
 
     for epoch in range(trainer.num_epochs):
@@ -476,39 +497,9 @@ def train_kfold_parallel(
             te_rep = reports.device_epoch_report(
                 te_y, te_s, _patient_weights(te_pids), kfold=kfold,
                 loss=te_loss, epoch=epoch, split="test")
-            reports.save_report_json(tr_rep, save_dirs[f], "train", epoch)
-            reports.save_report_json(te_rep, save_dirs[f], "test", epoch)
-            log(reports.format_report(te_rep))
-
-            target = te_rep["ROC AUC"] ** 2 * math.sqrt(
-                te_rep["macro avg"]["f1-score"])
-            h = history[f]
-            h["epoch"].append(epoch)
-            h["train_loss"].append(tr_loss)
-            h["test_loss"].append(te_loss)
-            h["train_auc"].append(tr_rep["ROC AUC"])
-            h["test_auc"].append(te_rep["ROC AUC"])
-            h["train_f1"].append(tr_rep["macro avg"]["f1-score"])
-            h["test_f1"].append(te_rep["macro avg"]["f1-score"])
-            h["target_metric"].append(target)
-            reports.write_metrics_html(
-                pd.DataFrame(h), save_dirs[f] / "losses.html",
-                title=f"{tcfg.dataset} fold {kfold}")
-
-            if (not np.isfinite(target)
-                    or target >= np.nanmean(h["target_metric"])):
-                params_f, opt_f = trainer.fold_state(f)
-                ckpt.save_checkpoint_async(
-                    {"params": params_f, "opt_state": opt_f,
-                     "epoch": epoch, "history": h},
-                    save_dirs[f], epoch)
-            if target > best_target[f]:
-                best_target[f] = target
-                since_improve[f] = 0
-            else:
-                since_improve[f] += 1
-            if since_improve[f] >= trainer.patience:
-                log(f"early stopping fold {kfold} at epoch {epoch}")
-                stopped[f] = True
+            stopped[f] = books[f].record_epoch(
+                epoch, tr_loss, te_loss, tr_rep, te_rep,
+                lambda f=f: dict(zip(("params", "opt_state"),
+                                     trainer.fold_state(f))))
     ckpt.wait_pending()
     return {k: pd.DataFrame(history[f]) for f, k in enumerate(fold_keys)}

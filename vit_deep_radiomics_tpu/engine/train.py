@@ -500,6 +500,81 @@ def _early_stop_state(targets) -> tuple[float, int]:
     return float(targets[best_idx]), int(targets.size) - 1 - best_idx
 
 
+class FoldBookkeeping:
+    """Per-epoch metric history, artifact writes, checkpoint gating and
+    early stopping for ONE fold — the single source of truth shared by
+    the sequential trainer (:func:`train_fold`) and the fold-parallel
+    lockstep trainer (engine/foldpar.py), so the contract of
+    /root/reference/src/train_models.py:776-810 (target metric
+    AUC²·√F1, checkpoint if target ≥ running mean, strict-improvement
+    patience) cannot desynchronize between the two paths."""
+
+    def __init__(self, history: dict, patience: int, save_dir, kfold,
+                 dataset: str, writes: bool = True, log=print):
+        self.history = history
+        self.patience = patience
+        self.save_dir = Path(save_dir)
+        self.kfold = kfold
+        self.dataset = dataset
+        self.writes = writes
+        self.log = log
+        # replayed from any restored history so mid-fold resume keeps
+        # the patience countdown (fresh history → (-inf, 0))
+        self.best_target, self.since_improve = _early_stop_state(
+            history["target_metric"])
+
+    def record_epoch(self, epoch: int, tr_loss, te_loss, tr_rep, te_rep,
+                     checkpoint_state) -> bool:
+        """Append one epoch's metrics; write the report JSONs and
+        losses.html, gate an async checkpoint (``checkpoint_state()`` is
+        called lazily — only when the gate opens — and supplies the
+        ``{"params": ..., "opt_state": ...}`` payload), and return True
+        when patience is exhausted (the caller stops this fold)."""
+        if self.writes:
+            reports.save_report_json(tr_rep, self.save_dir, "train", epoch)
+            reports.save_report_json(te_rep, self.save_dir, "test", epoch)
+        self.log(reports.format_report(te_rep))
+
+        target = te_rep["ROC AUC"] ** 2 * math.sqrt(
+            te_rep["macro avg"]["f1-score"])
+        h = self.history
+        h["epoch"].append(epoch)
+        h["train_loss"].append(tr_loss)
+        h["test_loss"].append(te_loss)
+        h["train_auc"].append(tr_rep["ROC AUC"])
+        h["test_auc"].append(te_rep["ROC AUC"])
+        h["train_f1"].append(tr_rep["macro avg"]["f1-score"])
+        h["test_f1"].append(te_rep["macro avg"]["f1-score"])
+        h["target_metric"].append(target)
+
+        if self.writes:
+            reports.write_metrics_html(
+                pd.DataFrame(h), self.save_dir / "losses.html",
+                title=f"{self.dataset} fold {self.kfold}",
+            )
+            # checkpoint gate: target ≥ running mean
+            # (train_models.py:805); NaN targets (degenerate
+            # single-class splits) checkpoint anyway so resume works.
+            # async: msgpack encode + file write happen on the writer
+            # thread while the next epoch trains; the trainer's
+            # wait_pending() fences before the fold returns
+            if (not np.isfinite(target)
+                    or target >= np.nanmean(h["target_metric"])):
+                ckpt.save_checkpoint_async(
+                    {**checkpoint_state(), "epoch": epoch, "history": h},
+                    self.save_dir, epoch,
+                )
+        if target > self.best_target:
+            self.best_target = target
+            self.since_improve = 0
+        else:
+            self.since_improve += 1
+        if self.since_improve >= self.patience:
+            self.log(f"early stopping fold {self.kfold} at epoch {epoch}")
+            return True
+        return False
+
+
 def train_fold(
     df_train: pd.DataFrame,
     df_test: pd.DataFrame,
@@ -560,11 +635,9 @@ def train_fold(
 
     sampler_rng = np.random.default_rng(tcfg.seed + 17)
 
-    # mid-fold resume: rebuild the early-stopping state from the restored
-    # history — otherwise every resume resets the patience counter and a
-    # crash/resume cycle can extend a fold far past its stop point
-    best_target, epochs_since_improvement = _early_stop_state(
-        history["target_metric"])
+    book = FoldBookkeeping(history, trainer.patience, save_dir, kfold,
+                           tcfg.dataset, writes=_writes_here(trainer),
+                           log=log)
 
     for epoch in range(start_epoch, trainer.num_epochs):
         train_items = _bucket_sorted(
@@ -599,55 +672,11 @@ def train_fold(
         te_rep = reports.device_epoch_report(
             te_y, te_s, w_te, kfold=kfold, loss=te_loss, epoch=epoch,
             split="test")
-        if _writes_here(trainer):
-            reports.save_report_json(tr_rep, save_dir, "train", epoch)
-            reports.save_report_json(te_rep, save_dir, "test", epoch)
-        log(reports.format_report(te_rep))
-
-        target = te_rep["ROC AUC"] ** 2 * math.sqrt(
-            te_rep["macro avg"]["f1-score"])
-        history["epoch"].append(epoch)
-        history["train_loss"].append(tr_loss)
-        history["test_loss"].append(te_loss)
-        history["train_auc"].append(tr_rep["ROC AUC"])
-        history["test_auc"].append(te_rep["ROC AUC"])
-        history["train_f1"].append(tr_rep["macro avg"]["f1-score"])
-        history["test_f1"].append(te_rep["macro avg"]["f1-score"])
-        history["target_metric"].append(target)
-
-        df_hist = pd.DataFrame(history)
-        if _writes_here(trainer):
-            reports.write_metrics_html(
-                df_hist, save_dir / "losses.html",
-                title=f"{tcfg.dataset} fold {kfold}",
-            )
-
-        # checkpoint gate: target ≥ running mean (train_models.py:805);
-        # NaN targets (degenerate single-class splits) checkpoint anyway
-        # so resume still works
-        if _writes_here(trainer) and (
-            not np.isfinite(target)
-            or target >= np.nanmean(history["target_metric"])
+        if book.record_epoch(
+            epoch, tr_loss, te_loss, tr_rep, te_rep,
+            lambda: {"params": trainer.params,
+                     "opt_state": trainer.opt_state},
         ):
-            # async: msgpack encode + file write happen on the writer
-            # thread while the next epoch trains; wait_pending() below
-            # fences before the fold returns
-            ckpt.save_checkpoint_async(
-                {
-                    "params": trainer.params,
-                    "opt_state": trainer.opt_state,
-                    "epoch": epoch,
-                    "history": history,
-                },
-                save_dir, epoch,
-            )
-        if target > best_target:
-            best_target = target
-            epochs_since_improvement = 0
-        else:
-            epochs_since_improvement += 1
-        if epochs_since_improvement >= trainer.patience:
-            log(f"early stopping at epoch {epoch}")
             break
     ckpt.wait_pending()
     return pd.DataFrame(history)
