@@ -538,6 +538,8 @@ def main(argv=None):
         }))
         return
     _wait_for_backend()
+    from vit_deep_radiomics_tpu.utils.profiling import memory_summary_gib
+
     value = measure_tpu()
     baseline = get_baseline()
     flops = sam_vitb_flops_per_image()
@@ -550,15 +552,8 @@ def main(argv=None):
         "achieved_tflops": round(value * flops / 1e12, 2),
         "mfu_vs_v5e_bf16_peak": round(
             value * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
-        **_hbm_stats(),
+        **memory_summary_gib(),
     }))
-
-
-def _hbm_stats() -> dict:
-    """Peak/in-use HBM of device 0, when the runtime exposes it."""
-    from vit_deep_radiomics_tpu.utils.profiling import memory_summary_gib
-
-    return memory_summary_gib()
 
 
 if __name__ == "__main__":

@@ -447,6 +447,16 @@ def test_serve_cli_info_and_run(tmp_path, capsys):
     got = np.load(tmp_path / "feats.npy")
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    # --labels on a dense artifact is a user error, not a silent no-op
+    np.save(tmp_path / "lbl.npy", np.zeros(5, np.float32))
+    with pytest.raises(SystemExit, match="classifier artifacts"):
+        cli_serve.main([
+            "run", artifact,
+            "--input", str(tmp_path / "imgs.npy"),
+            "--output", str(tmp_path / "feats2.npy"),
+            "--labels", str(tmp_path / "lbl.npy"),
+        ])
+
 
 def test_serve_classifier_cli(tmp_path, capsys, monkeypatch):
     """export-clf + classifier-aware run: a fold checkpoint serializes
@@ -535,6 +545,40 @@ def test_serve_classifier_cli(tmp_path, capsys, monkeypatch):
     score = (score / score.sum(-1, keepdims=True))[:, 1]
     assert ev["auc"] == pytest.approx(
         float(roc_auc_score(labels, score)), abs=1e-6)
+
+    # non-binary logits heads refuse --labels instead of mis-scoring
+    m3 = build_classifier(cfg, "transformer", "ct", num_classes=3,
+                          policy=get_policy("parity"))
+    vars3 = m3.init(jax.random.PRNGKey(0), toks0)
+    ckpt3 = tmp_path / "model3_epoch_0000.msgpack"
+    ckpt3.write_bytes(serialization.msgpack_serialize(
+        jax.tree.map(np.asarray, {"params": dict(vars3)})))
+    art3 = tmp_path / "clf3.vdr"
+    rc = cli_serve.main([
+        "export-clf", str(ckpt3), "-a", "transformer", "-m", "ct",
+        "-o", str(art3), "--batch", "2", "--max-tokens", "8",
+        "--precision", "parity", "--num-classes", "3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="binary heads only"):
+        cli_serve.main([
+            "run", str(art3),
+            "--input", str(tmp_path / "in.npz"),
+            "--output", str(tmp_path / "out3c.npz"),
+            "--labels", str(tmp_path / "labels.npy"),
+        ])
+
+    # one-hot / 2-D label arrays are rejected with a pointer to argmax
+    np.save(tmp_path / "labels_2d.npy", np.eye(2, dtype=np.float32)[
+        labels.astype(int)])
+    with pytest.raises(SystemExit, match="flat"):
+        cli_serve.main([
+            "run", str(artifact),
+            "--input", str(tmp_path / "in.npz"),
+            "--output", str(tmp_path / "out2d.npz"),
+            "--labels", str(tmp_path / "labels_2d.npy"),
+        ])
 
     # label count must match the input count
     np.save(tmp_path / "labels_short.npy", labels[:3])

@@ -375,6 +375,27 @@ class TestTrainKfold:
                     / "ct" / "kfold_0")
         assert (fold_dir / "losses.html").exists()
 
+        # evaluate the whole-volume checkpoint standalone: the eval path
+        # must extend the token buckets too (a 4096-capped bucket would
+        # silently truncate the unchunked volume it trained on)
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+        from vit_deep_radiomics_tpu.engine.evaluate import (
+            evaluate_checkpoint,
+        )
+
+        epoch = ckpt.best_epochs(fold_dir)[-1]
+        test_patients = extracted["folds"]["ct"]["stanford"][0]["test"]
+        df_test = extracted["df"][
+            extracted["df"]["patient_id"].isin(test_patients)]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)  # no truncation
+            report = evaluate_checkpoint(
+                df_test, cfg, tcfg,
+                extracted["hdf5_ct"], extracted["hdf5_pet"],
+                fold_dir, epoch,
+            )
+        assert report["split"] == "test" and "ROC AUC" in report
+
     def test_conv_arch_smoke(self, extracted):
         cfg = _small_cfg(extracted["folds"])
         tcfg = TrainerConfig(

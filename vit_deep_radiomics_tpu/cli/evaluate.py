@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="parity",
                    help="eval is deterministic; parity (fp32) by default")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--whole-volume", action="store_true",
+                   help="evaluate on unchunked whole-volume token sets "
+                        "(required for checkpoints trained with "
+                        "train --whole-volume; windows must match "
+                        "training)")
     p.add_argument("--out", default=None,
                    help="also write the report JSON here")
     return p
@@ -99,7 +104,7 @@ def main(argv=None) -> int:
         arch=args.arch, modality=args.modality, loss=args.loss,
         dataset=args.dataset, backbone=args.backbone,
         experiment=args.experiment, batch_size=max(1, batch_size),
-        precision=args.precision,
+        precision=args.precision, whole_volume=args.whole_volume,
     )
     report = evaluate_checkpoint(
         df_split, cfg, tcfg,

@@ -152,10 +152,9 @@ def _export_clf(args) -> int:
     with open(args.checkpoint, "rb") as fh:
         state = serialization.msgpack_restore(fh.read())
     variables = state["params"] if "params" in state else state
-    batch = args.batch
     path = export_classifier(
         variables, load_conf(), args.arch, args.modality, args.out,
-        batch=batch, max_tokens=args.max_tokens,
+        batch=args.batch, max_tokens=args.max_tokens,
         conv_shape=tuple(args.conv_shape), policy=args.precision,
         num_classes=args.num_classes,
         platforms=tuple(args.platforms) if args.platforms else None,
@@ -313,7 +312,9 @@ def _run_classifier(args, model) -> int:
     named = {name: np.concatenate(acc)[:n]
              for name, acc in zip(model.meta["out_names"], outs)}
     np.savez(args.output, **named)
-    extra = _device_mem()
+    from ..utils.profiling import memory_summary_gib
+
+    extra = memory_summary_gib()
     if getattr(args, "labels", None):
         extra["eval"] = _eval_logits(named, np.load(args.labels), n)
     print(json.dumps({
@@ -335,14 +336,23 @@ def _eval_logits(named: dict, labels, n: int) -> dict:
 
     from ..ops.metrics import binary_report_metrics, roc_auc
 
-    labels = np.asarray(labels).reshape(-1)[:n].astype(np.float32)
+    labels = np.asarray(labels)
+    if labels.ndim != 1:
+        raise SystemExit(
+            "--labels must be a flat (N,) array of 0/1 labels; got "
+            f"shape {list(labels.shape)} (one-hot arrays: argmax first)")
     if labels.shape[0] != n:
         raise SystemExit(
             f"--labels has {labels.shape[0]} entries for {n} inputs")
+    labels = labels.astype(np.float32)
     out = {}
     for name, lg in named.items():
         if not name.startswith("logits") or lg.ndim != 2:
             continue
+        if lg.shape[1] != 2:
+            raise SystemExit(
+                "--labels evaluation supports binary heads only; output "
+                f"'{name}' has {lg.shape[1]} classes")
         lg = lg - lg.max(axis=-1, keepdims=True)
         e = np.exp(lg)
         score = (e / e.sum(axis=-1, keepdims=True))[:, 1]
@@ -354,14 +364,6 @@ def _eval_logits(named: dict, labels, n: int) -> dict:
             "macro_f1": float(rep["macro_f1"]),
         }
     return out
-
-
-def _device_mem() -> dict:
-    """Serving telemetry: peak device memory, when the runtime exposes
-    it (TPU does; CPU returns nothing)."""
-    from ..utils.profiling import memory_summary_gib
-
-    return memory_summary_gib()
 
 
 def _latency_stats(lat: list) -> dict:
@@ -389,6 +391,10 @@ def _run(args) -> int:
     model = load_exported(args.artifact)
     if model.meta.get("kind") == "classifier":
         return _run_classifier(args, model)
+    if getattr(args, "labels", None):
+        raise SystemExit(
+            "--labels applies to classifier artifacts; this artifact "
+            "serves dense feature maps (no logits to evaluate)")
     batch = int(model.meta["batch"])
     size = int(model.meta["image_size"])
     images = _load_images(args.input, args.key)

@@ -50,7 +50,14 @@ def evaluate_checkpoint(
         arch=tcfg.arch, num_classes=tcfg.num_classes,
     )
     items = [ds[i] for i in range(len(ds))]
-    batches = list(batch_items(items, tcfg.batch_size))
+    bkw = {}
+    if tcfg.whole_volume:
+        # unchunked token sets may exceed the default 4096 bucket cap;
+        # extend instead of silently truncating (same as train_fold)
+        from ..data.datasets import token_buckets_for
+
+        bkw["buckets"] = token_buckets_for(items)
+    batches = list(batch_items(items, tcfg.batch_size, **bkw))
     if not batches:
         raise ValueError(
             f"no evaluable windows for modality '{tcfg.modality}' — the "
