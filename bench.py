@@ -142,17 +142,18 @@ def _wait_for_backend() -> None:
             time.sleep(60)
 
 
-def measure_tpu() -> float:
+def measure_tpu(policy_name: str = "fast") -> float:
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    from vit_deep_radiomics_tpu.core.precision import FAST
+    from vit_deep_radiomics_tpu.core.precision import get_policy
     from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
 
     use_flash = jax.default_backend() == "tpu"
-    model = ViTDense(SAM_VIT_B, policy=FAST, use_flash=use_flash)
+    model = ViTDense(SAM_VIT_B, policy=get_policy(policy_name),
+                     use_flash=use_flash)
     images = jnp.asarray(
         np.random.default_rng(0)
         .uniform(size=(BATCH, 1024, 1024, 3))
@@ -527,6 +528,25 @@ def main(argv=None):
         raise SystemExit(subprocess.call([
             sys.executable, str(REPO / "tools" / "auc_parity.py"),
         ] + argv[1:]))
+    if argv and argv[0] == "int8":
+        # A/B the dynamic-int8 inference policy (ops/quant.py) against
+        # the bf16 fast path on the same chip — the MXU's s8 rate is 2×
+        # bf16 on v5e, so the projection/MLP share of the backbone is
+        # the upside; the attention kernels stay bf16 either way.
+        _wait_for_backend()
+        fast = measure_tpu("fast")
+        q = measure_tpu("int8")
+        flops = sam_vitb_flops_per_image()
+        print(json.dumps({
+            "metric": "sam_vitb16_dense_int8_throughput",
+            "value": round(q, 3),
+            "unit": "img/s/chip",
+            "vs_baseline": round(q / fast, 3),  # vs same-chip bf16
+            "bf16_img_per_s": round(fast, 3),
+            "speedup_vs_bf16": round(q / fast, 3),
+            "model_tflops_per_img": round(flops / 1e12, 4),
+        }))
+        return
     if argv and argv[0] == "vitl14":
         _wait_for_backend()
         value = measure_vitl14_dense()

@@ -45,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--datasets", nargs="*",
                    default=["santa_maria", "stanford"])
     p.add_argument("--precision", default="fast",
-                   choices=["fast", "parity", "bf16", "fp32"])
+                   choices=["fast", "parity", "bf16", "fp32",
+                            "inference", "int8"])
     p.add_argument("--slice-batch", type=int, default=4)
     p.add_argument("--image-size", type=int, default=None)
     p.add_argument("--no-flash", action="store_true")

@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="static serving batch size (one artifact per "
                          "batch size)")
     ex.add_argument("--precision", default="fast",
-                    choices=["fast", "parity", "bf16", "fp32"])
+                    choices=["fast", "parity", "bf16", "fp32",
+                             "inference", "int8"])
     ex.add_argument("--image-size", type=int, default=None)
     ex.add_argument("--no-flash", action="store_true")
     ex.add_argument("--platforms", nargs="+", default=None,
@@ -88,7 +89,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="lower for multiple targets in one artifact "
                           "(e.g. --platforms cpu tpu)")
     exc.add_argument("--precision", default="fast",
-                     choices=["fast", "parity", "bf16", "fp32"])
+                     choices=["fast", "parity", "bf16", "fp32",
+                             "inference", "int8"])
 
     info = sub.add_parser("info", help="print a .vdr artifact's header")
     info.add_argument("artifact")

@@ -30,6 +30,10 @@ class Policy:
     param_dtype: jnp.dtype
     compute_dtype: jnp.dtype
     output_dtype: jnp.dtype
+    # dynamic int8 projections/MLP in the frozen backbone (ops/quant.py):
+    # the MXU runs s8×s8→s32 at 2× the bf16 rate on v5e.  Inference-only —
+    # the trainable paths ignore it (round() has no useful gradient).
+    quantized: bool = False
 
     def cast_input(self, x):
         return jnp.asarray(x, self.compute_dtype)
@@ -62,9 +66,20 @@ INFERENCE = Policy(
     output_dtype=jnp.float32,
 )
 
+# Opt-in dynamic-int8 backbone inference: bf16 everywhere the INFERENCE
+# policy is bf16, but the per-block projection/MLP matmuls run s8×s8→s32
+# on the MXU with dynamic per-token activation scales (ops/quant.py).
+INT8 = Policy(
+    name="int8",
+    param_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16,
+    output_dtype=jnp.float32,
+    quantized=True,
+)
+
 _POLICIES = {
     "parity": PARITY, "fast": FAST, "inference": INFERENCE,
-    "fp32": PARITY, "bf16": FAST,
+    "fp32": PARITY, "bf16": FAST, "int8": INT8,
 }
 
 

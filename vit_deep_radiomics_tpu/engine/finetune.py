@@ -127,6 +127,10 @@ class FineTuner:
         enable_persistent_compile_cache()
         self.config = config
         self.policy = get_policy(config.precision)
+        if self.policy.quantized:
+            raise ValueError(
+                "int8 is an inference-only policy (round() kills the "
+                "gradients); fine-tune with 'fast' or 'parity'")
         self.backbone_cfg = config.resolve_backbone()
         self.model = FineTuneModel(
             self.backbone_cfg, config.num_classes, self.policy,

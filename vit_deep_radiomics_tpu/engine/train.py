@@ -139,6 +139,10 @@ class FoldTrainer:
 
         self._multiproc = mesh_spans_processes(mesh)
         self.policy: Policy = get_policy(tcfg.precision)
+        if self.policy.quantized:
+            raise ValueError(
+                "int8 is an inference-only policy (round() kills the "
+                "gradients); train with 'fast' or 'parity'")
         seq_mesh = None
         if (
             tcfg.whole_volume and mesh is not None

@@ -49,6 +49,7 @@ from ..ops.attention import (
     flash_attention_fused_qkv,
 )
 from ..ops.mlp_fused import fused_ln_mlp_residual
+from ..ops.quant import int8_dot
 
 __all__ = ["ViTDenseConfig", "ViTDense", "SAM_VIT_B", "DINOV2_CONFIGS"]
 
@@ -259,6 +260,10 @@ class WindowedAttention(nn.Module):
         )
 
         tokens = x.reshape(b, h * w, c).astype(dtype)
+        # dynamic-int8 projections (ops/quant.py) on the frozen inference
+        # path only: round() has no useful gradient, so trainable blocks
+        # keep the policy's float matmuls
+        quant = self.policy.quantized and not self.trainable
         use_fused = (
             self.use_flash and not self.trainable
             and self._fused_variant(h, w) is not None
@@ -268,21 +273,31 @@ class WindowedAttention(nn.Module):
             # FLOPs) so the bias einsum reads the q section with uniform
             # strides — a packed (b, hw, 3c) output forces XLA to
             # materialise a 25 MB slice copy of the q section per layer
-            q_arr = jnp.dot(
-                tokens, qkv_kernel[:, : c].astype(dtype),
-                preferred_element_type=jnp.float32,
-            ) + qkv_bias[: c].astype(jnp.float32)
-            kv_arr = jnp.dot(
-                tokens, qkv_kernel[:, c:].astype(dtype),
-                preferred_element_type=jnp.float32,
-            ) + qkv_bias[c:].astype(jnp.float32)
+            if quant:
+                q_arr = int8_dot(tokens, qkv_kernel[:, : c]) \
+                    + qkv_bias[: c].astype(jnp.float32)
+                kv_arr = int8_dot(tokens, qkv_kernel[:, c:]) \
+                    + qkv_bias[c:].astype(jnp.float32)
+            else:
+                q_arr = jnp.dot(
+                    tokens, qkv_kernel[:, : c].astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ) + qkv_bias[: c].astype(jnp.float32)
+                kv_arr = jnp.dot(
+                    tokens, qkv_kernel[:, c:].astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ) + qkv_bias[c:].astype(jnp.float32)
             qkv = (q_arr.astype(dtype), kv_arr.astype(dtype))
         else:
-            qkv = jnp.dot(
-                tokens,
-                qkv_kernel.astype(dtype),
-                preferred_element_type=jnp.float32,
-            ) + qkv_bias.astype(jnp.float32)
+            if quant:
+                qkv = int8_dot(tokens, qkv_kernel) \
+                    + qkv_bias.astype(jnp.float32)
+            else:
+                qkv = jnp.dot(
+                    tokens,
+                    qkv_kernel.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ) + qkv_bias.astype(jnp.float32)
             qkv = qkv.astype(dtype)                   # (b, hw, 3c)
 
         if cfg.use_rel_pos:
@@ -307,10 +322,14 @@ class WindowedAttention(nn.Module):
             # straight out of `qkv` via index maps and emits proj-ready
             # (b, hw, c) — no slice/transpose/pad relayouts at all
             out = self._fused_qkv(qkv, h, w, rel_h, rel_w)
-            out = jnp.dot(
-                out.astype(dtype), proj_kernel.astype(dtype),
-                preferred_element_type=jnp.float32,
-            ) + proj_bias.astype(jnp.float32)
+            if quant:
+                out = int8_dot(out, proj_kernel) \
+                    + proj_bias.astype(jnp.float32)
+            else:
+                out = jnp.dot(
+                    out.astype(dtype), proj_kernel.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                ) + proj_bias.astype(jnp.float32)
             return out.astype(dtype).reshape(b, h, w, c)
 
         qkv5 = qkv.reshape(b, h * w, 3, nh, hd)
@@ -355,10 +374,13 @@ class WindowedAttention(nn.Module):
             out = attention_reference(q, k, v, bias=dense)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
-        out = jnp.dot(
-            out.astype(dtype), proj_kernel.astype(dtype),
-            preferred_element_type=jnp.float32,
-        ) + proj_bias.astype(jnp.float32)
+        if quant:
+            out = int8_dot(out, proj_kernel) + proj_bias.astype(jnp.float32)
+        else:
+            out = jnp.dot(
+                out.astype(dtype), proj_kernel.astype(dtype),
+                preferred_element_type=jnp.float32,
+            ) + proj_bias.astype(jnp.float32)
         return out.astype(dtype).reshape(b, h, w, c)
 
     def _fused_variant(self, h: int, w: int) -> str | None:
@@ -681,6 +703,13 @@ class Mlp(nn.Module):
             # param-only call: the fused LN→MLP→residual kernel path
             # (ops/mlp_fused.py) consumes the SAME param tree
             return w1, b1, w2, b2
+        if self.policy.quantized:
+            # dynamic-int8 matmuls (ops/quant.py); gelu between them in
+            # fp32 straight off the dequantized accumulator
+            x = int8_dot(x, w1) + b1.astype(jnp.float32)
+            x = jax.nn.gelu(x, approximate=True)
+            x = int8_dot(x, w2) + b2.astype(jnp.float32)
+            return x.astype(dtype)
         x = jnp.dot(x.astype(dtype), w1.astype(dtype),
                     preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
         # exact (erf) gelu in parity mode; tanh approximation on the bf16
@@ -785,6 +814,7 @@ class Block(nn.Module):
         if (
             self.fused_mlp and not self.trainable and self.use_flash
             and self.policy.compute_dtype == jnp.bfloat16
+            and not self.policy.quantized  # int8 path: quantized Mlp
             and os.environ.get("VDR_FUSED_MLP", "1") != "0"
         ):
             sc, bi = norm2(None)

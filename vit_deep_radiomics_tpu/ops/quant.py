@@ -1,0 +1,86 @@
+"""Dynamic int8 matmuls for the frozen-backbone inference path.
+
+The reference runs its frozen ViT encoders in fp32 on CUDA
+(/root/reference/src/tfds_dense_descriptor.py:110-139 — descriptors come
+from `model.image_encoder` / `model.patch_embed` with no quantization).
+On TPU v5e the MXU executes s8×s8→s32 matmuls at twice the bf16 rate, so
+an *opt-in* ``int8`` precision policy quantizes the backbone's five big
+per-block matmuls (q/kv/out projections and the two MLP layers):
+
+* **weights**: symmetric per-output-channel scales, ``round(w / s_w)``
+  with ``s_w = max|w| / 127`` over the contraction axis.  Requantized
+  per call — the cost is O(C·3C) per layer against O(tokens·C·3C) for
+  the matmul itself (tokens ≈ 16k at SAM scale), and keeping it in-graph
+  means checkpoints and converters stay fp32/bf16, path-independent.
+* **activations**: dynamic symmetric per-token (per-row) scales — the
+  standard "dynamic quantization" recipe; no calibration pass, exact
+  zero point, and the row max rides the same VPU pass that casts to int8.
+* **accumulation**: int32 in the MXU (``preferred_element_type``), then
+  one fused rescale ``(s_x · s_w)`` back to the policy dtype.
+
+Attention itself (the Pallas flash kernels), LayerNorms, patch-embed and
+neck convolutions stay in the policy's bf16 — they are either
+bandwidth-bound or numerically central, and the projections/MLP carry
+~2/3 of the backbone's matmul FLOPs.
+
+Everything here is shape-static and jit-safe; no Python branching on
+values.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["quantize_rows", "quantize_weight", "int8_dot"]
+
+# smallest representable row scale: keeps all-zero rows (window padding)
+# finite — 0/eps quantizes to 0, and the rescale multiplies by eps, so
+# padded rows stay exactly 0
+_EPS = 1e-12
+
+
+def quantize_rows(x: jax.Array):
+    """Per-row symmetric int8 quantization of the trailing axis.
+
+    Returns ``(x_q int8, s_x f32)`` with ``s_x`` shaped like *x* minus
+    the trailing dim (keepdims), such that ``x ≈ x_q * s_x``.
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, _EPS)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_weight(w: jax.Array, contract_axis: int = 0):
+    """Per-output-channel symmetric int8 quantization of a 2-D weight.
+
+    ``contract_axis`` is the axis that the matmul reduces over; scales
+    are per channel of the OTHER axis, so the dequant multiplier
+    broadcasts over matmul output columns.
+    """
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True) / 127.0
+    s = jnp.maximum(s, _EPS)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def int8_dot(x: jax.Array, w: jax.Array) -> jax.Array:
+    """``x @ w`` over the trailing/leading axes with dynamic int8 inputs.
+
+    *x* is (..., K) activations (any float dtype), *w* is a (K, N) float
+    weight.  Output is fp32, rescaled through ``s_x · s_w`` — biases are
+    added by the caller in fp32 and cast down, exactly like the bf16
+    matmul path (models/vit.py::WindowedAttention/Mlp).
+    """
+    x_q, s_x = quantize_rows(x)
+    w_q, s_w = quantize_weight(w, contract_axis=0)
+    y = lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * (s_x * s_w)
