@@ -115,6 +115,34 @@ class TestBackbone:
             np.linalg.norm(w, axis=-1) * np.linalg.norm(g, axis=-1))
         assert cos.min() > 0.995, cos.min()
 
+    def test_fused_flash_path_int8(self):
+        """The fused-QKV (split q/kv projection) int8 branch: flash
+        kernels in interpret mode on CPU, int8 projections around them —
+        features must track the fp32 oracle like the unfused branch."""
+        from vit_deep_radiomics_tpu.models.vit import (
+            ViTDense,
+            ViTDenseConfig,
+        )
+
+        cfg = ViTDenseConfig(
+            name="sam_quant_fused_test", image_size=64, patch_size=8,
+            width=128, depth=3, num_heads=2, window_size=4,
+            global_indexes=(1,), use_rel_pos=True, neck_channels=32,
+        )
+        rng = np.random.default_rng(6)
+        images = jnp.asarray(
+            rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+        oracle = ViTDense(cfg, policy=PARITY, use_flash=False)
+        params = oracle.init(jax.random.PRNGKey(0), images)
+        want = np.asarray(oracle.apply(params, images))
+        quant = ViTDense(cfg, policy=get_policy("int8"), use_flash=True)
+        got = np.asarray(quant.apply(params, images))
+        w = want.reshape(-1, want.shape[-1])
+        g = got.reshape(-1, got.shape[-1])
+        cos = np.sum(w * g, -1) / (
+            np.linalg.norm(w, axis=-1) * np.linalg.norm(g, axis=-1))
+        assert cos.min() > 0.995, cos.min()
+
     def test_serving_export_int8_roundtrip(self, tmp_path):
         """The int8 graph lowers through jax.export into a .vdr artifact
         and reproduces the library forward bit-exactly."""
