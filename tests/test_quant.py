@@ -177,6 +177,22 @@ class TestBackbone:
         assert not get_policy("fast").quantized
         assert not get_policy("parity").quantized
 
+    def test_classifier_export_rejects_int8(self, tmp_path):
+        """export-clf must not mislabel a bf16 graph as int8 — the
+        classifiers have no quantized matmuls."""
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+
+        cfg = {"models": {"transformer": {
+            "learning_rate": 5e-4, "feature_dim": 16, "batch_size": 1,
+            "virtual_batch_size": 2, "num_epochs": 1, "patience": 5,
+            "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+        }}}
+        with pytest.raises(ValueError, match="dense backbone only"):
+            export_classifier(
+                {"params": {}}, cfg, "transformer", "ct",
+                tmp_path / "x.vdr", policy="int8")
+
     def test_training_engines_reject_int8(self):
         from vit_deep_radiomics_tpu.engine.finetune import (
             FineTuneConfig,

@@ -144,6 +144,13 @@ def export_classifier(
 
     if "params" not in variables:
         variables = {"params": variables}
+    if get_policy(policy).quantized:
+        # the classifiers do not implement quantized matmuls (they are
+        # tiny and dispatch-bound); exporting would record "int8" while
+        # actually running bf16 — refuse instead of mislabeling
+        raise ValueError(
+            "int8 applies to the dense backbone only; export classifiers "
+            "with 'fast' or 'parity'")
     model = build_classifier(
         cfg, arch, modality, modality_a, modality_b,
         num_classes=num_classes, policy=get_policy(policy),
