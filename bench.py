@@ -541,7 +541,7 @@ def main(argv=None):
             "metric": "sam_vitb16_dense_int8_throughput",
             "value": round(q, 3),
             "unit": "img/s/chip",
-            "vs_baseline": round(q / fast, 3),  # vs same-chip bf16
+            "vs_baseline": 0.0,  # no reference engine for this config
             "bf16_img_per_s": round(fast, 3),
             "speedup_vs_bf16": round(q / fast, 3),
             "model_tflops_per_img": round(flops / 1e12, 4),

@@ -217,3 +217,75 @@ class TestBackbone:
             FoldTrainer(cfg, tcfg, None, "pet", "ct")
         with pytest.raises(ValueError, match="inference-only"):
             FineTuner(FineTuneConfig(precision="int8"))
+
+    def test_evaluate_rejects_int8_with_inference_message(self):
+        """evaluate_checkpoint is an inference entry point: the guard
+        must explain the classifier-has-no-quantized-matmuls reason, not
+        FoldTrainer's training-specific 'round() kills the gradients'."""
+        from vit_deep_radiomics_tpu.engine.evaluate import (
+            evaluate_checkpoint,
+        )
+        from vit_deep_radiomics_tpu.engine.train import TrainerConfig
+
+        tcfg = TrainerConfig(
+            arch="transformer", modality="ct", loss="focal",
+            dataset="stanford", precision="int8",
+        )
+        with pytest.raises(ValueError, match="dense backbone only"):
+            evaluate_checkpoint(None, {}, tcfg, None, None, None, 0)
+
+    def test_dense_export_rejects_int8_patch_embed_only(self, tmp_path):
+        """A patch-embed-only graph has no projection/MLP matmuls —
+        exporting it under the int8 policy would mislabel a float conv
+        graph as quantized."""
+        from vit_deep_radiomics_tpu.engine.serve import export_dense_model
+
+        cfg = self._tiny_cfg()
+        with pytest.raises(ValueError, match="patch-embed-only"):
+            export_dense_model(
+                {"params": {}}, cfg, tmp_path / "pe.vdr",
+                batch=1, policy="int8", use_flash=False,
+                patch_embed_only=True)
+
+    def test_extractor_rejects_int8_patch_embed_mode(self):
+        """`extract --precision int8` with the dinov2 patch_embed mode
+        is the same silent no-op; the extractor rejects it up front."""
+        from vit_deep_radiomics_tpu.engine.extract import (
+            DenseExtractor,
+            ExtractionConfig,
+        )
+
+        cfg = ExtractionConfig(
+            model_name="dinov2_vits14", dinov2_mode="patch_embed",
+            precision="int8", use_flash=False)
+        with pytest.raises(ValueError, match="patch_embed mode"):
+            DenseExtractor(config=cfg)
+
+    def test_trainable_model_int8_policy_keeps_float_matmuls(self):
+        """Constructing ViTDense(trainable=True) directly under the int8
+        policy (bypassing the engine guards) must not quantize ANY
+        matmul — attention *and* MLP fall back to the policy's float
+        path, so the forward is bit-identical to the bf16 fast policy
+        and gradients stay live."""
+        from vit_deep_radiomics_tpu.core.precision import FAST
+        from vit_deep_radiomics_tpu.models.vit import ViTDense
+
+        cfg = self._tiny_cfg()
+        rng = np.random.default_rng(7)
+        images = jnp.asarray(
+            rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        ref = ViTDense(cfg, policy=FAST, use_flash=False, trainable=True)
+        params = ref.init(jax.random.PRNGKey(0), images)
+        want = np.asarray(jax.jit(ref.apply)(params, images))
+        quant = ViTDense(cfg, policy=get_policy("int8"), use_flash=False,
+                         trainable=True)
+        got = np.asarray(jax.jit(quant.apply)(params, images))
+        np.testing.assert_array_equal(got, want)
+
+        def loss(p):
+            return jnp.sum(quant.apply(p, images) ** 2)
+
+        grads = jax.grad(loss)(params)
+        w1g = np.asarray(
+            grads["params"]["block_0"]["mlp"]["w1"], dtype=np.float32)
+        assert np.any(w1g != 0.0), "MLP gradient is dead"

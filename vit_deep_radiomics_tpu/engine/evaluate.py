@@ -37,6 +37,17 @@ def evaluate_checkpoint(
     # windows they trained on
     modality_a = "pet"
     modality_b = "chest" if "chest" in tcfg.modality else "ct"
+    from ..core.precision import get_policy
+
+    if get_policy(tcfg.precision).quantized:
+        # reject before FoldTrainer's guard fires — its "round() kills
+        # the gradients" message is about TRAINING and would mislead an
+        # inference caller; the real reason here is that the downstream
+        # classifiers have no quantized matmuls at all
+        raise ValueError(
+            "int8 applies to the dense backbone only; the classifiers "
+            "have no quantized matmuls — evaluate with 'parity' or "
+            "'fast'")
     trainer = FoldTrainer(cfg, tcfg, None, modality_a, modality_b)
     df = df.copy()
     df["flip"] = df["flip"].astype(str)

@@ -139,6 +139,11 @@ class DenseExtractor:
             self.backbone_cfg, patch_only = backbone_cfg, False
         else:
             self.backbone_cfg, patch_only = _backbone_for(self.config)
+        if self.policy.quantized and patch_only:
+            raise ValueError(
+                "int8 applies to the backbone's projection/MLP matmuls; "
+                "the dinov2 patch_embed mode has none (one conv) — "
+                "extract with 'fast' or 'parity'")
         self.model = ViTDense(
             self.backbone_cfg,
             policy=self.policy,

@@ -58,6 +58,15 @@ def export_dense_model(
     from ..core.precision import get_policy
     from ..models.vit import ViTDense
 
+    if get_policy(policy).quantized and patch_embed_only:
+        # a patch-embed-only graph is one conv — none of the matmuls the
+        # int8 policy quantizes exist, so the artifact would record
+        # "int8" while running pure float (same mislabeling class
+        # export_classifier rejects)
+        raise ValueError(
+            "int8 applies to the backbone's projection/MLP matmuls; a "
+            "patch-embed-only export has none — use 'fast' or 'parity', "
+            "or export the full dense model")
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     model = ViTDense(

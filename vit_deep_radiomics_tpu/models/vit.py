@@ -49,7 +49,26 @@ from ..ops.attention import (
     flash_attention_fused_qkv,
 )
 from ..ops.mlp_fused import fused_ln_mlp_residual
-from ..ops.quant import int8_dot
+from ..ops.quant import int8_dot, int8_dot_prequant, quantize_rows
+
+
+def _policy_dot(x, kernel, bias, *, quant: bool, dtype, x_q=None):
+    """Policy-dispatched ``x @ kernel + bias`` (fp32 accumulator).
+
+    ``quant`` routes through the dynamic-int8 matmuls (ops/quant.py) on
+    the frozen inference path; otherwise a float matmul in the policy's
+    compute dtype.  Bias is added in fp32 on both paths and the caller
+    casts the result down.  ``x_q`` optionally carries a pre-quantized
+    ``(int8, scale)`` pair from :func:`quantize_rows` so one activation
+    quantization can feed several matmuls (the split q/kv projections).
+    """
+    if quant:
+        out = (int8_dot(x, kernel) if x_q is None
+               else int8_dot_prequant(x_q, kernel))
+    else:
+        out = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+                      preferred_element_type=jnp.float32)
+    return out + bias.astype(jnp.float32)
 
 __all__ = ["ViTDenseConfig", "ViTDense", "SAM_VIT_B", "DINOV2_CONFIGS"]
 
@@ -273,31 +292,15 @@ class WindowedAttention(nn.Module):
             # FLOPs) so the bias einsum reads the q section with uniform
             # strides — a packed (b, hw, 3c) output forces XLA to
             # materialise a 25 MB slice copy of the q section per layer
-            if quant:
-                q_arr = int8_dot(tokens, qkv_kernel[:, : c]) \
-                    + qkv_bias[: c].astype(jnp.float32)
-                kv_arr = int8_dot(tokens, qkv_kernel[:, c:]) \
-                    + qkv_bias[c:].astype(jnp.float32)
-            else:
-                q_arr = jnp.dot(
-                    tokens, qkv_kernel[:, : c].astype(dtype),
-                    preferred_element_type=jnp.float32,
-                ) + qkv_bias[: c].astype(jnp.float32)
-                kv_arr = jnp.dot(
-                    tokens, qkv_kernel[:, c:].astype(dtype),
-                    preferred_element_type=jnp.float32,
-                ) + qkv_bias[c:].astype(jnp.float32)
+            tok_q = quantize_rows(tokens) if quant else None
+            q_arr = _policy_dot(tokens, qkv_kernel[:, : c], qkv_bias[: c],
+                                quant=quant, dtype=dtype, x_q=tok_q)
+            kv_arr = _policy_dot(tokens, qkv_kernel[:, c:], qkv_bias[c:],
+                                 quant=quant, dtype=dtype, x_q=tok_q)
             qkv = (q_arr.astype(dtype), kv_arr.astype(dtype))
         else:
-            if quant:
-                qkv = int8_dot(tokens, qkv_kernel) \
-                    + qkv_bias.astype(jnp.float32)
-            else:
-                qkv = jnp.dot(
-                    tokens,
-                    qkv_kernel.astype(dtype),
-                    preferred_element_type=jnp.float32,
-                ) + qkv_bias.astype(jnp.float32)
+            qkv = _policy_dot(tokens, qkv_kernel, qkv_bias,
+                              quant=quant, dtype=dtype)
             qkv = qkv.astype(dtype)                   # (b, hw, 3c)
 
         if cfg.use_rel_pos:
@@ -322,14 +325,8 @@ class WindowedAttention(nn.Module):
             # straight out of `qkv` via index maps and emits proj-ready
             # (b, hw, c) — no slice/transpose/pad relayouts at all
             out = self._fused_qkv(qkv, h, w, rel_h, rel_w)
-            if quant:
-                out = int8_dot(out, proj_kernel) \
-                    + proj_bias.astype(jnp.float32)
-            else:
-                out = jnp.dot(
-                    out.astype(dtype), proj_kernel.astype(dtype),
-                    preferred_element_type=jnp.float32,
-                ) + proj_bias.astype(jnp.float32)
+            out = _policy_dot(out, proj_kernel, proj_bias,
+                              quant=quant, dtype=dtype)
             return out.astype(dtype).reshape(b, h, w, c)
 
         qkv5 = qkv.reshape(b, h * w, 3, nh, hd)
@@ -374,13 +371,8 @@ class WindowedAttention(nn.Module):
             out = attention_reference(q, k, v, bias=dense)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
-        if quant:
-            out = int8_dot(out, proj_kernel) + proj_bias.astype(jnp.float32)
-        else:
-            out = jnp.dot(
-                out.astype(dtype), proj_kernel.astype(dtype),
-                preferred_element_type=jnp.float32,
-            ) + proj_bias.astype(jnp.float32)
+        out = _policy_dot(out, proj_kernel, proj_bias,
+                          quant=quant, dtype=dtype)
         return out.astype(dtype).reshape(b, h, w, c)
 
     def _fused_variant(self, h: int, w: int) -> str | None:
@@ -681,6 +673,7 @@ class WindowedAttention(nn.Module):
 class Mlp(nn.Module):
     cfg: ViTDenseConfig
     policy: Policy
+    trainable: bool = False
 
     @nn.compact
     def __call__(self, x=None):
@@ -703,21 +696,17 @@ class Mlp(nn.Module):
             # param-only call: the fused LN→MLP→residual kernel path
             # (ops/mlp_fused.py) consumes the SAME param tree
             return w1, b1, w2, b2
-        if self.policy.quantized:
-            # dynamic-int8 matmuls (ops/quant.py); gelu between them in
-            # fp32 straight off the dequantized accumulator
-            x = int8_dot(x, w1) + b1.astype(jnp.float32)
-            x = jax.nn.gelu(x, approximate=True)
-            x = int8_dot(x, w2) + b2.astype(jnp.float32)
-            return x.astype(dtype)
-        x = jnp.dot(x.astype(dtype), w1.astype(dtype),
-                    preferred_element_type=jnp.float32) + b1.astype(jnp.float32)
+        # dynamic-int8 matmuls on the frozen inference path only — like
+        # the attention projections, trainable blocks keep float matmuls
+        # (round() has no useful gradient)
+        quant = self.policy.quantized and not self.trainable
+        x = _policy_dot(x, w1, b1, quant=quant, dtype=dtype)
         # exact (erf) gelu in parity mode; tanh approximation on the bf16
-        # fast path — the difference is below bf16 resolution and the erf
-        # rational approximation is a measurable VPU cost at SAM scale
-        x = jax.nn.gelu(x, approximate=dtype == jnp.bfloat16)
-        x = jnp.dot(x.astype(dtype), w2.astype(dtype),
-                    preferred_element_type=jnp.float32) + b2.astype(jnp.float32)
+        # fast path and straight off the dequantized int8 accumulator —
+        # the difference is below bf16 resolution and the erf rational
+        # approximation is a measurable VPU cost at SAM scale
+        x = jax.nn.gelu(x, approximate=quant or dtype == jnp.bfloat16)
+        x = _policy_dot(x, w2, b2, quant=quant, dtype=dtype)
         return x.astype(dtype)
 
 
@@ -798,7 +787,7 @@ class Block(nn.Module):
         shortcut = x
         norm2 = LayerNorm(cfg.ln_eps, self.policy, dim=cfg.width,
                           name="norm2")
-        mlp = Mlp(cfg, self.policy, name="mlp")
+        mlp = Mlp(cfg, self.policy, trainable=self.trainable, name="mlp")
         g2 = None
         if cfg.layerscale_init:
             g2 = self.param(

@@ -33,7 +33,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["quantize_rows", "quantize_weight", "int8_dot"]
+__all__ = [
+    "quantize_rows", "quantize_weight", "int8_dot", "int8_dot_prequant",
+]
 
 # smallest representable row scale: keeps all-zero rows (window padding)
 # finite — 0/eps quantizes to 0, and the rescale multiplies by eps, so
@@ -76,11 +78,21 @@ def int8_dot(x: jax.Array, w: jax.Array) -> jax.Array:
     added by the caller in fp32 and cast down, exactly like the bf16
     matmul path (models/vit.py::WindowedAttention/Mlp).
     """
-    x_q, s_x = quantize_rows(x)
+    return int8_dot_prequant(quantize_rows(x), w)
+
+
+def int8_dot_prequant(x_qs, w: jax.Array) -> jax.Array:
+    """``int8_dot`` with a pre-quantized activation pair.
+
+    *x_qs* is the ``(x_q int8, s_x f32)`` pair from :func:`quantize_rows`
+    — callers that feed one activation into several matmuls (e.g. the
+    split q/kv projections) quantize once and reuse it here.
+    """
+    x_q, s_x = x_qs
     w_q, s_w = quantize_weight(w, contract_axis=0)
     y = lax.dot_general(
         x_q, w_q,
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        dimension_numbers=(((x_q.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     return y.astype(jnp.float32) * (s_x * s_w)
