@@ -137,6 +137,75 @@ class TestFusedQKVGlobal:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
+    def test_nomax_matches_base(self, rng):
+        """The unnormalised-exponential path (running max dropped) is the
+        same softmax up to rounding whenever logits stay far below the
+        exp2 overflow bound — oracle equality on the SAM-global bias
+        config, with multiple kv steps exercising the rescale-free
+        accumulation."""
+        b, heads, d = 2, 4, 64
+        kh = kw = 16
+        s = kh * kw
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        bh = _rand(rng, b, heads, s, kh) * 0.3
+        bw = _rand(rng, b, heads, s, kw) * 0.3
+        pair = 128 // d * 2
+        kw_args = dict(
+            bias_h=_pack_pairs(bh, pair), bias_w=_pack_pairs(bw, pair),
+            num_heads=heads, block_q=128, block_k=128, interpret=INTERPRET,
+        )
+        out = flash_attention_fused_qkv(qkv, nomax=True, **kw_args)
+        base = flash_attention_fused_qkv(qkv, nomax=False, **kw_args)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_nomax_with_kv_len_and_bf16(self, rng):
+        """Padding masks still zero out under nomax (exp2(-inf·log2e)=0),
+        and the bf16 score pipeline stays within flash tolerance."""
+        b, heads, s, d = 2, 8, 256, 16
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        kv_len = jnp.asarray([100, 256], jnp.int32)
+        out = flash_attention_fused_qkv(
+            qkv, kv_len=kv_len, num_heads=heads, block_q=128, block_k=128,
+            nomax=True, interpret=INTERPRET,
+        )
+        q, k, v = _split_heads(qkv, heads)
+        ref = attention_reference(q, k, v, kv_len=kv_len)
+        ref = ref.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        qkv16 = qkv.astype(jnp.bfloat16)
+        out16 = flash_attention_fused_qkv(
+            qkv16, num_heads=heads, block_q=128, block_k=128,
+            nomax=True, interpret=INTERPRET,
+        )
+        assert out16.dtype == jnp.bfloat16
+        ref16 = attention_reference(*_split_heads(qkv16, heads))
+        ref16 = ref16.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+        np.testing.assert_allclose(
+            np.asarray(out16, np.float32), np.asarray(ref16, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+    def test_nomax_window_mode(self, rng):
+        """Window mode drops the row max under nomax — same softmax up to
+        rounding, including the cross-window block-diagonal mask."""
+        b, heads, d = 4, 2, 64
+        wt = 128
+        s = 256   # 2 windows per block
+        qkv = _rand(rng, b, s, 3 * heads * d)
+        out = flash_attention_fused_qkv(
+            qkv, num_heads=heads, window_tokens=wt, block_q=256,
+            block_k=256, nomax=True, interpret=INTERPRET,
+        )
+        base = flash_attention_fused_qkv(
+            qkv, num_heads=heads, window_tokens=wt, block_q=256,
+            block_k=256, nomax=False, interpret=INTERPRET,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_unknown_schedule_raises(self, rng):
         qkv = _rand(rng, 1, 256, 3 * 2 * 64)
         with pytest.raises(ValueError, match="unknown schedule"):
