@@ -177,6 +177,58 @@ def measure_tpu(policy_name: str = "fast") -> float:
     return BATCH / best
 
 
+def measure_nomax_ab() -> dict:
+    """In-process alternating A/B of the nomax flash softmax
+    (VDR_FLASH_NOMAX — ops/attention.py) against the default kernels.
+
+    Both variants compile in ONE process over the same params/images and
+    the timing reps interleave with alternating order, so tunnel mood
+    cancels — the between-run variance through this tunnel is ±15%,
+    which would swamp the expected few-percent delta.
+    """
+    import os
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.precision import FAST
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    model = ViTDense(SAM_VIT_B, policy=FAST,
+                     use_flash=jax.default_backend() == "tpu")
+    images = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(size=(BATCH, 1024, 1024, 3))
+        .astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+
+    # the env knob is read at TRACE time: trace each variant's own jit
+    # wrapper under its env value, then timing is executable-fixed
+    applies = {}
+    for name, flag in (("base", "0"), ("nomax", "1")):
+        os.environ["VDR_FLASH_NOMAX"] = flag
+        fn = jax.jit(lambda p, x: model.apply(p, x))
+        float(fn(params, images).sum())          # trace + warm
+        applies[name] = fn
+    os.environ.pop("VDR_FLASH_NOMAX", None)
+
+    best = {"base": float("inf"), "nomax": float("inf")}
+    for rep in range(4):
+        order = ["base", "nomax"] if rep % 2 == 0 else ["nomax", "base"]
+        for name in order:
+            fn = applies[name]
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                out = fn(params, images)
+            float(out.sum())
+            best[name] = min(best[name],
+                             (time.perf_counter() - t0) / STEPS)
+    return {name: BATCH / dt for name, dt in best.items()}
+
+
 def measure_torch_cpu_baseline() -> float:
     """Reference-engine throughput: transformers SAM ViT-B on torch CPU."""
     import torch
@@ -545,6 +597,24 @@ def main(argv=None):
             "bf16_img_per_s": round(fast, 3),
             "speedup_vs_bf16": round(q / fast, 3),
             "model_tflops_per_img": round(flops / 1e12, 4),
+        }))
+        return
+    if argv and argv[0] == "nomax":
+        # interleaved same-process A/B of the unnormalised-exponential
+        # flash softmax (drops the running-max VPU work on the score
+        # tiles; see ops/attention.py::_fused_global_kernel)
+        _wait_for_backend()
+        r = measure_nomax_ab()
+        flops = sam_vitb_flops_per_image()
+        print(json.dumps({
+            "metric": "sam_vitb16_dense_nomax_throughput",
+            "value": round(r["nomax"], 3),
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,  # no reference engine for this config
+            "base_img_per_s": round(r["base"], 3),
+            "speedup_vs_base": round(r["nomax"] / r["base"], 4),
+            "mfu_nomax": round(
+                r["nomax"] * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
         }))
         return
     if argv and argv[0] == "vitl14":

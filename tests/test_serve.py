@@ -52,6 +52,21 @@ class TestServingExport:
         assert m.meta["config"]["depth"] == 2
         assert m.meta["platforms"]  # export records its target platform
 
+    def test_kernel_env_knobs_recorded(self, tmp_path, monkeypatch):
+        """Trace-time kernel env knobs are baked into the lowered graph —
+        the artifact header must record which were set."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+        model = ViTDense(TINY, policy=PARITY, use_flash=False)
+        params = model.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("VDR_FLASH_NOMAX", "1")
+        path = export_dense_model(
+            params, TINY, tmp_path / "knobs.vdr",
+            batch=1, policy="parity", use_flash=False,
+        )
+        m = load_exported(path)
+        assert m.meta["kernel_env"] == {"VDR_FLASH_NOMAX": "1"}
+
     def test_wrong_shape_rejected(self, artifact):
         path, _, _ = artifact
         m = load_exported(path)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import struct
 from pathlib import Path
 
@@ -242,7 +243,20 @@ def export_classifier(
     }, exported.serialize())
 
 
+_FLASH_ENV_KNOBS = (
+    "VDR_FLASH_SCHEDULE", "VDR_FLASH_NOMAX", "VDR_FLASH_BLOCK_Q",
+    "VDR_FLASH_BLOCK_K", "VDR_FLASH_VMEM_LIMIT", "VDR_WINDOW_BATCH",
+    "VDR_FUSED_MLP", "VDR_MLP_BLOCK_N", "VDR_MLP_CHUNK",
+)
+
+
 def _write_artifact(out_path, header: dict, payload: bytes) -> str:
+    # kernel env knobs are read at TRACE time and baked into the lowered
+    # graph — record any that were set so the artifact self-describes
+    # which kernel variants it contains
+    knobs = {k: os.environ[k] for k in _FLASH_ENV_KNOBS if k in os.environ}
+    if knobs:
+        header = {**header, "kernel_env": knobs}
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     head = json.dumps(header).encode()
