@@ -114,16 +114,17 @@ def _wait_for_backend() -> None:
     then raises after the PJRT client's own internal retries.  A bench
     run landing mid-outage should be patient — it is the round's
     recorded artifact.  Bounded by ``VDR_BENCH_PATIENCE`` seconds
-    (default 5400 — outages of well over an hour have been observed when
-    a prior client was killed mid-claim); healthy backends return on the
-    first attempt.
+    (default 14400 — multi-hour outages have been observed when prior
+    clients were killed mid-claim, incl. one >11 h with a thundering
+    herd of stale retrying clients; each failed client init takes
+    ~25 min to raise); healthy backends return on the first attempt.
     """
     import os
 
     import jax
 
     deadline = time.monotonic() + float(
-        os.environ.get("VDR_BENCH_PATIENCE", "5400"))
+        os.environ.get("VDR_BENCH_PATIENCE", "14400"))
     while True:
         try:
             jax.devices()
