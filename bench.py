@@ -526,6 +526,25 @@ def measure_scaling(cpu: int | None = None, steps: int = 8) -> dict:
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "all":
+        # one-command measurement session: every on-chip mode in one
+        # process (shared backend claim + compile caches), one JSON line
+        # each; a failing mode prints its error and the rest still run.
+        # Usage: python bench.py all [mode ...] (default: the full list)
+        modes = argv[1:] or ["", "vitl14", "nomax", "e2e", "foldpar",
+                             "int8"]
+        for mode in modes:
+            print(f"# --- bench {mode or 'default'} ---", file=sys.stderr)
+            try:
+                main([mode] if mode else [])
+            except SystemExit as exc:          # parity subprocess mode
+                if exc.code:
+                    print(f"# bench {mode or 'default'} exit {exc.code}",
+                          file=sys.stderr)
+            except Exception as exc:           # noqa: BLE001 — keep going
+                print(f"# bench {mode or 'default'} FAILED: {exc!r}",
+                      file=sys.stderr)
+        return
     if argv and argv[0] == "scaling":
         # configure virtual CPU devices BEFORE any backend initialisation
         import os
