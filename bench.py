@@ -197,8 +197,14 @@ def measure_nomax_ab() -> dict:
     from vit_deep_radiomics_tpu.core.precision import FAST
     from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
 
-    model = ViTDense(SAM_VIT_B, policy=FAST,
-                     use_flash=jax.default_backend() == "tpu")
+    if jax.default_backend() != "tpu":
+        # off-TPU the model builds with use_flash=False: neither variant
+        # would contain the kernels and the "A/B" would record noise —
+        # the same mislabeling class the int8 export guards reject
+        raise RuntimeError(
+            "bench nomax needs the TPU flash path; default backend is "
+            f"{jax.default_backend()!r}")
+    model = ViTDense(SAM_VIT_B, policy=FAST, use_flash=True)
     images = jnp.asarray(
         np.random.default_rng(0)
         .uniform(size=(BATCH, 1024, 1024, 3))
@@ -207,14 +213,22 @@ def measure_nomax_ab() -> dict:
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
 
     # the env knob is read at TRACE time: trace each variant's own jit
-    # wrapper under its env value, then timing is executable-fixed
+    # wrapper under its env value, then timing is executable-fixed.
+    # Restore the caller's value even on a mid-trace failure — under
+    # `bench.py all` a leaked flag would contaminate every later mode.
     applies = {}
-    for name, flag in (("base", "0"), ("nomax", "1")):
-        os.environ["VDR_FLASH_NOMAX"] = flag
-        fn = jax.jit(lambda p, x: model.apply(p, x))
-        float(fn(params, images).sum())          # trace + warm
-        applies[name] = fn
-    os.environ.pop("VDR_FLASH_NOMAX", None)
+    saved = os.environ.get("VDR_FLASH_NOMAX")
+    try:
+        for name, flag in (("base", "0"), ("nomax", "1")):
+            os.environ["VDR_FLASH_NOMAX"] = flag
+            fn = jax.jit(lambda p, x: model.apply(p, x))
+            float(fn(params, images).sum())          # trace + warm
+            applies[name] = fn
+    finally:
+        if saved is None:
+            os.environ.pop("VDR_FLASH_NOMAX", None)
+        else:
+            os.environ["VDR_FLASH_NOMAX"] = saved
 
     best = {"base": float("inf"), "nomax": float("inf")}
     for rep in range(4):

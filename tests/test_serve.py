@@ -59,6 +59,10 @@ class TestServingExport:
         x = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
         model = ViTDense(TINY, policy=PARITY, use_flash=False)
         params = model.init(jax.random.PRNGKey(0), x)
+        from vit_deep_radiomics_tpu.engine.serve import _FLASH_ENV_KNOBS
+
+        for knob in _FLASH_ENV_KNOBS:   # isolate from the invoking shell
+            monkeypatch.delenv(knob, raising=False)
         monkeypatch.setenv("VDR_FLASH_NOMAX", "1")
         path = export_dense_model(
             params, TINY, tmp_path / "knobs.vdr",

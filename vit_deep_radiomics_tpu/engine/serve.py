@@ -85,7 +85,15 @@ def export_dense_model(
     exported = jexport.export(jax.jit(forward), platforms=platforms)(spec)
     payload = exported.serialize()
 
+    # kernel env knobs are read at TRACE time and baked into the lowered
+    # graph — record any that were set so the DENSE artifact (the only
+    # export containing the flash/fused kernels) self-describes which
+    # kernel variants it holds; classifier exports are pure XLA and
+    # deliberately do not record them
+    knobs = {k: os.environ[k] for k in _FLASH_ENV_KNOBS if k in os.environ}
+
     return _write_artifact(out_path, {
+        **({"kernel_env": knobs} if knobs else {}),
         "kind": "dense",
         "model": backbone_cfg.name,
         "config": dataclasses.asdict(backbone_cfg),
@@ -251,12 +259,6 @@ _FLASH_ENV_KNOBS = (
 
 
 def _write_artifact(out_path, header: dict, payload: bytes) -> str:
-    # kernel env knobs are read at TRACE time and baked into the lowered
-    # graph — record any that were set so the artifact self-describes
-    # which kernel variants it contains
-    knobs = {k: os.environ[k] for k in _FLASH_ENV_KNOBS if k in os.environ}
-    if knobs:
-        header = {**header, "kernel_env": knobs}
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     head = json.dumps(header).encode()
