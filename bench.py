@@ -241,7 +241,20 @@ def measure_nomax_ab() -> dict:
             float(out.sum())
             best[name] = min(best[name],
                              (time.perf_counter() - t0) / STEPS)
-    return {name: BATCH / dt for name, dt in best.items()}
+    result = {name: BATCH / dt for name, dt in best.items()}
+
+    # Measure the nomax precondition, don't just assert it in prose:
+    # max |scaled logit| (rel-pos bias included, fp32 oracle path) on
+    # one benchmarked image vs the exp2 overflow bound 127/log2(e).
+    # Runs on the host CPU backend — the probe is a debug graph, and
+    # the quantity is data+param math independent of the device.
+    from vit_deep_radiomics_tpu.models.vit import probe_max_abs_logit
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        result["max_abs_logit"] = probe_max_abs_logit(
+            model, jax.device_get(params), jax.device_get(images[:1]))
+    result["logit_bound"] = 127 / float(np.log2(np.e))
+    return result
 
 
 def measure_torch_cpu_baseline() -> float:
@@ -649,6 +662,10 @@ def main(argv=None):
             "speedup_vs_base": round(r["nomax"] / r["base"], 4),
             "mfu_nomax": round(
                 r["nomax"] * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
+            # measured safety margin for the unnormalised-exp softmax:
+            # observed max |scaled logit| vs the exp2 overflow bound
+            "max_abs_logit": round(r["max_abs_logit"], 3),
+            "logit_bound": round(r["logit_bound"], 1),
         }))
         return
     if argv and argv[0] == "vitl14":

@@ -84,6 +84,27 @@ class TestSamParity:
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
+    def test_logit_probe_within_nomax_bound(self, sam_oracle):
+        """The nomax softmax precondition, measured rather than asserted
+        in prose: max |scaled attention logit| (rel-pos bias included)
+        stays far below the exp2 overflow bound 127/log2e ≈ 88 nats
+        (ops/attention.py::_fused_global_kernel).  The probe path is the
+        same instrumentation `bench.py nomax` reports the margin with.
+        """
+        from vit_deep_radiomics_tpu.models.vit import probe_max_abs_logit
+
+        state = {k: v.numpy() for k, v in sam_oracle.state_dict().items()}
+        params = convert.sam_params_from_torch(state, SMALL_SAM)
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+
+        model = ViTDense(SMALL_SAM, policy=PARITY, use_flash=False)
+        observed = probe_max_abs_logit(
+            model, {"params": params}, jnp.asarray(img))
+        bound = 127 / np.log2(np.e)
+        assert 0.0 < observed < 0.5 * bound, (
+            f"max |logit| {observed} vs exp2 overflow bound {bound}")
+
     def test_original_sam_naming_matches_transformers_naming(
         self, sam_oracle
     ):

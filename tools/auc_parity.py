@@ -52,6 +52,7 @@ def build_parity_project(
     signal: float = 1.5,
     seed: int = 0,
     twins: tuple[tuple[int, int], ...] = (),
+    alphas: dict[int, float] | None = None,
 ):
     """Sandbox project dir both trainers consume; returns (paths, df)."""
     from vit_deep_radiomics_tpu.data.splits import (
@@ -69,7 +70,7 @@ def build_parity_project(
     df = write_synthetic_feature_store(
         feature_dir, n_patients=n_patients, ct_slices=ct_slices,
         pet_slices=pet_slices, feat_dim=feat_dim, signal=signal, seed=seed,
-        twins=twins,
+        twins=twins, alphas=alphas,
     )
     folds = build_kfold_patients(df, n_splits=n_folds)
     write_kfold_yaml(folds, root / "conf")
@@ -107,16 +108,25 @@ def run_reference_trainer(
     loss: str = "focal",
     experiment: str = "parity",
     timeout: int = 3600,
+    oracle_seed: int = 0,
 ) -> dict[int, list[float]]:
-    """Reference __main__ on CPU → {fold: [test AUC per epoch]}."""
+    """Reference __main__ on CPU → {fold: [test AUC per epoch]}.
+
+    ``oracle_seed`` seeds torch/numpy inside the oracle; running the
+    SAME config with two seeds measures the reference's intrinsic
+    run-to-run per-fold AUC variance (the yardstick for |Δ| bands in
+    the stochastic parity regime)."""
+    import os
+
     cmd = [
         sys.executable, str(REPO / "tools" / "ref_oracle.py"),
         str(root), REF_SRC,
         "-a", arch, "-d", dataset, "-m", modality, "-l", loss,
         "-e", experiment,
     ]
+    env = dict(os.environ, VDR_ORACLE_SEED=str(oracle_seed))
     proc = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=timeout,
+        cmd, capture_output=True, text=True, timeout=timeout, env=env,
     )
     if proc.returncode != 0:
         raise RuntimeError(
@@ -151,6 +161,7 @@ def run_our_trainer(
     loss: str = "focal",
     folds=None,
     batch_size: int = 1,
+    seed: int = 0,
 ) -> dict[int, list[float]]:
     """train_kfold on the same artifacts → {fold: [test AUC per epoch]}.
 
@@ -165,19 +176,69 @@ def run_our_trainer(
 
     tcfg = TrainerConfig(
         arch=arch, modality=modality, loss=loss, dataset=dataset,
-        batch_size=batch_size, precision="parity",
+        batch_size=batch_size, precision="parity", seed=seed,
     )
     results = train_kfold(
         df, project["cfg"], tcfg,
         project["feature_dir"] / "features_masks_ct.hdf5",
         project["feature_dir"] / "features_masks_pet.hdf5",
         project["root"]
-        / f"models_ours_{arch}_{modality}_{loss}_b{batch_size}",
+        / f"models_ours_{arch}_{modality}_{loss}_b{batch_size}_s{seed}",
         folds=folds, log=lambda *_: None,
     )
     return {
         int(k): list(hist["test_auc"]) for k, hist in results.items()
     }
+
+
+def design_flipped_cohort(
+    n_patients: int = 20,
+    n_folds: int = 5,
+    flips_per_fold: tuple[int, ...] = (0, 1, 1, 2, 1),
+    seed: int = 42,
+) -> tuple[dict[int, float], dict[int, list[int]]]:
+    """Feature-flipped patient assignment for the stochastic regime.
+
+    Recomputes the deterministic seed-42 StratifiedKFold fold layout
+    (data/splits.py::build_kfold_patients semantics — fold membership
+    depends only on patient count and the i%2 label sequence, matching
+    /root/reference/src/split_patients.py:23-34), then marks
+    ``flips_per_fold[k]`` of fold k's TEST patients as feature-flipped:
+    their descriptors are generated at the OPPOSITE class cluster
+    (``alphas[i] = -(2·label−1)``) while their label stays.  A flipped
+    patient is distributionally identical to the other cluster, so its
+    held-out ROC ordering against that cluster's opposite-label
+    patients is decided by the realized window noise — data-determined
+    discordance that caps each fold's AUC at a mid-range,
+    fold-varying value no trainer can design around.  Flip labels
+    alternate across folds for class balance.
+
+    Returns ``(alphas, fold_flips)``.
+    """
+    from sklearn.model_selection import StratifiedKFold
+
+    pids = list(range(n_patients))
+    labels = [i % 2 for i in pids]
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True,
+                          random_state=seed)
+    alphas: dict[int, float] = {}
+    fold_flips: dict[int, list[int]] = {}
+    for k, (_, test_idx) in enumerate(skf.split(pids, labels)):
+        want = flips_per_fold[k % len(flips_per_fold)]
+        by_label = {
+            0: [i for i in sorted(test_idx) if i % 2 == 0],
+            1: [i for i in sorted(test_idx) if i % 2 == 1],
+        }
+        chosen: list[int] = []
+        lab = k % 2
+        while len(chosen) < want and (by_label[0] or by_label[1]):
+            pool = by_label[lab] or by_label[1 - lab]
+            chosen.append(pool.pop(0))
+            lab = 1 - lab
+        fold_flips[k] = chosen
+        for i in chosen:
+            alphas[i] = -float(2 * (i % 2) - 1)
+    return alphas, fold_flips
 
 
 # Headline + the reference's other model families (run_train.sh grid):

@@ -85,6 +85,15 @@ def main(argv=None) -> int:
 
     initialize_from_env()  # multi-host launch (no-op single-process)
 
+    if args.precision == "int8":
+        # live footgun guard: whether int8 contractions are emulated is
+        # a backend property that has flipped between rounds (docs/
+        # ROADMAP.md r3 table) — probe it, refuse silent slowdowns
+        from ..ops.quant import warn_if_int8_emulated
+
+        ratio = warn_if_int8_emulated()
+        print(f"int8/bf16 measured matmul rate ratio: {ratio:.2f}")
+
     cfg = ExtractionConfig(
         model_name=args.model_name,
         model_path=args.model_path,

@@ -123,6 +123,13 @@ def _export(args) -> int:
     from ..engine.extract import DenseExtractor, ExtractionConfig
     from ..engine.serve import export_dense_model
 
+    if args.precision == "int8":
+        # live footgun guard — see cli/extract.py / ops/quant.py
+        from ..ops.quant import warn_if_int8_emulated
+
+        ratio = warn_if_int8_emulated()
+        print(f"int8/bf16 measured matmul rate ratio: {ratio:.2f}")
+
     cfg = ExtractionConfig(
         model_name=args.model_name,
         model_path=args.model_path,

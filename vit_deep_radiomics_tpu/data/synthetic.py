@@ -134,6 +134,7 @@ def write_synthetic_feature_store(
     seed: int = 0,
     dataset: str = "stanford",
     twins: tuple[tuple[int, int], ...] = (),
+    alphas: dict[int, float] | None = None,
 ) -> "pd.DataFrame":
     """Descriptor-level synthetic cohort with a planted class signal.
 
@@ -167,6 +168,17 @@ def write_synthetic_feature_store(
     rounding — measured breaking 0.5% parity.)  The k-fold AUC-parity
     harness (tools/auc_parity.py) uses this to compare non-trivial,
     data-limited AUCs instead of a vacuous 1.0 == 1.0.
+
+    ``alphas`` overrides the per-patient signal multiplier (default
+    ``2·label−1``).  Setting a patient's alpha to the *opposite* class
+    value (``-(2·label−1)``) plants feature-level label noise: the
+    patient's descriptors are distributionally identical to the other
+    cluster, so no classifier can separate it from that cluster on held
+    -out data — its ROC pairs against same-cluster opposite-label
+    patients resolve by the *realized* window-noise ordering, which is
+    fixed by ``seed`` (data-determined), not by the trainer.  The
+    stochastic AUC-parity regime (tools/auc_parity.py) uses this for
+    mid-range, fold-varying AUCs that both trainers must track.
     Returns the merged metadata dataframe.
     """
     import pandas as pd
@@ -204,7 +216,12 @@ def write_synthetic_feature_store(
     for i in range(n_patients):
         pid = f"{dataset[:2]}_{i:03d}"
         label = i % 2
-        alpha = twin_alpha if i in twin_firsts else float(2 * label - 1)
+        if i in twin_firsts:
+            alpha = twin_alpha
+        elif alphas is not None and i in alphas:
+            alpha = float(alphas[i])
+        else:
+            alpha = float(2 * label - 1)
         shift = alpha * signal * u
         for modality, n_slices in (("ct", ct_slices), ("pet", pet_slices)):
             if i in twin_of:

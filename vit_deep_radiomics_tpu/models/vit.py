@@ -254,6 +254,12 @@ class WindowedAttention(nn.Module):
     use_flash: bool = True
     window_group: int = 1   # independent windows batched per kernel block
     trainable: bool = False  # route through the custom-VJP flash kernels
+    # Debug probe: route through the XLA oracle and sow the max |scaled
+    # logit| per layer ("intermediates"/"max_abs_logit") — turns the
+    # nomax-softmax safety precondition (|logit| < 127/log2e ≈ 88 nats,
+    # _fused_global_kernel docstring) into a measured number.  Used by
+    # the ViT parity tests and `bench.py nomax`.
+    collect_logit_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -285,6 +291,7 @@ class WindowedAttention(nn.Module):
         quant = self.policy.quantized and not self.trainable
         use_fused = (
             self.use_flash and not self.trainable
+            and not self.collect_logit_stats
             and self._fused_variant(h, w) is not None
         )
         if use_fused:
@@ -351,13 +358,13 @@ class WindowedAttention(nn.Module):
         else:
             bias_h = bias_w = None
 
-        if self.trainable and self.use_flash:
+        if self.trainable and self.use_flash and not self.collect_logit_stats:
             # fine-tuning path: the custom-VJP flash kernels — windowed
             # layers are just small per-window "global" attentions here
             # (the partition puts windows on the batch axis, so
             # Kh·Kw == S per entry)
             out = self._trainable_flash(q, k, v, bias_h, bias_w)
-        elif self.use_flash:
+        elif self.use_flash and not self.collect_logit_stats:
             out = self._flash(q, k, v, bias_h, bias_w, h, w)
         else:
             if bias_h is not None:
@@ -368,6 +375,19 @@ class WindowedAttention(nn.Module):
                 ).reshape(b, nh, h * w, h * w).astype(dtype)
             else:
                 dense = None
+            if self.collect_logit_stats:
+                # fp32 max |scaled logit| INCLUDING the rel-pos bias —
+                # the exact quantity the nomax exp2 overflow bound
+                # constrains (ops/attention.py::_fused_global_kernel)
+                s = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ) * (hd ** -0.5)
+                if dense is not None:
+                    s = s + dense.astype(jnp.float32)
+                self.sow("intermediates", "max_abs_logit",
+                         jnp.max(jnp.abs(s)))
             out = attention_reference(q, k, v, bias=dense)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
@@ -761,6 +781,7 @@ class Block(nn.Module):
     use_flash: bool
     trainable: bool = False
     fused_mlp: bool = True
+    collect_logit_stats: bool = False  # see WindowedAttention
 
     @nn.compact
     def __call__(self, x):
@@ -771,7 +792,8 @@ class Block(nn.Module):
             y, dims = window_partition(y, cfg.window_size)
         y = WindowedAttention(
             cfg, self.policy, use_flash=self.use_flash,
-            trainable=self.trainable, name="attn"
+            trainable=self.trainable,
+            collect_logit_stats=self.collect_logit_stats, name="attn"
         )(y)
         if self.windowed:
             y = window_unpartition(y, cfg.window_size, dims)
@@ -882,6 +904,7 @@ class ViTDense(nn.Module):
     trainable: bool = False
     remat: bool = False        # rematerialise blocks in the backward
     patch_embed_only: bool = False
+    collect_logit_stats: bool = False  # see WindowedAttention
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -942,6 +965,7 @@ class ViTDense(nn.Module):
                 windowed=windowed,
                 use_flash=self.use_flash,
                 trainable=self.trainable,
+                collect_logit_stats=self.collect_logit_stats,
                 name=f"block_{i}",
             )(x)
 
@@ -953,3 +977,27 @@ class ViTDense(nn.Module):
         if cfg.neck_channels:
             x = SamNeck(cfg, self.policy, name="neck")(x)
         return self.policy.cast_output(x)
+
+
+def probe_max_abs_logit(model: "ViTDense", params, images) -> float:
+    """Measured max |scaled attention logit| over every layer/head.
+
+    Re-runs *model* with the ``collect_logit_stats`` probe (XLA oracle
+    attention path, fp32 score computation, rel-pos bias included) on
+    the same param tree — the paths share parameters by construction —
+    and reduces the sown per-layer maxima.  This is the measured margin
+    for the nomax flash softmax's |logit| < 127/log2e ≈ 88 nat exp2
+    overflow precondition (ops/attention.py::_fused_global_kernel):
+    asserted in the ViT parity tests and reported next to the speedup by
+    ``bench.py nomax``.
+    """
+    from ..core.precision import PARITY
+
+    probe = ViTDense(
+        model.cfg, policy=PARITY, use_flash=False,
+        patch_embed_only=model.patch_embed_only,
+        collect_logit_stats=True,
+    )
+    _, inter = probe.apply(params, images, mutable=["intermediates"])
+    leaves = jax.tree_util.tree_leaves(inter["intermediates"])
+    return float(jnp.max(jnp.stack([jnp.max(x) for x in leaves])))

@@ -619,7 +619,8 @@ def _fused_window_kernel(
             if nomax:
                 # unnormalised-exponential softmax (see the global
                 # kernel): drop the max scan + subtract — safe while
-                # |logit| < 88 nats, opt-in via VDR_FLASH_NOMAX
+                # |logit| < 88 nats (measured ~5 on SAM-B; default ON,
+                # VDR_FLASH_NOMAX=0 opts out)
                 p = jnp.exp2(s.astype(q.dtype))
             else:
                 m = jnp.max(s, axis=-1, keepdims=True)
@@ -652,7 +653,9 @@ def _fused_global_kernel(
     and fp32 share the 8-bit exponent) — which holds with orders of
     magnitude of margin for trained ViT backbones (SAM/DINOv2 attention
     logits are O(10)); padding masks still work (exp2(-1e30·log2e) = 0).
-    Inference-only lever, opt-in via ``VDR_FLASH_NOMAX=1``.
+    Inference-only lever; default ON since the round-3 on-chip A/B
+    (+5.7%, precondition measured at ~5 nats) — ``VDR_FLASH_NOMAX=0``
+    opts out.
 
     grid = (B, H/pair, Sq/block_q, Sk/block_k); kv innermost,
     ``arbitrary``; m/acc scratch persists across kv steps.  The softmax
@@ -885,8 +888,10 @@ def flash_attention_fused_qkv(
         nomax: unnormalised-exponential softmax in BOTH modes — drop the
             row max (window mode) / running max (global mode; see
             :func:`_fused_global_kernel`); requires |logit| < 88 nats
-            (holds for trained backbones).  ``None`` reads
-            ``VDR_FLASH_NOMAX`` (default off).
+            (measured ~5 on SAM-B @1024 — probe_max_abs_logit).  ``None``
+            reads ``VDR_FLASH_NOMAX`` (default ON since the round-3
+            on-chip A/B: +5.7%; these fused kernels are inference-only,
+            so the trainable/parity paths are unaffected).
         num_heads: H.  H·D and the per-grid-step head group (128/D heads)
             must tile into 128-lane blocks: D ∈ {64, 128, 256, …} with H a
             multiple of 128/D (``ValueError`` otherwise — callers fall
@@ -957,7 +962,14 @@ def flash_attention_fused_qkv(
     if schedule is None:
         schedule = os.environ.get("VDR_FLASH_SCHEDULE", "base")
     if nomax is None:
-        nomax = os.environ.get("VDR_FLASH_NOMAX", "0") == "1"
+        # Default ON for these (inference-only) fused kernels since the
+        # round-3 on-chip A/B: +5.7% (103.6 → 109.5 img/s, 52.1% MFU)
+        # with the |logit| < 88 nat precondition now MEASURED (observed
+        # ~5 on SAM-B @1024; probe_max_abs_logit / bench.py nomax).
+        # The trainable and oracle paths never reach this code, so
+        # training/parity numerics are untouched.  VDR_FLASH_NOMAX=0
+        # restores the running-max softmax.
+        nomax = os.environ.get("VDR_FLASH_NOMAX", "1") == "1"
     if schedule not in ("base", "skew") and not (
             schedule.startswith("twolevel")
             and (schedule[8:] == "" or schedule[8:].isdigit())):

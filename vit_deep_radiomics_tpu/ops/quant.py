@@ -35,6 +35,7 @@ from jax import lax
 
 __all__ = [
     "quantize_rows", "quantize_weight", "int8_dot", "int8_dot_prequant",
+    "int8_matmul_rate_ratio", "warn_if_int8_emulated",
 ]
 
 # smallest representable row scale: keeps all-zero rows (window padding)
@@ -96,3 +97,65 @@ def int8_dot_prequant(x_qs, w: jax.Array) -> jax.Array:
         preferred_element_type=jnp.int32,
     )
     return y.astype(jnp.float32) * (s_x * s_w)
+
+
+def int8_matmul_rate_ratio(
+    m: int = 4096, k: int = 768, n: int = 3072, reps: int = 20,
+) -> float:
+    """Measured int8/bf16 matmul rate ratio on the default backend.
+
+    Whether int8 contractions are worth anything is a *backend* property
+    that has changed under this repo's feet: round 2 measured int8
+    lowering as 25×-slower emulation on the tunnel backend, round 3
+    re-measured the same shape at ≈1.0× bf16 rate (docs/ROADMAP.md).  So
+    the ``--precision int8`` footgun guard probes live instead of
+    hard-coding either answer: returns (bf16 ms / int8 ms) — < 1 means
+    int8 is slower, ≪ 1 means emulation.  Scalar outputs keep the probe
+    free of device→host transfer pollution.  Cost: ~2·reps tiny matmuls.
+    """
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x8 = jnp.asarray(rng.integers(-127, 127, size=(m, k)), jnp.int8)
+    w8 = jnp.asarray(rng.integers(-127, 127, size=(k, n)), jnp.int8)
+    xb, wb = x8.astype(jnp.bfloat16), w8.astype(jnp.bfloat16)
+    f8 = jax.jit(lambda a, b: lax.dot(
+        a, b, preferred_element_type=jnp.int32).sum())
+    fb = jax.jit(lambda a, b: lax.dot(
+        a, b, preferred_element_type=jnp.float32).sum())
+    times = {}
+    for name, f, a, b in (("int8", f8, x8, w8), ("bf16", fb, xb, wb)):
+        float(np.asarray(f(a, b)))                      # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(a, b)
+        float(np.asarray(out))                          # drain the queue
+        times[name] = time.perf_counter() - t0
+    return times["bf16"] / times["int8"]
+
+
+def warn_if_int8_emulated(log=None, threshold: float = 0.5) -> float:
+    """Guard the ``--precision int8`` footgun with a live measurement.
+
+    Probes :func:`int8_matmul_rate_ratio`; below *threshold* (int8 less
+    than half the bf16 rate ⇒ the backend is emulating) this raises
+    unless ``VDR_ALLOW_INT8=1``, so a user cannot silently run an
+    extraction at a fraction of the bf16 throughput.  Returns the
+    measured ratio either way (callers record it in artifacts).
+    """
+    import os
+
+    ratio = int8_matmul_rate_ratio()
+    if ratio < threshold:
+        msg = (
+            f"int8 matmuls lower at {ratio:.2f}x the bf16 rate on this "
+            "backend (measured just now — emulation, not MXU s8): "
+            "--precision int8 would SLOW extraction down.  Set "
+            "VDR_ALLOW_INT8=1 to run anyway."
+        )
+        if os.environ.get("VDR_ALLOW_INT8", "0") != "1":
+            raise RuntimeError(msg)
+        (log or print)(f"WARNING: {msg}")
+    return ratio
