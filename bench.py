@@ -257,6 +257,68 @@ def measure_nomax_ab() -> dict:
     return result
 
 
+def measure_finetune(
+    configs=((1, False), (2, False), (4, False), (4, True), (8, True)),
+    steps: int = 6,
+) -> dict:
+    """Trainable-backbone training throughput curve (batch × remat).
+
+    Full SAM-B fine-tuning step (fwd + bwd + AdamW update via
+    engine/finetune.py) per config; training MFU counts the standard
+    3× forward model FLOPs (remat recomputes a 4th forward but that is
+    overhead, not model work).  Beyond-reference capability — the
+    reference freezes its backbone
+    (/root/reference/src/tfds_dense_descriptor.py:104).
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.engine.finetune import (
+        FineTuneConfig,
+        FineTuner,
+    )
+
+    flops_fwd = sam_vitb_flops_per_image()
+    rng = np.random.default_rng(0)
+    curve = []
+    for batch, remat in configs:
+        tuner = FineTuner(FineTuneConfig(
+            backbone="medsam", precision="fast", remat=remat))
+        g = tuner.backbone_cfg.grid
+        images = jnp.asarray(
+            rng.uniform(size=(batch, 1024, 1024, 3)).astype(np.float32))
+        mask = jnp.ones((batch, g, g), bool)
+        labels = jnp.asarray(
+            np.eye(2, dtype=np.float32)[np.arange(batch) % 2])
+        try:
+            state = tuner.init(jax.random.PRNGKey(0), images, mask)
+            state, loss, _ = tuner.step(state, images, mask, labels)
+            float(loss)                                  # warm + compile
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, loss, _ = tuner.step(state, images, mask, labels)
+            float(loss)
+            dt = (time.perf_counter() - t0) / steps
+        except Exception as exc:  # noqa: BLE001 — record OOM etc. honestly
+            curve.append({"batch": batch, "remat": remat,
+                          "error": repr(exc)[:200]})
+            continue
+        img_s = batch / dt
+        curve.append({
+            "batch": batch, "remat": remat,
+            "img_per_s": round(img_s, 2),
+            "step_ms": round(dt * 1e3, 1),
+            "train_mfu": round(
+                img_s * 3 * flops_fwd / 1e12 / PEAK_BF16_TFLOPS, 4),
+        })
+        del state
+    ok = [c for c in curve if "img_per_s" in c]
+    best = max(ok, key=lambda c: c["img_per_s"]) if ok else {}
+    return {"curve": curve, "best": best}
+
+
 def measure_torch_cpu_baseline() -> float:
     """Reference-engine throughput: transformers SAM ViT-B on torch CPU."""
     import torch
@@ -559,7 +621,7 @@ def main(argv=None):
         # each; a failing mode prints its error and the rest still run.
         # Usage: python bench.py all [mode ...] (default: the full list)
         modes = argv[1:] or ["", "vitl14", "nomax", "e2e", "foldpar",
-                             "int8"]
+                             "int8", "finetune"]
         for mode in modes:
             print(f"# --- bench {mode or 'default'} ---", file=sys.stderr)
             try:
@@ -666,6 +728,21 @@ def main(argv=None):
             # observed max |scaled logit| vs the exp2 overflow bound
             "max_abs_logit": round(r["max_abs_logit"], 3),
             "logit_bound": round(r["logit_bound"], 1),
+        }))
+        return
+    if argv and argv[0] == "finetune":
+        _wait_for_backend()
+        r = measure_finetune()
+        best = r["best"]
+        print(json.dumps({
+            "metric": "sam_vitb16_finetune_throughput",
+            "value": best.get("img_per_s", 0.0),
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,  # the reference cannot train its backbone
+            "train_mfu": best.get("train_mfu"),
+            "best_batch": best.get("batch"),
+            "best_remat": best.get("remat"),
+            "curve": r["curve"],
         }))
         return
     if argv and argv[0] == "vitl14":

@@ -295,3 +295,98 @@ class TestTrainKfoldParallel:
         with pytest.raises(ValueError, match="whole_volume"):
             ParallelFoldTrainer(
                 _cfg(), TrainerConfig(whole_volume=True), n_folds=2)
+
+
+class TestLockstepResume:
+    def test_snapshot_resume_matches_uninterrupted(self, extracted):
+        """Kill-and-resume reproduces the uninterrupted trajectory: a
+        2-epoch run + resumed 4-epoch run equals one 4-epoch run —
+        params path, metric histories, sampler RNG streams and patience
+        state all continue exactly (VERDICT r2 item 9)."""
+        from vit_deep_radiomics_tpu.engine import checkpoint as ckpt
+
+        cfg = _cfg(num_epochs=4)
+        cfg["kfold_patients"] = extracted["folds"]
+
+        def tc(max_e):
+            return TrainerConfig(
+                arch="transformer", modality="petct", loss="crossmodal",
+                dataset="stanford", batch_size=2, precision="parity",
+                max_epochs=max_e, fold_parallel=True,
+            )
+
+        kw = dict(folds=[0, 1], log=lambda *_: None)
+        full = train_kfold_parallel(
+            extracted["df"], cfg, tc(4),
+            extracted["hdf5_ct"], extracted["hdf5_pet"],
+            extracted["dir"] / "m_fp_full", **kw)
+        ckpt.wait_pending()
+
+        # "kill" the process right after the epoch-1 snapshot lands —
+        # same num_epochs as the full run, so the cosine LR schedule
+        # (T_max = 0.8·num_epochs) is identical; a shorter max_epochs
+        # would train epochs 0-1 under a DIFFERENT schedule and could
+        # never match the uninterrupted trajectory
+        from vit_deep_radiomics_tpu.engine import foldpar as fp
+
+        real_save = fp._save_lockstep_snapshot
+
+        def killing_save(base, epoch, *a, **k):
+            real_save(base, epoch, *a, **k)
+            if epoch == 1:
+                raise KeyboardInterrupt("simulated kill")
+
+        fp._save_lockstep_snapshot = killing_save
+        try:
+            with pytest.raises(KeyboardInterrupt):
+                train_kfold_parallel(
+                    extracted["df"], cfg, tc(4),
+                    extracted["hdf5_ct"], extracted["hdf5_pet"],
+                    extracted["dir"] / "m_fp_resume", **kw)
+        finally:
+            fp._save_lockstep_snapshot = real_save
+        ckpt.wait_pending()
+        snap = (extracted["dir"] / "m_fp_resume" / "petct"
+                / "medsam_transformer_stanford" / "petct"
+                / "foldpar_resume.msgpack")
+        assert snap.exists()
+
+        # ...then resumed to the full 4 epochs
+        resumed = train_kfold_parallel(
+            extracted["df"], cfg, tc(4),
+            extracted["hdf5_ct"], extracted["hdf5_pet"],
+            extracted["dir"] / "m_fp_resume", **kw)
+        ckpt.wait_pending()
+
+        for k in (0, 1):
+            assert len(resumed[k]) == len(full[k]) == 4
+            for col in full[k].columns:
+                np.testing.assert_allclose(
+                    np.asarray(resumed[k][col], np.float64),
+                    np.asarray(full[k][col], np.float64),
+                    rtol=1e-6, atol=1e-7,
+                    err_msg=f"fold {k} column {col}")
+
+    def test_resume_false_restarts_fresh(self, extracted):
+        cfg = _cfg(num_epochs=2)
+        cfg["kfold_patients"] = extracted["folds"]
+        tcfg = TrainerConfig(
+            arch="transformer", modality="petct", loss="crossmodal",
+            dataset="stanford", batch_size=2, precision="parity",
+            max_epochs=2, fold_parallel=True,
+        )
+        kw = dict(folds=[0, 1], log=lambda *_: None)
+        d = extracted["dir"] / "m_fp_fresh"
+        first = train_kfold_parallel(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], d, **kw)
+        again = train_kfold_parallel(
+            extracted["df"], cfg, tcfg,
+            extracted["hdf5_ct"], extracted["hdf5_pet"], d,
+            resume=False, **kw)
+        for k in (0, 1):
+            assert len(again[k]) == 2
+            np.testing.assert_allclose(
+                np.asarray(again[k]["train_loss"], np.float64),
+                np.asarray(first[k]["train_loss"], np.float64),
+                rtol=1e-6)

@@ -253,3 +253,146 @@ class TestClassifierExport:
         for a, b in zip(got, want):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+class TestPipelineExport:
+    """export_pipeline: images → descriptors → tokens → logits in ONE
+    artifact, fusing the reference's two separate Python stages
+    (tfds_dense_descriptor.py:110-139 → train_models.py:143-182 →
+    models_archs.py:127-147)."""
+
+    D = 16  # == TINY.neck_channels so the stages plug together
+
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        d = self.D
+        return {"models": {
+            "transformer": {
+                "learning_rate": 5e-4, "feature_dim": d, "batch_size": 2,
+                "virtual_batch_size": 4, "num_epochs": 1, "patience": 5,
+                "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            },
+            "conv": {
+                "learning_rate": 5e-4, "feature_dim": d, "batch_size": 2,
+                "virtual_batch_size": 4, "num_epochs": 1, "patience": 5,
+                "ct": {"div": 2},
+            },
+        }}
+
+    def _setup(self, cfg, arch):
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        rng = np.random.default_rng(0)
+        s, g = 3, TINY.grid
+        images = rng.uniform(size=(1, s, 32, 32, 3)).astype(np.float32)
+        mask = rng.random((1, s, g, g)) > 0.4
+        mask[0, 0, 0, 0] = True  # at least one masked voxel
+        res = np.asarray([[1.5, 2.0, 3.5]], np.float32)
+
+        vit = ViTDense(TINY, policy=PARITY, use_flash=False)
+        params = vit.init(
+            jax.random.PRNGKey(0), jnp.asarray(images[0]))
+        clf = build_classifier(cfg, arch, "ct",
+                               policy=get_policy("parity"))
+        if arch == "conv":
+            pv = clf.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, s, g, g, self.D)),
+                          jnp.ones((1, s, g, g), bool))
+        else:
+            pv = clf.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 8, self.D)),
+                          jnp.ones((1, 8), bool))
+        return images, mask, res, vit, params, clf, pv
+
+    def test_transformer_pipeline_matches_two_stage(self, cfg, tmp_path):
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+        from vit_deep_radiomics_tpu.ops.posenc import (
+            positional_encoding_3d,
+        )
+
+        images, mask, res, vit, params, clf, pv = self._setup(
+            cfg, "transformer")
+        s, g, d, t = 3, TINY.grid, self.D, 12
+
+        path = export_pipeline(
+            params, TINY, pv, cfg, "transformer", "ct",
+            tmp_path / "pipe.vdr", slices=s, max_tokens=t, batch=1,
+            policy="parity", use_flash=False)
+        m = load_exported(path)
+        assert m.meta["kind"] == "pipeline"
+        assert m.meta["out_names"] == ["logits", "cls_embedding"]
+        got_logits, got_cls = (
+            np.asarray(a) for a in m(images, mask, res))
+
+        # two-stage oracle: dense forward + the trainer's host token
+        # semantics (data/datasets.py::_get_features, h_orig == h_new,
+        # noise = 0), then the classifier
+        feats = np.asarray(vit.apply(params, jnp.asarray(images[0])))
+        ii, jj, kk = np.meshgrid(
+            np.arange(g), np.arange(g), np.arange(s), indexing="ij")
+        x = jj * res[0, 0]
+        y = ii * res[0, 1]
+        z = kk * res[0, 2]
+        mflat = mask[0].transpose(1, 2, 0).reshape(-1)
+        fflat = feats.transpose(1, 2, 0, 3).reshape(-1, d)
+        xs = (x - x.mean()).reshape(-1)[mflat]
+        ys = (y - y.mean()).reshape(-1)[mflat]
+        zs = (z - z.mean()).reshape(-1)[mflat]
+        pe = np.asarray(positional_encoding_3d(xs, ys, zs, d))
+        tok = fflat[mflat] + pe / 4.0
+        n = tok.shape[0]
+        assert 0 < n <= t
+        padded = np.zeros((1, t, d), np.float32)
+        padded[0, :n] = tok
+        valid = np.zeros((1, t), bool)
+        valid[0, :n] = True
+        want_logits, want_cls = clf.apply(
+            pv, jnp.asarray(padded), jnp.asarray(valid),
+            deterministic=True)
+        np.testing.assert_allclose(
+            got_logits, np.asarray(want_logits), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            got_cls, np.asarray(want_cls), rtol=1e-5, atol=1e-5)
+
+    def test_conv_pipeline_matches_two_stage(self, cfg, tmp_path):
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+
+        images, mask, res, vit, params, clf, pv = self._setup(cfg, "conv")
+        s = 3
+
+        path = export_pipeline(
+            params, TINY, pv, cfg, "conv", "ct", tmp_path / "conv.vdr",
+            slices=s, batch=1, policy="parity", use_flash=False)
+        m = load_exported(path)
+        assert m.meta["out_names"] == ["logits", "embedding"]
+        got = [np.asarray(a) for a in m(images, mask, res)]
+
+        feats = np.asarray(vit.apply(params, jnp.asarray(images[0])))
+        vol = (feats * mask[0][..., None])[None]
+        want = clf.apply(pv, jnp.asarray(vol.astype(np.float32)),
+                         jnp.asarray(mask), deterministic=True)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                a, np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_bimodal_pipeline_rejected(self, cfg, tmp_path):
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+
+        with pytest.raises(ValueError, match="unimodal"):
+            export_pipeline({}, TINY, {}, cfg, "transformer", "petct",
+                            tmp_path / "x.vdr")
+
+    def test_feature_dim_mismatch_rejected(self, cfg, tmp_path):
+        import copy
+
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+
+        bad = copy.deepcopy(cfg)
+        bad["models"]["transformer"]["feature_dim"] = 32
+        with pytest.raises(ValueError, match="feature_dim"):
+            export_pipeline(
+                {}, TINY, {"params": {}}, bad, "transformer", "ct",
+                tmp_path / "x.vdr", policy="parity", use_flash=False)

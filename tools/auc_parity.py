@@ -250,6 +250,69 @@ MATRIX = (
 )
 
 
+def compare_stochastic(
+    refs: dict[int, dict[int, list[float]]],
+    ours: dict[int, dict[int, list[float]]],
+    fold_flips: dict[int, list[int]],
+    tol: float = 0.005,
+) -> dict:
+    """Multi-seed, non-saturated per-fold AUC comparison.
+
+    ``refs[oracle_seed][fold]`` / ``ours[seed][fold]`` are per-epoch AUC
+    histories.  For every fold this reports:
+
+    * the reference's per-seed final AUCs and their spread — the
+      reference trainer's INTRINSIC run-to-run variance on this cohort
+      (/root/reference/src/train_models.py seeds only torch/numpy
+      globally; dropout + sampler draws differ per seed), the yardstick
+      any cross-trainer band must be read against;
+    * our per-seed final AUCs and spread;
+    * ``diff_of_means`` — |seed-mean ref − seed-mean ours| — and the
+      strict seed-0 vs seed-0 ``diff_s0``.
+
+    A fold is ``within_tol`` when the seed-mean difference is within
+    ``max(tol, intrinsic band)`` where the band is the half-range of
+    the reference's own per-seed AUCs: if the reference cannot
+    reproduce itself tighter than X on a fold, X is the resolution
+    limit of ANY parity claim there — recorded, not hidden.
+    ``strict_within_tol`` ignores the band (pure 0.5%).
+    """
+    rows = []
+    for fold in sorted(refs[min(refs)]):
+        r = [refs[s][fold][-1] for s in sorted(refs)]
+        o = [ours[s][fold][-1] for s in sorted(ours)]
+        r_mean, o_mean = float(np.mean(r)), float(np.mean(o))
+        band = (max(r) - min(r)) / 2.0
+        diff = abs(r_mean - o_mean)
+        rows.append({
+            "fold": fold,
+            "flipped_patients": fold_flips.get(fold, []),
+            "ref_aucs": [round(v, 6) for v in r],
+            "ours_aucs": [round(v, 6) for v in o],
+            "ref_mean": round(r_mean, 6),
+            "ours_mean": round(o_mean, 6),
+            "ref_intrinsic_halfrange": round(band, 6),
+            "ours_halfrange": round((max(o) - min(o)) / 2.0, 6),
+            "diff_of_means": round(diff, 6),
+            "diff_s0": round(abs(r[0] - o[0]), 6),
+            "within_tol": diff <= max(tol, band),
+            "strict_within_tol": diff <= tol,
+        })
+    ref_means = [row["ref_mean"] for row in rows]
+    return {
+        "folds": rows,
+        "ref_mean_auc": float(np.mean(ref_means)),
+        "ours_mean_auc": float(np.mean([r["ours_mean"] for r in rows])),
+        "mean_abs_diff": float(
+            np.mean([r["diff_of_means"] for r in rows])),
+        "fold_auc_spread": round(max(ref_means) - min(ref_means), 6),
+        "tolerance": tol,
+        "all_within_tol": all(r["within_tol"] for r in rows),
+        "all_strict_within_tol": all(
+            r["strict_within_tol"] for r in rows),
+    }
+
+
 def compare_aucs(
     ref: dict[int, list[float]],
     ours: dict[int, list[float]],
@@ -275,6 +338,57 @@ def compare_aucs(
     }
 
 
+def run_stochastic(args) -> None:
+    """Non-saturated AUC-parity regime (VERDICT r2 item 2).
+
+    The saturated twin design proves both trainers reach a constructed
+    ceiling; THIS regime makes the reference land on mid-range,
+    FOLD-VARYING AUCs it cannot design around — feature-flipped test
+    patients (real label noise) + a weaker planted signal — and asks
+    whether our trainer TRACKS those values.  Because the reference
+    trainer is not even self-reproducible across its own torch seeds
+    (dropout + sampler draws), parity is asserted on seed means against
+    the reference's measured intrinsic per-fold band, with the strict
+    0.5% figure reported alongside (see compare_stochastic).
+    """
+    import tempfile
+
+    full = args.full
+    n_patients, n_folds = (20, 5) if full else (12, 2)
+    num_epochs = 10 if full else 6
+    flips = (0, 1, 1, 2, 1) if full else (1, 2)
+    alphas, fold_flips = design_flipped_cohort(
+        n_patients=n_patients, n_folds=n_folds, flips_per_fold=flips)
+    kw = dict(
+        n_patients=n_patients, n_folds=n_folds, num_epochs=num_epochs,
+        feat_dim=args.feat_dim, signal=args.signal, alphas=alphas,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        project, df = build_parity_project(Path(tmp) / "proj", **kw)
+        refs = {}
+        for s in range(args.oracle_seeds):
+            print(f"[stochastic] reference trainer, oracle seed {s}...",
+                  flush=True)
+            refs[s] = run_reference_trainer(
+                project["root"], experiment=f"parity_s{s}",
+                oracle_seed=s)
+        ours = {}
+        for s in range(args.seeds):
+            print(f"[stochastic] our trainer, seed {s}...", flush=True)
+            ours[s] = run_our_trainer(project, df, seed=s)
+    result = compare_stochastic(refs, ours, fold_flips)
+    result["config"] = dict(
+        kw, alphas={int(k): v for k, v in alphas.items()},
+        flips_per_fold=list(flips), regime="stochastic",
+        oracle_seeds=args.oracle_seeds, seeds=args.seeds,
+    )
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    if not result["all_within_tol"]:
+        sys.exit(1)
+
+
 def main() -> None:
     import argparse
     import os
@@ -297,8 +411,26 @@ def main() -> None:
                     help="also parity-check the conv arch and the "
                          "bimodal crossmodal loss (reference "
                          "run_train.sh families) on the same artifacts")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="non-saturated regime: feature-flipped cohort "
+                         "(design_flipped_cohort) + weaker signal, "
+                         "fold-varying mid-range AUCs, multi-seed "
+                         "intrinsic-variance bands instead of the "
+                         "twin-capped ceiling")
+    ap.add_argument("--seeds", type=int, default=3,
+                    help="our-trainer seeds in the stochastic regime")
+    ap.add_argument("--oracle-seeds", type=int, default=2,
+                    help="reference-trainer seeds (intrinsic variance)")
+    ap.add_argument("--signal", type=float, default=0.9,
+                    help="planted signal strength (stochastic regime)")
+    ap.add_argument("--feat-dim", type=int, default=64,
+                    help="descriptor dim (stochastic regime)")
     ap.add_argument("--out", default=str(REPO / "PARITY_AUC.json"))
     args = ap.parse_args()
+
+    if args.stochastic:
+        run_stochastic(args)
+        return
 
     # Twin patients (identical mid-margin features, opposite labels,
     # both in the same test fold per the deterministic seed-42 split)

@@ -92,6 +92,41 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["fast", "parity", "bf16", "fp32",
                              "inference", "int8"])
 
+    exp = sub.add_parser(
+        "export-pipeline",
+        help="one fused artifact: images -> dense descriptors -> masked "
+             "tokens -> classifier logits (the two stages the reference "
+             "runs as separate Python processes with a feature store "
+             "between them)")
+    exp.add_argument("checkpoint",
+                     help="trained classifier fold checkpoint "
+                          "(model_epoch_NNNN.msgpack)")
+    exp.add_argument("-mn", "--model-name", default="medsam",
+                     help="backbone: medsam or dinov2_vit{s,b,l,g}14")
+    exp.add_argument("-mp", "--model-path", default=None,
+                     help="backbone .pth to convert (random init if "
+                          "absent)")
+    exp.add_argument("-a", "--arch", default="transformer",
+                     choices=["transformer", "conv"])
+    exp.add_argument("-m", "--modality", default="ct",
+                     help="unimodal only: ct, pet or chest")
+    exp.add_argument("-o", "--out", required=True, help="output .vdr path")
+    exp.add_argument("-b", "--batch", type=int, default=1,
+                     help="patients per call (each is a slices-deep "
+                          "volume)")
+    exp.add_argument("--slices", type=int, default=13,
+                     help="static slice count per volume (match the "
+                          "trainer's window: 13 CT / 2 PET)")
+    exp.add_argument("--max-tokens", type=int, default=512,
+                     help="static masked-token budget (transformer arch)")
+    exp.add_argument("--image-size", type=int, default=None)
+    exp.add_argument("--precision", default="fast",
+                     choices=["fast", "parity", "bf16", "fp32",
+                              "inference"])
+    exp.add_argument("--no-flash", action="store_true")
+    exp.add_argument("--num-classes", type=int, default=2)
+    exp.add_argument("--platforms", nargs="+", default=None)
+
     info = sub.add_parser("info", help="print a .vdr artifact's header")
     info.add_argument("artifact")
 
@@ -165,6 +200,35 @@ def _export_clf(args) -> int:
         variables, load_conf(), args.arch, args.modality, args.out,
         batch=args.batch, max_tokens=args.max_tokens,
         conv_shape=tuple(args.conv_shape), policy=args.precision,
+        num_classes=args.num_classes,
+        platforms=tuple(args.platforms) if args.platforms else None,
+    )
+    print(path)
+    return 0
+
+
+def _export_pipeline(args) -> int:
+    from flax import serialization
+
+    from ..engine.extract import DenseExtractor, ExtractionConfig
+    from ..engine.serve import export_pipeline
+    from ..utils.config import load_conf
+
+    with open(args.checkpoint, "rb") as fh:
+        state = serialization.msgpack_restore(fh.read())
+    variables = state["params"] if "params" in state else state
+    # the extractor owns the backbone name->config mapping + .pth
+    # converter dispatch, exactly like the dense export
+    ext = DenseExtractor(ExtractionConfig(
+        model_name=args.model_name, model_path=args.model_path,
+        image_size=args.image_size, precision=args.precision,
+        use_flash=not args.no_flash,
+    ))
+    path = export_pipeline(
+        ext.params, ext.backbone_cfg, variables, load_conf(),
+        args.arch, args.modality, args.out,
+        slices=args.slices, max_tokens=args.max_tokens, batch=args.batch,
+        policy=args.precision, use_flash=not args.no_flash,
         num_classes=args.num_classes,
         platforms=tuple(args.platforms) if args.platforms else None,
     )
@@ -398,7 +462,10 @@ def _run(args) -> int:
 
     enable_persistent_compile_cache()
     model = load_exported(args.artifact)
-    if model.meta.get("kind") == "classifier":
+    if model.meta.get("kind") in ("classifier", "pipeline"):
+        # both are named-in_spec artifacts; the pipeline's images/
+        # grid_mask/spatial_res route through the same padding/latency/
+        # eval machinery
         return _run_classifier(args, model)
     if getattr(args, "labels", None):
         raise SystemExit(
@@ -444,7 +511,8 @@ def main(argv=None) -> int:
 
     if not claim_primary_entry("serve"):
         return 0  # multi-process launch: host job runs on the primary
-    return {"export": _export, "export-clf": _export_clf, "info": _info,
+    return {"export": _export, "export-clf": _export_clf,
+            "export-pipeline": _export_pipeline, "info": _info,
             "run": _run}[args.cmd](args)
 
 

@@ -26,10 +26,20 @@ in lockstep with ``jax.vmap`` —
 
 Semantics match the sequential path (same item order, same dropout key
 table, same optimizer cadence, same checkpoint/early-stop rules);
-equality is asserted in tests/test_foldpar.py.  Not supported here:
-mid-fold resume (use the sequential path to resume a crashed run) and
-multi-process meshes / whole-volume sequence parallelism (the fold axis
-replaces the data axis as the batch-level parallelism).
+equality is asserted in tests/test_foldpar.py.  Crash recovery: a
+stacked-state snapshot (params + optimizer states of ALL folds, plus
+metric histories and stop flags) is written atomically after every
+completed epoch, and ``resume=True`` continues a killed run on the
+exact uninterrupted trajectory (sampler / dataset RNG bit-generator
+states restored from the snapshot sidecar).  Not supported here: multi-process meshes /
+whole-volume sequence parallelism (the fold axis replaces the data axis
+as the batch-level parallelism).
+
+On-chip A/B (round 3, artifacts/bench_all_r3.jsonl): lockstep measured
+0.85× the sequential path — the dispatch-amortization thesis did NOT
+hold on the tunnel backend (the deep queue already hides per-call
+latency), so this stays an opt-in (``--fold-parallel``) rather than the
+default.
 """
 
 from __future__ import annotations
@@ -366,6 +376,87 @@ class ParallelFoldTrainer(FoldTrainer):
         return results[: self.n_folds]
 
 
+def _snapshot_paths(base: Path) -> tuple[Path, Path]:
+    return base / "foldpar_resume.msgpack", base / "foldpar_resume.json"
+
+
+def _save_lockstep_snapshot(
+    base: Path, epoch: int, trainer, history, stopped, fold_keys,
+    sampler_rngs, train_dss,
+) -> None:
+    """Atomic stacked-state snapshot after epoch *epoch* completes.
+
+    One msgpack (stacked params + optimizer states, all folds) + one
+    JSON sidecar (epoch, per-fold metric history, stopped flags, and the
+    exact PCG64 states of the per-fold sampler RNGs AND the datasets'
+    internal augmentation RNGs — JSON carries the 128-bit state ints
+    natively).  Histories reconstruct the patience countdown on restore
+    (FoldBookkeeping replays early-stop state from history); the RNG
+    states make the resumed run draw the exact augmentations the
+    uninterrupted run would have.
+    """
+    import json
+
+    from flax import serialization
+
+    mpath, jpath = _snapshot_paths(base)
+    blob = serialization.to_bytes({
+        "params": jax.device_get(trainer.params),
+        "opt_state": jax.device_get(trainer.opt_state),
+    })
+    tmp = mpath.with_suffix(".msgpack.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    tmp.replace(mpath)
+    tmp = jpath.with_suffix(".json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({
+            "epoch": epoch,
+            "fold_keys": [str(k) for k in fold_keys],
+            "history": {str(k): history[f]
+                        for f, k in enumerate(fold_keys)},
+            "stopped": list(map(bool, stopped)),
+            "sampler_rng": [r.bit_generator.state for r in sampler_rngs],
+            "dataset_rng": [ds.rng.bit_generator.state
+                            for ds in train_dss],
+        }, fh)
+    tmp.replace(jpath)
+
+
+def _load_lockstep_snapshot(base: Path, trainer, fold_keys,
+                            sampler_rngs, train_dss):
+    """Restore a snapshot if present and consistent; None otherwise.
+
+    Returns ``(next_epoch, history, stopped)`` with trainer params /
+    opt_state replaced in place (fold-sharded like init_stacked's) and
+    the sampler/dataset RNG streams set to their exact killed-run
+    states."""
+    import json
+
+    from flax import serialization
+
+    mpath, jpath = _snapshot_paths(base)
+    if not (mpath.exists() and jpath.exists()):
+        return None
+    with open(jpath) as fh:
+        meta = json.load(fh)
+    if meta.get("fold_keys") != [str(k) for k in fold_keys]:
+        return None  # different fold selection: start fresh
+    with open(mpath, "rb") as fh:
+        state = serialization.from_bytes(
+            {"params": jax.device_get(trainer.params),
+             "opt_state": jax.device_get(trainer.opt_state)},
+            fh.read())
+    trainer.params = trainer._put_fold_sharded(state["params"])
+    trainer.opt_state = trainer._put_fold_sharded(state["opt_state"])
+    for rng, st in zip(sampler_rngs, meta["sampler_rng"]):
+        rng.bit_generator.state = st
+    for ds, st in zip(train_dss, meta["dataset_rng"]):
+        ds.rng.bit_generator.state = st
+    history = [meta["history"][str(k)] for k in fold_keys]
+    return meta["epoch"] + 1, history, list(meta["stopped"])
+
+
 def train_kfold_parallel(
     df: pd.DataFrame,
     cfg: dict,
@@ -377,6 +468,7 @@ def train_kfold_parallel(
     folds: Sequence | None = None,
     log=print,
     step_cache: dict | None = None,
+    resume: bool = True,
 ) -> dict:
     """`train_kfold` with every fold in one lockstep vmapped program.
 
@@ -384,8 +476,14 @@ def train_kfold_parallel(
     :func:`engine.train.train_kfold` (per-fold report JSONs, losses.html,
     gated checkpoints, early stopping).  A single-process ``mesh`` shards
     the FOLD axis over its ``data`` axis — one fold per device, zero
-    collectives.  Existing fold checkpoints are NOT resumed (the
-    sequential path handles resume).
+    collectives.  ``resume=True`` (default) restores the stacked-state
+    snapshot written after every completed epoch
+    (``foldpar_resume.msgpack`` + JSON sidecar under the experiment
+    dir) and continues the killed run's exact trajectory: parameters,
+    optimizer moments, metric histories, patience countdowns and the
+    per-fold sampler / dataset RNG streams (exact PCG64 bit-generator
+    states, not replays) all match the uninterrupted run
+    (tests/test_foldpar.py).
     """
     from ..core.mesh import enable_persistent_compile_cache
     from ..data.datasets import prepare_windows
@@ -431,40 +529,52 @@ def train_kfold_parallel(
                                      seed=tcfg.seed + 1, **ds_kwargs))
         d = base / f"kfold_{kfold}"
         d.mkdir(parents=True, exist_ok=True)
-        # fold-parallel never resumes: stale per-epoch artifacts from a
-        # previous (possibly longer) run in the same directory would mix
-        # with this run's — latest_epoch/best-epoch consumers (evaluate,
-        # convert, umap, aggregation) would pick checkpoints or report
-        # JSONs belonging to the abandoned run — so clear them up front
-        for stale in (*d.glob("model_epoch_*.msgpack"),
-                      *d.glob("train_metrics_*.json"),
-                      *d.glob("test_metrics_*.json")):
-            stale.unlink()
         save_dirs.append(d)
 
     trainer.init_stacked(next(batch_items([test_dss[0][0]], 1)))
 
+    # one rng per fold, all seeded like the sequential path (every fold
+    # sees the same stream there too — train_fold builds it from
+    # tcfg.seed); a restored snapshot overwrites these streams' states
+    sampler_rngs = [np.random.default_rng(tcfg.seed + 17)
+                    for _ in fold_keys]
+    restored = (
+        _load_lockstep_snapshot(
+            base, trainer, fold_keys, sampler_rngs, train_dss)
+        if resume else None)
+    if restored is None:
+        # fresh run: stale per-epoch artifacts from a previous (possibly
+        # longer) run in the same directory would mix with this run's —
+        # latest_epoch/best-epoch consumers (evaluate, convert, umap,
+        # aggregation) would pick checkpoints or report JSONs belonging
+        # to the abandoned run — so clear them up front
+        for d in save_dirs:
+            for stale in (*d.glob("model_epoch_*.msgpack"),
+                          *d.glob("train_metrics_*.json"),
+                          *d.glob("test_metrics_*.json")):
+                stale.unlink()
+        start_epoch = 0
+        history = [
+            {k: [] for k in (
+                "epoch", "train_loss", "test_loss", "train_auc",
+                "test_auc", "train_f1", "test_f1", "target_metric")}
+            for _ in fold_keys
+        ]
+        stopped = [False] * len(fold_keys)
+    else:
+        start_epoch, history, stopped = restored
+        log(f"fold-parallel resume: continuing at epoch {start_epoch}")
+
     # per-fold bookkeeping: the SAME FoldBookkeeping the sequential
     # train_fold runs (one source of truth for the target metric,
-    # checkpoint gate and patience rule)
-    history = [
-        {k: [] for k in (
-            "epoch", "train_loss", "test_loss", "train_auc", "test_auc",
-            "train_f1", "test_f1", "target_metric")}
-        for _ in fold_keys
-    ]
+    # checkpoint gate and patience rule); restored histories replay the
+    # patience countdown inside its ctor
     books = [
         FoldBookkeeping(history[f], trainer.patience, save_dirs[f],
                         kfold, tcfg.dataset, log=log)
         for f, kfold in enumerate(fold_keys)
     ]
-    # one rng per fold, all seeded like the sequential path (every fold
-    # sees the same stream there too — train_fold builds it from tcfg.seed)
-    sampler_rngs = [np.random.default_rng(tcfg.seed + 17)
-                    for _ in fold_keys]
-    stopped = [False] * len(fold_keys)
-
-    for epoch in range(trainer.num_epochs):
+    for epoch in range(start_epoch, trainer.num_epochs):
         if all(stopped):
             break
         train_fb, test_fb = [], []
@@ -501,5 +611,8 @@ def train_kfold_parallel(
                 epoch, tr_loss, te_loss, tr_rep, te_rep,
                 lambda f=f: dict(zip(("params", "opt_state"),
                                      trainer.fold_state(f))))
+        _save_lockstep_snapshot(
+            base, epoch, trainer, history, stopped, fold_keys,
+            sampler_rngs, train_dss)
     ckpt.wait_pending()
     return {k: pd.DataFrame(history[f]) for f, k in enumerate(fold_keys)}

@@ -27,8 +27,8 @@ from pathlib import Path
 import numpy as np
 
 __all__ = [
-    "export_dense_model", "export_classifier", "load_exported",
-    "ExportedModel",
+    "export_dense_model", "export_classifier", "export_pipeline",
+    "load_exported", "ExportedModel",
 ]
 
 _MAGIC = b"VDRX0001"
@@ -247,6 +247,168 @@ def export_classifier(
         "policy": policy,
         "in_spec": {k: [list(s), d] for k, (s, d) in in_spec.items()},
         "out_names": out_names,
+        "platforms": list(exported.platforms),
+    }, exported.serialize())
+
+
+def export_pipeline(
+    backbone_params: dict,
+    backbone_cfg,
+    clf_variables: dict,
+    clf_cfg: dict,
+    arch: str,
+    modality: str,
+    out_path,
+    *,
+    slices: int = 13,
+    max_tokens: int = 512,
+    batch: int = 1,
+    policy: str = "fast",
+    use_flash: bool | None = None,
+    num_classes: int = 2,
+    platforms: tuple[str, ...] | None = None,
+) -> str:
+    """One fused artifact: images → dense descriptors → masked tokens →
+    classifier logits.
+
+    The reference runs this as two separate Python stages with a feature
+    store in between — per-slice encoder forwards
+    (/root/reference/src/tfds_dense_descriptor.py:110-139) write HDF5,
+    then a second process re-reads it, builds masked positional-encoded
+    tokens and runs the classifier
+    (/root/reference/src/train_models.py:143-182 →
+    models_archs.py:127-147).  Here the whole diagnosis path is ONE
+    compiled graph in ONE ``.vdr``: no feature-store round trip, no
+    host-side token packing, one device dispatch per patient batch.
+
+    Exported signature (all static shapes; ``g`` = descriptor grid):
+
+    ``(images (B, S, size, size, 3) f32, grid_mask (B, S, g, g) bool,
+    spatial_res (B, 3) f32) → (logits (B, num_classes), cls (B, D))``
+
+    * ``grid_mask`` is the nodule mask ON THE FEATURE GRID (the serving
+      convention: one flag per descriptor cell; ``spatial_res`` is mm
+      per feature-grid step, so coordinates are ``index · res`` exactly
+      like the trainer's square-crop case where ``h_orig == h_new``).
+    * Token building reproduces the trainer semantics in-graph
+      (data/datasets.py::_get_features, train_models.py:143-182): flatten
+      in (h, w, slice) order, full-grid coordinate mean-centering (the
+      reference quirk — mean over ALL voxels, not masked ones), masked
+      voxels' descriptors + ``positional_encoding_3d/4``.  The dynamic
+      masked-token count becomes a static ``max_tokens`` budget via a
+      stable argsort (masked-first, original order kept); the validity
+      mask carries raggedness into the classifier's padded attention.
+    * ``slices`` should match the trainer's window (13 for CT — see
+      ``find_divisor``); pad short volumes with all-false mask rows.
+
+    Currently supports the unimodal transformer and conv classifier
+    archs (the bimodal artifact needs two image stacks — export the two
+    dense halves separately for that).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from ..core.precision import get_policy
+    from ..models.classifiers import build_classifier
+    from ..models.vit import ViTDense
+    from ..ops.posenc import positional_encoding_3d
+
+    if modality in ("petct", "petchest"):
+        raise ValueError(
+            "fused pipeline export is unimodal (one image stack); "
+            "export dense + bimodal classifier artifacts separately")
+    if "params" not in clf_variables:
+        clf_variables = {"params": clf_variables}
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    pol = get_policy(policy)
+    vit = ViTDense(backbone_cfg, policy=pol, use_flash=use_flash)
+    clf = build_classifier(
+        clf_cfg, arch, modality, num_classes=num_classes, policy=pol)
+    feature_dim = clf_cfg["models"][arch]["feature_dim"]
+    if backbone_cfg.feature_dim != feature_dim:
+        raise ValueError(
+            f"backbone emits {backbone_cfg.feature_dim}-d descriptors "
+            f"but the classifier expects feature_dim={feature_dim}")
+    size = backbone_cfg.image_size
+    g = backbone_cfg.grid
+    s = int(slices)
+
+    def tokens_one(feats, mask, res):
+        """(S,g,g,D), (S,g,g) bool, (3,) → static-budget masked tokens.
+
+        Mirrors data/datasets.py::_get_features (h_orig == h_new case).
+        """
+        ii, jj, kk = jnp.meshgrid(
+            jnp.arange(g), jnp.arange(g), jnp.arange(s), indexing="ij")
+        x = jj.astype(jnp.float32) * res[0]
+        y = ii.astype(jnp.float32) * res[1]
+        z = kk.astype(jnp.float32) * res[2]
+        x = (x - x.mean()).reshape(-1)
+        y = (y - y.mean()).reshape(-1)
+        z = (z - z.mean()).reshape(-1)
+        mflat = mask.transpose(1, 2, 0).reshape(-1)          # (g·g·S,)
+        fflat = feats.transpose(1, 2, 0, 3).reshape(-1, feature_dim)
+        # stable sort: masked voxels first, original (h, w, s) order
+        # preserved — the trainer's boolean-select order under a static
+        # token budget
+        idx = jnp.argsort(jnp.logical_not(mflat), stable=True)
+        idx = idx[:max_tokens]
+        valid = jnp.take(mflat, idx)
+        tok = jnp.take(fflat, idx, axis=0)
+        pe = positional_encoding_3d(
+            jnp.take(x, idx), jnp.take(y, idx), jnp.take(z, idx),
+            feature_dim)
+        return (tok + pe / 4.0) * valid[:, None], valid
+
+    def conv_volume_one(feats, mask):
+        return feats * mask[..., None].astype(feats.dtype)
+
+    def forward(images, grid_mask, spatial_res):
+        feats = vit.apply(
+            backbone_params, images.reshape((-1, size, size, 3)))
+        feats = feats.astype(jnp.float32).reshape(
+            (batch, s, g, g, feature_dim))
+        if arch == "conv":
+            vol = jax.vmap(conv_volume_one)(feats, grid_mask)
+            return clf.apply(clf_variables, vol, grid_mask,
+                             deterministic=True)
+        tokens, valid = jax.vmap(tokens_one)(
+            feats, grid_mask, spatial_res)
+        return clf.apply(clf_variables, tokens, valid,
+                         deterministic=True)
+
+    specs = [
+        jax.ShapeDtypeStruct((batch, s, size, size, 3), np.float32),
+        jax.ShapeDtypeStruct((batch, s, g, g), np.bool_),
+        jax.ShapeDtypeStruct((batch, 3), np.float32),
+    ]
+    exported = jexport.export(jax.jit(forward), platforms=platforms)(*specs)
+    knobs = {k: os.environ[k] for k in _FLASH_ENV_KNOBS if k in os.environ}
+    return _write_artifact(out_path, {
+        **({"kernel_env": knobs} if knobs else {}),
+        "kind": "pipeline",
+        "model": backbone_cfg.name,
+        "config": dataclasses.asdict(backbone_cfg),
+        "arch": arch,
+        "modality": modality,
+        "batch": batch,
+        "slices": s,
+        "image_size": size,
+        "grid": g,
+        "max_tokens": (None if arch == "conv" else max_tokens),
+        "feature_dim": feature_dim,
+        "num_classes": num_classes,
+        "policy": policy,
+        "use_flash": use_flash,
+        "in_spec": {
+            "images": [[batch, s, size, size, 3], "float32"],
+            "grid_mask": [[batch, s, g, g], "bool"],
+            "spatial_res": [[batch, 3], "float32"],
+        },
+        "out_names": (["logits", "embedding"] if arch == "conv"
+                      else ["logits", "cls_embedding"]),
         "platforms": list(exported.platforms),
     }, exported.serialize())
 
