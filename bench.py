@@ -257,6 +257,75 @@ def measure_nomax_ab() -> dict:
     return result
 
 
+def measure_window_sweep(
+    candidates=(1, 2, 4, 10, 25, 50),
+    reps: int = 3,
+) -> dict:
+    """On-chip VDR_WINDOW_BATCH sweep (grouped window flash kernel).
+
+    The SAM-B windowed layers dispatch one grid step per window row
+    batch; ``window_batch`` batches rows on the leading block dim to
+    amortise per-step dispatch + one-hot bias builds
+    (ops/attention.py:514-521).  The knob is read at trace time
+    (models/vit.py:480), so each candidate traces its own executable in
+    ONE process over shared params/images; timing reps interleave with
+    rotating order so tunnel mood cancels (same discipline as
+    measure_nomax_ab).  Candidates must divide the window-row count
+    (BATCH·25 for SAM-B@1024) — the model auto-halves otherwise, which
+    would silently duplicate a measured point.
+    """
+    import os
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.precision import FAST
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "bench windowsweep needs the TPU flash window kernel; "
+            f"default backend is {jax.default_backend()!r}")
+    model = ViTDense(SAM_VIT_B, policy=FAST, use_flash=True)
+    images = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(size=(BATCH, 1024, 1024, 3))
+        .astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+
+    applies = {}
+    saved = os.environ.get("VDR_WINDOW_BATCH")
+    try:
+        for g in candidates:
+            os.environ["VDR_WINDOW_BATCH"] = str(g)
+            fn = jax.jit(lambda p, x: model.apply(p, x))
+            float(fn(params, images).sum())          # trace + warm
+            applies[g] = fn
+    finally:
+        if saved is None:
+            os.environ.pop("VDR_WINDOW_BATCH", None)
+        else:
+            os.environ["VDR_WINDOW_BATCH"] = saved
+
+    best = {g: float("inf") for g in applies}
+    order = list(applies)
+    for rep in range(reps):
+        rot = order[rep % len(order):] + order[: rep % len(order)]
+        for g in rot:
+            fn = applies[g]
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                out = fn(params, images)
+            float(out.sum())
+            best[g] = min(best[g], (time.perf_counter() - t0) / STEPS)
+    curve = {g: round(BATCH / dt, 3) for g, dt in best.items()}
+    top = max(curve, key=curve.get)
+    return {"curve": curve, "best_g": top, "best_img_per_s": curve[top]}
+
+
 def measure_finetune(
     configs=((1, False), (2, False), (4, False), (4, True), (8, True)),
     steps: int = 6,
@@ -621,7 +690,7 @@ def main(argv=None):
         # each; a failing mode prints its error and the rest still run.
         # Usage: python bench.py all [mode ...] (default: the full list)
         modes = argv[1:] or ["", "vitl14", "nomax", "e2e", "foldpar",
-                             "int8", "finetune"]
+                             "int8", "finetune", "windowsweep"]
         for mode in modes:
             print(f"# --- bench {mode or 'default'} ---", file=sys.stderr)
             try:
@@ -728,6 +797,18 @@ def main(argv=None):
             # observed max |scaled logit| vs the exp2 overflow bound
             "max_abs_logit": round(r["max_abs_logit"], 3),
             "logit_bound": round(r["logit_bound"], 1),
+        }))
+        return
+    if argv and argv[0] == "windowsweep":
+        _wait_for_backend()
+        r = measure_window_sweep()
+        print(json.dumps({
+            "metric": "sam_vitb16_window_batch_sweep",
+            "value": r["best_img_per_s"],
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "best_window_batch": r["best_g"],
+            "curve": {str(k): v for k, v in r["curve"].items()},
         }))
         return
     if argv and argv[0] == "finetune":

@@ -271,6 +271,7 @@ class TestPipelineExport:
                 "learning_rate": 5e-4, "feature_dim": d, "batch_size": 2,
                 "virtual_batch_size": 4, "num_epochs": 1, "patience": 5,
                 "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+                "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
             },
             "conv": {
                 "learning_rate": 5e-4, "feature_dim": d, "batch_size": 2,
@@ -378,12 +379,237 @@ class TestPipelineExport:
             np.testing.assert_allclose(
                 a, np.asarray(b), rtol=1e-5, atol=1e-5)
 
-    def test_bimodal_pipeline_rejected(self, cfg, tmp_path):
+    def _raw_vs_host(self, cfg, tmp_path, backbone, modality, raw,
+                     host_fn, rtol=1e-5, atol=1e-5):
+        """raw-mode artifact(raw) == rgb-mode artifact(host_fn(raw))."""
         from vit_deep_radiomics_tpu.engine.serve import export_pipeline
 
-        with pytest.raises(ValueError, match="unimodal"):
-            export_pipeline({}, TINY, {}, cfg, "transformer", "petct",
+        images, mask, res, vit, params, clf, pv = self._setup(
+            cfg, "transformer")
+        s, t = 3, 12
+        ns = raw.shape[-1]
+        common = dict(slices=s, max_tokens=t, batch=1, policy="parity",
+                      use_flash=False)
+        path = export_pipeline(
+            params, backbone, pv, cfg, "transformer", modality,
+            tmp_path / "raw.vdr", input_mode="raw_hu", native_size=ns,
+            **common)
+        m = load_exported(path)
+        assert m.meta["input_mode"] == "raw_hu"
+        assert m.meta["in_spec"]["images"] == [
+            [1, s, ns, ns], np.dtype(raw.dtype).name]
+        got = [np.asarray(a) for a in m(raw, mask, res)]
+
+        rgb = np.asarray(host_fn(jnp.asarray(raw[0])))[None]
+        path2 = export_pipeline(
+            params, backbone, pv, cfg, "transformer", modality,
+            tmp_path / "rgb.vdr", **common)
+        m2 = load_exported(path2)
+        assert m2.meta["input_mode"] == "rgb"
+        want = [np.asarray(a) for a in m2(rgb, mask, res)]
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+
+    def test_raw_hu_medsam_window_in_graph(self, cfg, tmp_path):
+        """raw_hu + medsam: int16 HU → window W800/L40 + resize on
+        device == the host DenseExtractor._normalize chain feeding the
+        rgb artifact (ref tfds_dense_descriptor.py:441-443)."""
+        import dataclasses as dc
+
+        from vit_deep_radiomics_tpu.ops import preprocess as pp
+
+        rng = np.random.default_rng(3)
+        hu = rng.integers(
+            -1024, 1500, size=(1, 3, 24, 24)).astype(np.int16)
+        self._raw_vs_host(
+            cfg, tmp_path, dc.replace(TINY, name="medsam"), "ct", hu,
+            lambda v: pp.prepare_vit_input(
+                pp.apply_window_ct(v.astype(jnp.float32), 800.0, 40.0),
+                TINY.image_size))
+
+    def test_raw_hu_dinov2_rgb_and_pet_norm_in_graph(self, cfg, tmp_path):
+        """Non-medsam CT raw mode runs HU→RGB/255 in-graph; PET raw mode
+        runs the per-volume /max (ref tfds_dense_descriptor.py:445-447)."""
+        from vit_deep_radiomics_tpu.ops import preprocess as pp
+
+        rng = np.random.default_rng(4)
+        hu = rng.integers(
+            -1024, 1500, size=(1, 3, 24, 24)).astype(np.int16)
+        # hu_to_rgb ends in an integer trunc: a 1-ulp fusion-order
+        # difference between the exported graph and the eager host chain
+        # flips trunc by a whole /255 step at a band boundary, so this
+        # comparison is structurally looser than the medsam window one
+        self._raw_vs_host(
+            cfg, tmp_path, TINY, "ct", hu,
+            lambda v: pp.prepare_vit_input(
+                pp.hu_to_rgb(v).astype(jnp.float32) / 255.0,
+                TINY.image_size),
+            rtol=1e-2, atol=1e-3)
+        pet = rng.uniform(
+            0.1, 9.0, size=(1, 3, 24, 24)).astype(np.float32)
+        self._raw_vs_host(
+            cfg, tmp_path, TINY, "pet", pet,
+            lambda v: pp.prepare_vit_input(
+                pp.normalize_pet(v), TINY.image_size))
+
+    @staticmethod
+    def _np_tokens(feats, mask, res, t):
+        """Host oracle for the trainer token semantics
+        (data/datasets.py::_get_features, h_orig == h_new, noise=0)."""
+        from vit_deep_radiomics_tpu.ops.posenc import (
+            positional_encoding_3d,
+        )
+
+        s, g, d = feats.shape[0], feats.shape[1], feats.shape[-1]
+        ii, jj, kk = np.meshgrid(
+            np.arange(g), np.arange(g), np.arange(s), indexing="ij")
+        x, y, z = jj * res[0], ii * res[1], kk * res[2]
+        mflat = mask.transpose(1, 2, 0).reshape(-1)
+        fflat = feats.transpose(1, 2, 0, 3).reshape(-1, d)
+        xs = (x - x.mean()).reshape(-1)[mflat]
+        ys = (y - y.mean()).reshape(-1)[mflat]
+        zs = (z - z.mean()).reshape(-1)[mflat]
+        pe = np.asarray(positional_encoding_3d(xs, ys, zs, d))
+        tok = fflat[mflat] + pe / 4.0
+        n = tok.shape[0]
+        assert 0 < n <= t
+        padded = np.zeros((t, d), np.float32)
+        padded[:n] = tok
+        valid = np.zeros((t,), bool)
+        valid[:n] = True
+        return padded, valid
+
+    def _bimodal_setup(self, cfg):
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        rng = np.random.default_rng(7)
+        s_ct, s_pet, g, t = 3, 2, TINY.grid, 12
+        ct_mask = rng.random((1, s_ct, g, g)) > 0.5
+        pet_mask = rng.random((1, s_pet, g, g)) > 0.5
+        ct_mask[0, 0, 0, 0] = pet_mask[0, 0, 0, 0] = True
+        ct_res = np.asarray([[1.5, 2.0, 3.5]], np.float32)
+        pet_res = np.asarray([[4.0, 4.0, 5.0]], np.float32)
+
+        vit = ViTDense(TINY, policy=PARITY, use_flash=False)
+        params = vit.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 3), jnp.float32))
+        clf = build_classifier(cfg, "transformer", "petct",
+                               policy=get_policy("parity"))
+        pv = clf.init(jax.random.PRNGKey(1),
+                      ct_tokens=jnp.zeros((1, t, self.D)),
+                      pet_tokens=jnp.zeros((1, t, self.D)),
+                      ct_mask=jnp.ones((1, t), bool),
+                      pet_mask=jnp.ones((1, t), bool))
+        return (rng, s_ct, s_pet, t, ct_mask, pet_mask, ct_res, pet_res,
+                vit, params, clf, pv)
+
+    def test_bimodal_pipeline_matches_two_stage(self, cfg, tmp_path):
+        """petct fused artifact == dense forwards on both stacks + host
+        token building + the bimodal cross-attention classifier (the
+        reference's flagship crossmodal config, models_archs.py:38-124,
+        served as ONE graph)."""
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+
+        (rng, s_ct, s_pet, t, ct_mask, pet_mask, ct_res, pet_res,
+         vit, params, clf, pv) = self._bimodal_setup(cfg)
+        ct_images = rng.uniform(
+            size=(1, s_ct, 32, 32, 3)).astype(np.float32)
+        pet_images = rng.uniform(
+            size=(1, s_pet, 32, 32, 3)).astype(np.float32)
+
+        path = export_pipeline(
+            params, TINY, pv, cfg, "transformer", "petct",
+            tmp_path / "bi.vdr", slices=s_ct, pet_slices=s_pet,
+            max_tokens=t, batch=1, policy="parity", use_flash=False)
+        m = load_exported(path)
+        assert m.meta["pet_slices"] == s_pet
+        assert list(m.meta["in_spec"]) == [
+            "ct_images", "pet_images", "ct_grid_mask", "pet_grid_mask",
+            "ct_res", "pet_res"]
+        assert m.meta["out_names"] == [
+            "logits", "petct_cls", "logits_ct", "logits_pet"]
+        got = [np.asarray(a) for a in m(
+            ct_images, pet_images, ct_mask, pet_mask, ct_res, pet_res)]
+
+        ct_feats = np.asarray(vit.apply(params, jnp.asarray(ct_images[0])))
+        pet_feats = np.asarray(
+            vit.apply(params, jnp.asarray(pet_images[0])))
+        ct_tok, ct_valid = self._np_tokens(
+            ct_feats, ct_mask[0], ct_res[0], t)
+        pet_tok, pet_valid = self._np_tokens(
+            pet_feats, pet_mask[0], pet_res[0], t)
+        want = clf.apply(
+            pv, ct_tokens=jnp.asarray(ct_tok[None]),
+            pet_tokens=jnp.asarray(pet_tok[None]),
+            ct_mask=jnp.asarray(ct_valid[None]),
+            pet_mask=jnp.asarray(pet_valid[None]), deterministic=True)
+        assert len(got) == 4
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                a, np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_bimodal_raw_hu_pipeline(self, cfg, tmp_path):
+        """Bimodal raw mode: int16 HU CT at one native size + f32 PET at
+        another, each normalized in-graph per modality (ref
+        tfds_dense_descriptor.py:441-447) == host-preprocessed rgb
+        artifact.  hu_to_rgb trunc tolerance as in the unimodal test."""
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+        from vit_deep_radiomics_tpu.ops import preprocess as pp
+
+        (rng, s_ct, s_pet, t, ct_mask, pet_mask, ct_res, pet_res,
+         vit, params, clf, pv) = self._bimodal_setup(cfg)
+        ct_hu = rng.integers(
+            -1024, 1500, size=(1, s_ct, 24, 24)).astype(np.int16)
+        pet_act = rng.uniform(
+            0.1, 9.0, size=(1, s_pet, 16, 16)).astype(np.float32)
+        common = dict(slices=s_ct, pet_slices=s_pet, max_tokens=t,
+                      batch=1, policy="parity", use_flash=False)
+
+        path = export_pipeline(
+            params, TINY, pv, cfg, "transformer", "petct",
+            tmp_path / "biraw.vdr", input_mode="raw_hu",
+            native_size=24, pet_native_size=16, **common)
+        m = load_exported(path)
+        assert m.meta["input_mode"] == "raw_hu"
+        assert m.meta["pet_native_size"] == 16
+        assert m.meta["in_spec"]["ct_images"] == [
+            [1, s_ct, 24, 24], "int16"]
+        assert m.meta["in_spec"]["pet_images"] == [
+            [1, s_pet, 16, 16], "float32"]
+        got = [np.asarray(a) for a in m(
+            ct_hu, pet_act, ct_mask, pet_mask, ct_res, pet_res)]
+
+        ct_rgb = np.asarray(pp.prepare_vit_input(
+            pp.hu_to_rgb(jnp.asarray(ct_hu[0])).astype(jnp.float32)
+            / 255.0, TINY.image_size))[None]
+        pet_rgb = np.asarray(pp.prepare_vit_input(
+            pp.normalize_pet(jnp.asarray(pet_act[0])),
+            TINY.image_size))[None]
+        path2 = export_pipeline(
+            params, TINY, pv, cfg, "transformer", "petct",
+            tmp_path / "birgb.vdr", **common)
+        want = [np.asarray(a) for a in load_exported(path2)(
+            ct_rgb, pet_rgb, ct_mask, pet_mask, ct_res, pet_res)]
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
+    def test_bimodal_conv_pipeline_rejected(self, cfg, tmp_path):
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+
+        with pytest.raises(ValueError, match="transformer"):
+            export_pipeline({}, TINY, {}, cfg, "conv", "petct",
                             tmp_path / "x.vdr")
+
+    def test_bad_input_mode_rejected(self, cfg, tmp_path):
+        from vit_deep_radiomics_tpu.engine.serve import export_pipeline
+
+        with pytest.raises(ValueError, match="input_mode"):
+            export_pipeline({}, TINY, {}, cfg, "transformer", "ct",
+                            tmp_path / "x.vdr", input_mode="jpeg")
 
     def test_feature_dim_mismatch_rejected(self, cfg, tmp_path):
         import copy

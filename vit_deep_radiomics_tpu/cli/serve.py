@@ -109,14 +109,19 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("-a", "--arch", default="transformer",
                      choices=["transformer", "conv"])
     exp.add_argument("-m", "--modality", default="ct",
-                     help="unimodal only: ct, pet or chest")
+                     help="ct, pet, chest — or petct/petchest for the "
+                          "bimodal cross-attention pipeline (two image "
+                          "stacks in one artifact)")
     exp.add_argument("-o", "--out", required=True, help="output .vdr path")
     exp.add_argument("-b", "--batch", type=int, default=1,
                      help="patients per call (each is a slices-deep "
                           "volume)")
     exp.add_argument("--slices", type=int, default=13,
                      help="static slice count per volume (match the "
-                          "trainer's window: 13 CT / 2 PET)")
+                          "trainer's window: 13 CT / 2 PET); bimodal: "
+                          "the CT stack's count")
+    exp.add_argument("--pet-slices", type=int, default=2,
+                     help="bimodal only: PET stack slice count")
     exp.add_argument("--max-tokens", type=int, default=512,
                      help="static masked-token budget (transformer arch)")
     exp.add_argument("--image-size", type=int, default=None)
@@ -126,6 +131,21 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--no-flash", action="store_true")
     exp.add_argument("--num-classes", type=int, default=2)
     exp.add_argument("--platforms", nargs="+", default=None)
+    exp.add_argument("--input-mode", default="rgb",
+                     choices=["rgb", "raw-hu"],
+                     help="rgb: pre-resized (B,S,size,size,3) f32 "
+                          "inputs. raw-hu: native-resolution scanner "
+                          "output (int16 HU for CT, f32 for PET) with "
+                          "windowing/HU->RGB/PET-norm + resize fused "
+                          "into the graph — ~24x less upload per CT "
+                          "volume")
+    exp.add_argument("--native-size", type=int, default=512,
+                     help="raw-hu input resolution (scanner matrix, "
+                          "512 for CT)")
+    exp.add_argument("--pet-native-size", type=int, default=None,
+                     help="bimodal raw-hu: PET native resolution "
+                          "(PET matrices are typically 128-256; "
+                          "default: --native-size)")
 
     info = sub.add_parser("info", help="print a .vdr artifact's header")
     info.add_argument("artifact")
@@ -231,6 +251,10 @@ def _export_pipeline(args) -> int:
         policy=args.precision, use_flash=not args.no_flash,
         num_classes=args.num_classes,
         platforms=tuple(args.platforms) if args.platforms else None,
+        input_mode=args.input_mode.replace("-", "_"),
+        native_size=args.native_size,
+        pet_slices=args.pet_slices,
+        pet_native_size=args.pet_native_size,
     )
     print(path)
     return 0
@@ -346,7 +370,8 @@ def _run_classifier(args, model) -> int:
         if any(p != (0, 0) for p in pads):
             arr = np.pad(arr, pads)
         inputs.append(
-            arr.astype(bool if dtype == "bool" else np.float32, copy=False))
+            arr.astype(bool if dtype == "bool" else np.dtype(dtype),
+                       copy=False))
 
     if n == 0:
         raise SystemExit("input holds 0 items; nothing to run")

@@ -19,6 +19,7 @@ Artifact layout (``<stem>.vdr``): a single file holding a JSON header
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import struct
@@ -267,6 +268,11 @@ def export_pipeline(
     use_flash: bool | None = None,
     num_classes: int = 2,
     platforms: tuple[str, ...] | None = None,
+    input_mode: str = "rgb",
+    native_size: int | None = None,
+    ct_window: tuple[float, float] = (800.0, 40.0),
+    pet_slices: int = 2,
+    pet_native_size: int | None = None,
 ) -> str:
     """One fused artifact: images → dense descriptors → masked tokens →
     classifier logits.
@@ -300,10 +306,36 @@ def export_pipeline(
       mask carries raggedness into the classifier's padded attention.
     * ``slices`` should match the trainer's window (13 for CT — see
       ``find_divisor``); pad short volumes with all-false mask rows.
+    * ``input_mode="raw_hu"`` moves ALL preprocessing in-graph: the
+      artifact takes native-resolution scanner output — ``images
+      (B, S, native, native) int16`` raw HU for CT/chest (float32
+      activity for PET) — and performs the HU window / HU→RGB transfer /
+      PET max-normalisation (ops/preprocess.py, parity with
+      /root/reference/src/tfds_dense_descriptor.py:287-303, 441-447)
+      plus the resize to the backbone input ON DEVICE.  The wire payload
+      per CT volume drops from ``S·size²·3·4`` fp32 bytes to
+      ``S·native²·2`` — 24× less H2D for 512→1024 SAM — which is the
+      binding cost of remote serving (see
+      artifacts/pipeline_serve_r3.json: p50 was upload-bound).
 
-    Currently supports the unimodal transformer and conv classifier
-    archs (the bimodal artifact needs two image stacks — export the two
-    dense halves separately for that).
+    Supports all three classifier families the reference trains: the
+    unimodal transformer, the conv volume net, and — for
+    ``modality="petct"``/``"petchest"`` — the bimodal cross-attention
+    classifier (models_archs.py:38-124), which exports with TWO image
+    stacks:
+
+    ``(ct_images (B, S_ct, …), pet_images (B, S_pet, …),
+    ct_grid_mask (B, S_ct, g, g), pet_grid_mask (B, S_pet, g, g),
+    ct_res (B, 3), pet_res (B, 3)) → (logits, petct_cls, logits_ct,
+    logits_pet)``
+
+    Both stacks run the same frozen backbone (exactly the reference's
+    extraction: one encoder, per-modality normalization —
+    tfds_dense_descriptor.py:441-447); ``pet_slices`` defaults to the
+    trainer's PET window of 2 (``find_divisor``).  In ``raw_hu`` mode
+    the CT stack is int16 HU at ``native_size`` and the PET stack
+    float32 activity at ``pet_native_size`` (defaults to
+    ``native_size``); each gets its own in-graph normalization chain.
     """
     import jax
     import jax.numpy as jnp
@@ -314,10 +346,14 @@ def export_pipeline(
     from ..models.vit import ViTDense
     from ..ops.posenc import positional_encoding_3d
 
-    if modality in ("petct", "petchest"):
+    bimodal = modality in ("petct", "petchest")
+    if bimodal and arch != "transformer":
         raise ValueError(
-            "fused pipeline export is unimodal (one image stack); "
-            "export dense + bimodal classifier artifacts separately")
+            "bimodal pipeline export requires arch='transformer' (the "
+            "reference's conv net is unimodal — models_archs.py:150)")
+    if input_mode not in ("rgb", "raw_hu"):
+        raise ValueError(f"input_mode must be 'rgb' or 'raw_hu', "
+                         f"got {input_mode!r}")
     if "params" not in clf_variables:
         clf_variables = {"params": clf_variables}
     if use_flash is None:
@@ -335,13 +371,14 @@ def export_pipeline(
     g = backbone_cfg.grid
     s = int(slices)
 
-    def tokens_one(feats, mask, res):
+    def tokens_one(feats, mask, res, *, n_slices=None):
         """(S,g,g,D), (S,g,g) bool, (3,) → static-budget masked tokens.
 
         Mirrors data/datasets.py::_get_features (h_orig == h_new case).
         """
+        ns_ = s if n_slices is None else n_slices
         ii, jj, kk = jnp.meshgrid(
-            jnp.arange(g), jnp.arange(g), jnp.arange(s), indexing="ij")
+            jnp.arange(g), jnp.arange(g), jnp.arange(ns_), indexing="ij")
         x = jj.astype(jnp.float32) * res[0]
         y = ii.astype(jnp.float32) * res[1]
         z = kk.astype(jnp.float32) * res[2]
@@ -365,11 +402,42 @@ def export_pipeline(
     def conv_volume_one(feats, mask):
         return feats * mask[..., None].astype(feats.dtype)
 
-    def forward(images, grid_mask, spatial_res):
-        feats = vit.apply(
+    raw = input_mode == "raw_hu"
+    ns = int(native_size or 512)
+    pns = int(pet_native_size or ns)
+    mod_b = "chest" if modality == "petchest" else "ct"
+    raw_dtype = (np.float32 if modality == "pet" else np.int16)
+
+    def preprocess_one(vol, *, mod):
+        """(S, native, native) raw scanner volume → (S, size, size, 3).
+
+        Exactly DenseExtractor._normalize (engine/extract.py) +
+        prepare_vit_input, fused into the serving graph: medsam CT →
+        HU window; dinov2 CT → HU→RGB / 255; PET → per-volume /max
+        (ref tfds_dense_descriptor.py:441-447)."""
+        from ..ops import preprocess as pp
+
+        if mod in ("ct", "chest"):
+            if backbone_cfg.name == "medsam":
+                x = pp.apply_window_ct(
+                    vol.astype(jnp.float32), *ct_window)
+            else:
+                x = pp.hu_to_rgb(vol).astype(jnp.float32) / 255.0
+        else:
+            x = pp.normalize_pet(vol.astype(jnp.float32))
+        return pp.prepare_vit_input(x, size)
+
+    def feats_of(images, n_slices):
+        f = vit.apply(
             backbone_params, images.reshape((-1, size, size, 3)))
-        feats = feats.astype(jnp.float32).reshape(
-            (batch, s, g, g, feature_dim))
+        return f.astype(jnp.float32).reshape(
+            (batch, n_slices, g, g, feature_dim))
+
+    def forward(images, grid_mask, spatial_res):
+        if raw:
+            images = jax.vmap(
+                functools.partial(preprocess_one, mod=modality))(images)
+        feats = feats_of(images, s)
         if arch == "conv":
             vol = jax.vmap(conv_volume_one)(feats, grid_mask)
             return clf.apply(clf_variables, vol, grid_mask,
@@ -379,13 +447,73 @@ def export_pipeline(
         return clf.apply(clf_variables, tokens, valid,
                          deterministic=True)
 
-    specs = [
-        jax.ShapeDtypeStruct((batch, s, size, size, 3), np.float32),
-        jax.ShapeDtypeStruct((batch, s, g, g), np.bool_),
-        jax.ShapeDtypeStruct((batch, 3), np.float32),
-    ]
-    exported = jexport.export(jax.jit(forward), platforms=platforms)(*specs)
+    ps = int(pet_slices)
+
+    def forward_bimodal(ct_images, pet_images, ct_grid_mask,
+                        pet_grid_mask, ct_res, pet_res):
+        if raw:
+            ct_images = jax.vmap(
+                functools.partial(preprocess_one, mod=mod_b))(ct_images)
+            pet_images = jax.vmap(
+                functools.partial(preprocess_one, mod="pet"))(pet_images)
+        ct_tok, ct_valid = jax.vmap(tokens_one)(
+            feats_of(ct_images, s), ct_grid_mask, ct_res)
+        pet_tok, pet_valid = jax.vmap(
+            functools.partial(tokens_one, n_slices=ps))(
+            feats_of(pet_images, ps), pet_grid_mask, pet_res)
+        return clf.apply(
+            clf_variables, ct_tokens=ct_tok, pet_tokens=pet_tok,
+            ct_mask=ct_valid, pet_mask=pet_valid, deterministic=True)
+
+    def img_spec(n_slices, native, dtype):
+        return (
+            jax.ShapeDtypeStruct((batch, n_slices, native, native), dtype)
+            if raw else
+            jax.ShapeDtypeStruct(
+                (batch, n_slices, size, size, 3), np.float32))
+
+    def img_spec_json(n_slices, native, dtype):
+        return ([[batch, n_slices, native, native], np.dtype(dtype).name]
+                if raw else
+                [[batch, n_slices, size, size, 3], "float32"])
+
+    res_spec = jax.ShapeDtypeStruct((batch, 3), np.float32)
+    if bimodal:
+        fwd = forward_bimodal
+        specs = [
+            img_spec(s, ns, np.int16),
+            img_spec(ps, pns, np.float32),
+            jax.ShapeDtypeStruct((batch, s, g, g), np.bool_),
+            jax.ShapeDtypeStruct((batch, ps, g, g), np.bool_),
+            res_spec, res_spec,
+        ]
+    else:
+        fwd = forward
+        specs = [
+            img_spec(s, ns, raw_dtype),
+            jax.ShapeDtypeStruct((batch, s, g, g), np.bool_),
+            res_spec,
+        ]
+    exported = jexport.export(jax.jit(fwd), platforms=platforms)(*specs)
     knobs = {k: os.environ[k] for k in _FLASH_ENV_KNOBS if k in os.environ}
+    if bimodal:
+        in_spec = {
+            "ct_images": img_spec_json(s, ns, np.int16),
+            "pet_images": img_spec_json(ps, pns, np.float32),
+            "ct_grid_mask": [[batch, s, g, g], "bool"],
+            "pet_grid_mask": [[batch, ps, g, g], "bool"],
+            "ct_res": [[batch, 3], "float32"],
+            "pet_res": [[batch, 3], "float32"],
+        }
+        out_names = ["logits", "petct_cls", "logits_ct", "logits_pet"]
+    else:
+        in_spec = {
+            "images": img_spec_json(s, ns, raw_dtype),
+            "grid_mask": [[batch, s, g, g], "bool"],
+            "spatial_res": [[batch, 3], "float32"],
+        }
+        out_names = (["logits", "embedding"] if arch == "conv"
+                     else ["logits", "cls_embedding"])
     return _write_artifact(out_path, {
         **({"kernel_env": knobs} if knobs else {}),
         "kind": "pipeline",
@@ -395,6 +523,7 @@ def export_pipeline(
         "modality": modality,
         "batch": batch,
         "slices": s,
+        **({"pet_slices": ps} if bimodal else {}),
         "image_size": size,
         "grid": g,
         "max_tokens": (None if arch == "conv" else max_tokens),
@@ -402,13 +531,12 @@ def export_pipeline(
         "num_classes": num_classes,
         "policy": policy,
         "use_flash": use_flash,
-        "in_spec": {
-            "images": [[batch, s, size, size, 3], "float32"],
-            "grid_mask": [[batch, s, g, g], "bool"],
-            "spatial_res": [[batch, 3], "float32"],
-        },
-        "out_names": (["logits", "embedding"] if arch == "conv"
-                      else ["logits", "cls_embedding"]),
+        "input_mode": input_mode,
+        **({"native_size": ns, "ct_window": list(ct_window),
+            **({"pet_native_size": pns} if bimodal else {})}
+           if raw else {}),
+        "in_spec": in_spec,
+        "out_names": out_names,
         "platforms": list(exported.platforms),
     }, exported.serialize())
 
