@@ -257,6 +257,74 @@ def measure_nomax_ab() -> dict:
     return result
 
 
+def measure_batch_sweep(
+    candidates=(2, 4, 8, 16),
+    reps: int = 3,
+) -> dict:
+    """On-chip image-batch sweep of the flagship SAM-B dense forward.
+
+    The bench's steady-state BATCH=4 was never swept: larger batches
+    amortise per-dispatch overhead and the fixed LN/reshape glue
+    between matmuls, at the cost of HBM working set.  One process, one
+    shared param set, per-candidate images + executables, rotating
+    interleaved timing (tunnel variance cancels); throughput is img/s
+    so points are directly comparable.  OOM candidates are recorded,
+    not fatal.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.precision import FAST
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    if jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "bench batchsweep measures the TPU dense path; default "
+            f"backend is {jax.default_backend()!r}")
+    model = ViTDense(SAM_VIT_B, policy=FAST, use_flash=True)
+    rng = np.random.default_rng(0)
+    init_x = jnp.asarray(
+        rng.uniform(size=(1, 1024, 1024, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_x)
+
+    cases = {}
+    failed = {}
+    for b in candidates:
+        x = jnp.asarray(
+            rng.uniform(size=(b, 1024, 1024, 3)).astype(np.float32))
+        fn = jax.jit(lambda p, im: model.apply(p, im))
+        try:
+            float(fn(params, x).sum())              # trace + warm
+        except Exception as e:                      # noqa: BLE001
+            msg = str(e)
+            failed[b] = ("oom" if "memory" in msg.lower()
+                         else msg.splitlines()[0][:120])
+            print(f"# batch={b}: {failed[b]}", file=sys.stderr)
+            continue
+        cases[b] = (fn, x)
+    if not cases:
+        raise RuntimeError(f"every batch candidate failed: {failed}")
+
+    best = {b: float("inf") for b in cases}
+    order = list(cases)
+    for rep in range(reps):
+        rot = order[rep % len(order):] + order[: rep % len(order)]
+        for b in rot:
+            fn, x = cases[b]
+            steps = max(6, STEPS * BATCH // b)   # ~equal images/round
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = fn(params, x)
+            float(out.sum())
+            best[b] = min(best[b], (time.perf_counter() - t0) / steps)
+    curve = {b: round(b / dt, 3) for b, dt in best.items()}
+    top = max(curve, key=curve.get)
+    return {"curve": curve, "best_batch": top,
+            "best_img_per_s": curve[top], "failed": failed}
+
+
 def measure_window_sweep(
     candidates=(1, 2, 4, 10, 25, 50),
     reps: int = 3,
@@ -297,18 +365,32 @@ def measure_window_sweep(
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
 
     applies = {}
+    failed = {}
     saved = os.environ.get("VDR_WINDOW_BATCH")
     try:
         for g in candidates:
             os.environ["VDR_WINDOW_BATCH"] = str(g)
             fn = jax.jit(lambda p, x: model.apply(p, x))
-            float(fn(params, images).sum())          # trace + warm
+            try:
+                float(fn(params, images).sum())      # trace + warm
+            except Exception as e:                   # noqa: BLE001
+                # big row batches blow the 64 MB scoped-VMEM stack of
+                # the fused-QKV kernel (measured: g=25 at batch 4 needs
+                # 81.5 MB) — record the infeasible point, keep sweeping
+                msg = str(e)
+                failed[g] = ("vmem_oom" if "vmem" in msg.lower()
+                             else msg.splitlines()[0][:120])
+                print(f"# window_batch={g}: {failed[g]}",
+                      file=sys.stderr)
+                continue
             applies[g] = fn
     finally:
         if saved is None:
             os.environ.pop("VDR_WINDOW_BATCH", None)
         else:
             os.environ["VDR_WINDOW_BATCH"] = saved
+    if not applies:
+        raise RuntimeError(f"every window_batch candidate failed: {failed}")
 
     best = {g: float("inf") for g in applies}
     order = list(applies)
@@ -323,7 +405,8 @@ def measure_window_sweep(
             best[g] = min(best[g], (time.perf_counter() - t0) / STEPS)
     curve = {g: round(BATCH / dt, 3) for g, dt in best.items()}
     top = max(curve, key=curve.get)
-    return {"curve": curve, "best_g": top, "best_img_per_s": curve[top]}
+    return {"curve": curve, "best_g": top, "best_img_per_s": curve[top],
+            "failed": failed}
 
 
 def measure_finetune(
@@ -690,7 +773,8 @@ def main(argv=None):
         # each; a failing mode prints its error and the rest still run.
         # Usage: python bench.py all [mode ...] (default: the full list)
         modes = argv[1:] or ["", "vitl14", "nomax", "e2e", "foldpar",
-                             "int8", "finetune", "windowsweep"]
+                             "int8", "finetune", "windowsweep",
+                             "batchsweep"]
         for mode in modes:
             print(f"# --- bench {mode or 'default'} ---", file=sys.stderr)
             try:
@@ -799,6 +883,19 @@ def main(argv=None):
             "logit_bound": round(r["logit_bound"], 1),
         }))
         return
+    if argv and argv[0] == "batchsweep":
+        _wait_for_backend()
+        r = measure_batch_sweep()
+        print(json.dumps({
+            "metric": "sam_vitb16_dense_batch_sweep",
+            "value": r["best_img_per_s"],
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "best_batch": r["best_batch"],
+            "curve": {str(k): v for k, v in r["curve"].items()},
+            "failed": {str(k): v for k, v in r["failed"].items()},
+        }))
+        return
     if argv and argv[0] == "windowsweep":
         _wait_for_backend()
         r = measure_window_sweep()
@@ -809,6 +906,7 @@ def main(argv=None):
             "vs_baseline": 0.0,
             "best_window_batch": r["best_g"],
             "curve": {str(k): v for k, v in r["curve"].items()},
+            "failed": {str(k): v for k, v in r["failed"].items()},
         }))
         return
     if argv and argv[0] == "finetune":

@@ -525,6 +525,21 @@ def test_serve_classifier_cli(tmp_path, capsys, monkeypatch):
     np.testing.assert_allclose(out["cls_embedding"], np.asarray(want_cls),
                                rtol=1e-5, atol=1e-5)
 
+    # --overlap (double-buffered uploads) must be output-identical to
+    # the sequential path — only the H2D scheduling changes
+    rc = cli_serve.main([
+        "run", str(artifact), "--overlap",
+        "--input", str(tmp_path / "in.npz"),
+        "--output", str(tmp_path / "out_ov.npz"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["overlap"] is True and report["items"] == 5
+    out_ov = np.load(tmp_path / "out_ov.npz")
+    np.testing.assert_array_equal(out_ov["logits"], out["logits"])
+    np.testing.assert_array_equal(
+        out_ov["cls_embedding"], out["cls_embedding"])
+
     # --labels adds device-kernel AUC/accuracy/F1 for each logits output
     labels = np.array([0, 1, 0, 1, 1], np.float32)
     np.save(tmp_path / "labels.npy", labels)

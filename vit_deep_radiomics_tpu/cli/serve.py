@@ -160,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "omitted: all-valid assumed)")
     run.add_argument("--key", default=None,
                      help="array name inside an .npz input")
+    run.add_argument("--overlap", action="store_true",
+                     help="double-buffer host->device uploads: enqueue "
+                          "batch j+1's transfers while batch j computes "
+                          "(throughput mode; per-batch latencies then "
+                          "measure the pipelined step, not isolated "
+                          "round trips)")
     run.add_argument("--poly-chunk", type=int, default=1024,
                      help="poly-batch artifacts: stream this many items "
                           "per device call instead of one giant batch "
@@ -385,10 +391,9 @@ def _run_classifier(args, model) -> int:
     else:
         batch = int(batch)
     pad = 0 if poly else (-n) % batch
-    outs = None
-    lat = []
-    t0 = time.time()
-    for i in range(0, n + pad, batch):
+    overlap = bool(getattr(args, "overlap", False))
+
+    def _chunk(i):
         chunk = []
         for arr in inputs:
             part = arr[i:i + batch]
@@ -397,9 +402,28 @@ def _run_classifier(args, model) -> int:
                     part, [(0, batch - part.shape[0])]
                     + [(0, 0)] * (part.ndim - 1))
             chunk.append(part)
+        if overlap:
+            # enqueue the H2D transfers now so the NEXT batch's upload
+            # rides under the current batch's device compute — the
+            # binding cost of remote serving is the host→device link
+            # (artifacts/pipeline_serve_raw_r3.json: upload ≈ 185 of
+            # 427 ms p50 even in raw mode)
+            import jax
+
+            chunk = [jax.device_put(a) for a in chunk]
+        return chunk
+
+    starts = list(range(0, n + pad, batch))
+    outs = None
+    lat = []
+    t0 = time.time()
+    cur = _chunk(starts[0]) if starts else None
+    for j, i in enumerate(starts):
         tb = time.time()
-        got = model(*chunk)
+        got = model(*cur)
         got = got if isinstance(got, (tuple, list)) else (got,)
+        # upload the next batch while the device is busy with this one
+        cur = _chunk(starts[j + 1]) if j + 1 < len(starts) else None
         got = [np.asarray(g) for g in got]  # materialize = sync
         lat.append(time.time() - tb)
         if outs is None:
@@ -418,6 +442,7 @@ def _run_classifier(args, model) -> int:
     print(json.dumps({
         "items": n, "batch": batch, "seconds": round(dt, 3),
         "items_per_s": round(n / dt, 2) if dt > 0 else None,
+        **({"overlap": True} if overlap else {}),
         **_latency_stats(lat),
         "outputs": {k: list(v.shape) for k, v in named.items()},
         "output": args.output,
