@@ -86,3 +86,63 @@ class TestAUCParityNorthStar:
         ref, _ = parity_runs
         assert all(len(v) == 6 for v in ref.values()), {
             k: len(v) for k, v in ref.items()}
+
+
+class TestGradedCohortDesign:
+    """design_graded_cohort: the non-saturated parity regime's designed
+    fold caps must be fold-varying, mid-range, and consistent with the
+    split contract (seed-42 StratifiedKFold, split_patients.py:23-34)."""
+
+    def test_full_spec_caps_are_fold_varying(self):
+        from auc_parity import GRADED_PLANTS_FULL, design_graded_cohort
+
+        alphas, plants, caps = design_graded_cohort(
+            30, 5, GRADED_PLANTS_FULL)
+        assert caps == {0: pytest.approx(8 / 9), 1: pytest.approx(7 / 9),
+                        2: pytest.approx(6 / 9), 3: 1.0,
+                        4: pytest.approx(8 / 9)}
+        # mid-range: at least 3 distinct non-saturated values
+        assert len({round(c, 6) for c in caps.values()}) >= 4
+        assert max(caps.values()) - min(caps.values()) >= 0.3
+
+    def test_plants_keep_their_labels_and_are_interior(self):
+        from auc_parity import GRADED_PLANTS_FULL, design_graded_cohort
+
+        alphas, plants, _ = design_graded_cohort(
+            30, 5, GRADED_PLANTS_FULL)
+        for k, entries in plants.items():
+            for e in entries:
+                # patient label is i % 2 (write_synthetic_feature_store)
+                assert e["label"] == e["patient"] % 2
+                assert abs(e["position"]) < 1.0      # inside the margin
+                assert alphas[e["patient"]] == e["position"]
+        # each patient planted at most once (test folds are disjoint)
+        all_ids = [e["patient"] for es in plants.values() for e in es]
+        assert len(all_ids) == len(set(all_ids)) == len(alphas)
+
+    def test_cap_matches_roc_of_designed_positions(self):
+        """The designed cap IS roc_auc(labels, positions) with cleans at
+        ±1 — recomputed here independently per fold."""
+        from sklearn.metrics import roc_auc_score
+        from sklearn.model_selection import StratifiedKFold
+
+        import numpy as np
+
+        from auc_parity import GRADED_PLANTS_QUICK, design_graded_cohort
+
+        n = 12
+        alphas, _, caps = design_graded_cohort(n, 2, GRADED_PLANTS_QUICK)
+        labels = np.arange(n) % 2
+        skf = StratifiedKFold(2, shuffle=True, random_state=42)
+        for k, (_, te) in enumerate(skf.split(np.zeros(n), labels)):
+            y = labels[te]
+            score = [alphas.get(int(i), 2.0 * labels[i] - 1.0)
+                     for i in te]
+            assert caps[k] == pytest.approx(roc_auc_score(y, score))
+
+    def test_exhausted_pool_is_an_error(self):
+        from auc_parity import design_graded_cohort
+
+        with pytest.raises(ValueError, match="no unplanted"):
+            design_graded_cohort(
+                8, 2, {0: [(1, -0.1), (1, -0.2), (1, -0.3)]})
