@@ -178,14 +178,14 @@ def measure_tpu(policy_name: str = "fast") -> float:
     return BATCH / best
 
 
-def measure_nomax_ab() -> dict:
-    """In-process alternating A/B of the nomax flash softmax
-    (VDR_FLASH_NOMAX — ops/attention.py) against the default kernels.
+def _interleaved_env_ab(env_key: str, variants) -> dict:
+    """Shared core of the single-process env-knob A/Bs (nomax, mlpfuse).
 
-    Both variants compile in ONE process over the same params/images and
-    the timing reps interleave with alternating order, so tunnel mood
-    cancels — the between-run variance through this tunnel is ±15%,
-    which would swamp the expected few-percent delta.
+    Traces one executable per (name, flag) under its env value — the
+    knobs are read at TRACE time — then times them with alternating
+    order so tunnel mood cancels (between-run variance through this
+    tunnel is ±15%, which would swamp a few-percent delta).  Returns
+    best img/s per variant name.
     """
     import os
 
@@ -202,8 +202,8 @@ def measure_nomax_ab() -> dict:
         # would contain the kernels and the "A/B" would record noise —
         # the same mislabeling class the int8 export guards reject
         raise RuntimeError(
-            "bench nomax needs the TPU flash path; default backend is "
-            f"{jax.default_backend()!r}")
+            f"bench {env_key} A/B needs the TPU flash path; default "
+            f"backend is {jax.default_backend()!r}")
     model = ViTDense(SAM_VIT_B, policy=FAST, use_flash=True)
     images = jnp.asarray(
         np.random.default_rng(0)
@@ -212,27 +212,26 @@ def measure_nomax_ab() -> dict:
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
 
-    # the env knob is read at TRACE time: trace each variant's own jit
-    # wrapper under its env value, then timing is executable-fixed.
     # Restore the caller's value even on a mid-trace failure — under
     # `bench.py all` a leaked flag would contaminate every later mode.
     applies = {}
-    saved = os.environ.get("VDR_FLASH_NOMAX")
+    saved = os.environ.get(env_key)
     try:
-        for name, flag in (("base", "0"), ("nomax", "1")):
-            os.environ["VDR_FLASH_NOMAX"] = flag
+        for name, flag in variants:
+            os.environ[env_key] = flag
             fn = jax.jit(lambda p, x: model.apply(p, x))
             float(fn(params, images).sum())          # trace + warm
             applies[name] = fn
     finally:
         if saved is None:
-            os.environ.pop("VDR_FLASH_NOMAX", None)
+            os.environ.pop(env_key, None)
         else:
-            os.environ["VDR_FLASH_NOMAX"] = saved
+            os.environ[env_key] = saved
 
-    best = {"base": float("inf"), "nomax": float("inf")}
+    names = [name for name, _ in variants]
+    best = {name: float("inf") for name in names}
     for rep in range(4):
-        order = ["base", "nomax"] if rep % 2 == 0 else ["nomax", "base"]
+        order = names if rep % 2 == 0 else names[::-1]
         for name in order:
             fn = applies[name]
             t0 = time.perf_counter()
@@ -241,7 +240,39 @@ def measure_nomax_ab() -> dict:
             float(out.sum())
             best[name] = min(best[name],
                              (time.perf_counter() - t0) / STEPS)
-    result = {name: BATCH / dt for name, dt in best.items()}
+    return {
+        "model": model, "params": params, "images": images,
+        "img_per_s": {name: BATCH / dt for name, dt in best.items()},
+    }
+
+
+def measure_fused_mlp_ab() -> dict:
+    """Interleaved A/B of the fused LN→MLP→residual Pallas kernel
+    (VDR_FUSED_MLP — ops/mlp_fused.py) against the plain XLA module
+    path.  Added when the round-3 components ablation read the fused
+    path ~0.9 ms SLOWER than XLA post-nomax — the round-2 +1 img/s win
+    needed re-deciding under the interleaved discipline."""
+    r = _interleaved_env_ab(
+        "VDR_FUSED_MLP", (("fused", "1"), ("unfused", "0")))
+    return r["img_per_s"]
+
+
+def measure_nomax_ab() -> dict:
+    """In-process alternating A/B of the nomax flash softmax
+    (VDR_FLASH_NOMAX — ops/attention.py) against the default kernels.
+
+    Both variants compile in ONE process over the same params/images and
+    the timing reps interleave with alternating order, so tunnel mood
+    cancels (see _interleaved_env_ab).
+    """
+    import numpy as np
+
+    import jax
+
+    r = _interleaved_env_ab(
+        "VDR_FLASH_NOMAX", (("base", "0"), ("nomax", "1")))
+    model, params, images = r["model"], r["params"], r["images"]
+    result = dict(r["img_per_s"])
 
     # Measure the nomax precondition, don't just assert it in prose:
     # max |scaled logit| (rel-pos bias included, fp32 oracle path) on
@@ -881,6 +912,26 @@ def main(argv=None):
             # observed max |scaled logit| vs the exp2 overflow bound
             "max_abs_logit": round(r["max_abs_logit"], 3),
             "logit_bound": round(r["logit_bound"], 1),
+        }))
+        return
+    if argv and argv[0] == "mlpfuse":
+        # interleaved same-process A/B of the fused LN→MLP→residual
+        # Pallas kernel vs the plain XLA module path (VDR_FUSED_MLP)
+        _wait_for_backend()
+        r = measure_fused_mlp_ab()
+        flops = sam_vitb_flops_per_image()
+        winner = "fused" if r["fused"] >= r["unfused"] else "unfused"
+        print(json.dumps({
+            "metric": "sam_vitb16_dense_mlpfuse_ab",
+            "value": round(max(r.values()), 3),
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "fused_img_per_s": round(r["fused"], 3),
+            "unfused_img_per_s": round(r["unfused"], 3),
+            "speedup_fused_vs_unfused": round(r["fused"] / r["unfused"], 4),
+            "winner": winner,
+            "mfu_best": round(
+                max(r.values()) * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
         }))
         return
     if argv and argv[0] == "batchsweep":

@@ -817,16 +817,19 @@ class Block(nn.Module):
                 nn.initializers.constant(cfg.layerscale_init),
                 (cfg.width,), self.policy.param_dtype,
             )
-        # Fused LN→MLP→residual Pallas kernel (ops/mlp_fused.py) on the
-        # bf16 inference fast path: the 4×-wide hidden activation never
-        # touches HBM.  Same param tree as the module path (param-only
-        # calls below), so checkpoints are path-independent.  The
-        # trainable/parity/CPU paths keep the unfused modules.
+        # Fused LN→MLP→residual Pallas kernel (ops/mlp_fused.py), OPT-IN
+        # via VDR_FUSED_MLP=1.  Same param tree as the module path
+        # (param-only calls below), so checkpoints are path-independent.
+        # Default OFF since round 3: under the promoted nomax attention
+        # the interleaved on-chip A/B reads the plain XLA modules 2.6%
+        # FASTER than the kernel (112.5 vs 109.7 img/s @B4,
+        # `bench.py mlpfuse`) — the round-2 +1 img/s kernel win inverted.
+        # The trainable/parity/CPU paths always use the unfused modules.
         if (
             self.fused_mlp and not self.trainable and self.use_flash
             and self.policy.compute_dtype == jnp.bfloat16
             and not self.policy.quantized  # int8 path: quantized Mlp
-            and os.environ.get("VDR_FUSED_MLP", "1") != "0"
+            and os.environ.get("VDR_FUSED_MLP", "0") == "1"
         ):
             sc, bi = norm2(None)
             w1, b1, w2, b2 = mlp(None)

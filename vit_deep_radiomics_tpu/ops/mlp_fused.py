@@ -19,6 +19,16 @@ residual add.  The trainable/parity paths keep the unfused modules (the
 kernel is forward-only); reference composition at
 /root/reference/src/models_archs.py:186-200 (MLPLayer) — here fused
 with the pre-norm and skip connection of the standard ViT block.
+
+STATUS (round 3): OPT-IN, default off.  The bandwidth argument above
+did not survive contact with the compiler: XLA's in-context fusion of
+the gelu chain leaves far less HBM traffic than the naive model
+predicts, and under the promoted nomax attention path the interleaved
+on-chip A/B (``bench.py mlpfuse``) measures the plain modules 2.6%
+FASTER than this kernel (112.5 vs 109.7 img/s @B4; the round-2
+measurement had the kernel +1 img/s ahead).  Kept opt-in
+(``VDR_FUSED_MLP=1``) with its numerics tests — the bit-exactness
+contract still holds.
 """
 
 from __future__ import annotations
