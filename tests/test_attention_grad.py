@@ -143,3 +143,125 @@ class TestGradients:
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(g_ref, np.float32),
             atol=5e-2, rtol=5e-2)
+
+
+class TestWindowTrainable:
+    """Fused-layout window attention VJP (window_attention_trainable)
+    vs a dense per-head reference on the same packed inputs — values and
+    gradients for q_arr, kv_arr and both pair-merged bias operands."""
+
+    @staticmethod
+    def _make(rng, b=6, heads=4, d=64, kh=4, kw=4):
+        from vit_deep_radiomics_tpu.ops.attention import _head_group
+
+        pair = _head_group(heads, d)
+        s = kh * kw
+        c = heads * d
+        q_arr = _rand(rng, b, s, c) * 0.5
+        kv_arr = _rand(rng, b, s, 2 * c) * 0.5
+        bias_h = _rand(rng, b, heads // pair, s, pair * kh) * 0.3
+        bias_w = _rand(rng, b, heads // pair, s, pair * kw) * 0.3
+        return q_arr, kv_arr, bias_h, bias_w, heads, d, pair, s, c
+
+    @staticmethod
+    def _dense_ref(q_arr, kv_arr, bias_h, bias_w, heads, d, pair, s, c):
+        """Per-head dense softmax attention on the packed layout."""
+        outs = []
+        scale = d ** -0.5
+        for n in range(heads):
+            q = q_arr[:, :, n * d:(n + 1) * d]
+            k = kv_arr[:, :, n * d:(n + 1) * d]
+            v = kv_arr[:, :, c + n * d:c + (n + 1) * d]
+            slot = n % pair
+            kh = bias_h.shape[-1] // pair
+            kw = bias_w.shape[-1] // pair
+            bh = bias_h[:, n // pair, :, slot * kh:(slot + 1) * kh]
+            bw = bias_w[:, n // pair, :, slot * kw:(slot + 1) * kw]
+            logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+            logits = (
+                logits
+                + bh[:, :, jnp.arange(s) // kw]
+                + bw[:, :, jnp.arange(s) % kw]
+            )
+            p = jax.nn.softmax(logits, axis=-1)
+            outs.append(jnp.einsum("bqk,bkd->bqd", p, v))
+        return jnp.concatenate(outs, axis=-1)
+
+    def test_forward_matches_dense(self, rng):
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            window_attention_trainable,
+        )
+
+        q_arr, kv_arr, bh, bw, heads, d, pair, s, c = self._make(rng)
+        out = window_attention_trainable(
+            q_arr, kv_arr, bias_h=bh, bias_w=bw,
+            num_heads=heads, window_tokens=s, window_batch=3,
+            interpret=INTERPRET,
+        )
+        ref = self._dense_ref(q_arr, kv_arr, bh, bw, heads, d, pair, s, c)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_grads_match_dense(self, rng):
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            window_attention_trainable,
+        )
+
+        q_arr, kv_arr, bh, bw, heads, d, pair, s, c = self._make(rng)
+        cot = jnp.asarray(
+            np.sin(np.arange(q_arr.size)).reshape(q_arr.shape)
+            .astype(np.float32))
+
+        def loss_flash(q_arr, kv_arr, bh, bw):
+            out = window_attention_trainable(
+                q_arr, kv_arr, bias_h=bh, bias_w=bw,
+                num_heads=heads, window_tokens=s, window_batch=2,
+                interpret=INTERPRET,
+            )
+            return (out * cot).sum()
+
+        def loss_ref(q_arr, kv_arr, bh, bw):
+            out = self._dense_ref(
+                q_arr, kv_arr, bh, bw, heads, d, pair, s, c)
+            return (out * cot).sum()
+
+        got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(
+            q_arr, kv_arr, bh, bw)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            q_arr, kv_arr, bh, bw)
+        for g, w, name in zip(got, want, ("dq", "dkv", "dbh", "dbw")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4,
+                err_msg=name)
+
+    def test_no_bias_grads(self, rng):
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            window_attention_trainable,
+        )
+
+        q_arr, kv_arr, _, _, heads, d, pair, s, c = self._make(rng, b=4)
+        cot = jnp.asarray(
+            np.cos(np.arange(q_arr.size)).reshape(q_arr.shape)
+            .astype(np.float32))
+
+        def loss_flash(q_arr, kv_arr):
+            out = window_attention_trainable(
+                q_arr, kv_arr,
+                num_heads=heads, window_tokens=s, window_batch=1,
+                interpret=INTERPRET,
+            )
+            return (out * cot).sum()
+
+        def loss_ref(q_arr, kv_arr):
+            zero_bh = jnp.zeros((4, heads // pair, s, pair * 4))
+            zero_bw = jnp.zeros((4, heads // pair, s, pair * 4))
+            out = self._dense_ref(
+                q_arr, kv_arr, zero_bh, zero_bw, heads, d, pair, s, c)
+            return (out * cot).sum()
+
+        got = jax.grad(loss_flash, argnums=(0, 1))(q_arr, kv_arr)
+        want = jax.grad(loss_ref, argnums=(0, 1))(q_arr, kv_arr)
+        for g, w, name in zip(got, want, ("dq", "dkv")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4,
+                err_msg=name)

@@ -44,6 +44,47 @@ class TestTrainableViT:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
+    def test_bf16_fused_window_grads_track_oracle(self, rng):
+        """The bf16 FAST trainable path routes windowed layers through
+        the fused-layout window VJP (ops/attention_grad.py::
+        window_attention_trainable, round 3); its gradients must track
+        the fp32 XLA oracle within bf16 rounding.  Exact kernel-level
+        equality is pinned separately in tests/test_attention_grad.py::
+        TestWindowTrainable (fp32 interpret vs dense reference)."""
+        from vit_deep_radiomics_tpu.core.precision import FAST
+
+        imgs = jnp.asarray(
+            rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+        oracle = ViTDense(TINY_SAM, policy=PARITY, use_flash=False)
+        params = oracle.init(jax.random.PRNGKey(0), imgs)
+        fast = ViTDense(
+            TINY_SAM, policy=FAST, use_flash=True, trainable=True)
+
+        def loss(model, p):
+            out = model.apply(p, imgs)
+            return (out.astype(jnp.float32) ** 2).mean()
+
+        out_ref = oracle.apply(params, imgs).astype(jnp.float32)
+        out_fast = fast.apply(params, imgs).astype(jnp.float32)
+        scale = float(jnp.abs(out_ref).max())
+        assert float(jnp.abs(out_fast - out_ref).max()) < 0.05 * scale
+
+        g_ref = jax.grad(lambda p: loss(oracle, p))(params)
+        g_fl = jax.grad(lambda p: loss(fast, p))(params)
+        flat_fl = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(g_fl)
+        )
+        for key, ref in jax.tree_util.tree_leaves_with_path(g_ref):
+            ks = jax.tree_util.keystr(key)
+            ref = np.asarray(ref, np.float32)
+            got = np.asarray(flat_fl[ks], np.float32)
+            # 5% of the leaf's own scale, floored at 1e-4 absolute:
+            # near-zero leaves (e.g. proj_bias whose grads cancel across
+            # the symmetric loss) otherwise demand sub-bf16-noise equality
+            tol = max(0.05 * float(np.abs(ref).max()), 5e-4)
+            np.testing.assert_allclose(got, ref, atol=tol, err_msg=ks)
+
     def test_nonpow2_padded_len_forward(self, rng):
         """1090 tokens pad to 1536 (not a 1024 multiple): both the
         inference and the trainable no-bias flash paths must pick a

@@ -45,6 +45,111 @@ def time_model(model, params, x, reps=12):
     return best
 
 
+def train_components_main(batch: int) -> None:
+    """Identity-ablation profile of the TRAINABLE fwd+bwd step.
+
+    Times ``value_and_grad(sum(apply²))`` of the trainable SAM ViT-B
+    with components replaced by identity: attention (all / windowed-only
+    / global-only via the token count at the call site), MLP.  The
+    differences localise the 24.6%-training-MFU gap (bench finetune)
+    between the attention fwd/bwd kernels + their XLA glue and the rest.
+    """
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_deep_radiomics_tpu.core.mesh import (
+        enable_persistent_compile_cache,
+    )
+    from vit_deep_radiomics_tpu.core.precision import FAST
+    from vit_deep_radiomics_tpu.models import vit as vit_mod
+    from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B, ViTDense
+
+    enable_persistent_compile_cache()
+    x = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(size=(batch, 1024, 1024, 3))
+        .astype(np.float32)
+    )
+
+    saved_call = vit_mod.WindowedAttention.__call__
+
+    def identity_all(self, y=None, *a, **k):
+        return y
+
+    def identity_windowed(self, y=None, *a, **k):
+        # windowed layers arrive partitioned: (B·nwin, 14, 14, C)
+        return y if y.shape[1] <= 16 else saved_call(self, y)
+
+    def identity_global(self, y=None, *a, **k):
+        return saved_call(self, y) if y.shape[1] <= 16 else y
+
+    @contextlib.contextmanager
+    def patched(cls_name, fn):
+        if cls_name is None:
+            yield
+            return
+        cls = getattr(vit_mod, cls_name)
+        saved = cls.__call__
+        cls.__call__ = fn
+        try:
+            yield
+        finally:
+            cls.__call__ = saved
+
+    variants = {
+        "full": (None, None),
+        "no_attn": ("WindowedAttention", identity_all),
+        "no_win_attn": ("WindowedAttention", identity_windowed),
+        "no_glob_attn": ("WindowedAttention", identity_global),
+        "no_mlp": ("Mlp", identity_all),
+    }
+    times = {}
+    for name, (cls_name, fn) in variants.items():
+        with patched(cls_name, fn):
+            model = ViTDense(SAM_VIT_B, policy=FAST, trainable=True)
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+            def loss(p, v):
+                return jnp.sum(model.apply(p, v).astype(jnp.float32) ** 2)
+
+            vg = jax.jit(jax.value_and_grad(loss))
+            times[name] = time_model_fn(
+                lambda p, v: vg(p, v)[0], params, x, reps=10)
+        print(f"{name:14s} {times[name] * 1e3:8.2f} ms "
+              f"({batch / times[name]:7.1f} img/s)", flush=True)
+
+    full = times["full"]
+    print(
+        f"\nimplied fwd+bwd in-context (batch {batch}):\n"
+        f"  attention total    {(full - times['no_attn']) * 1e3:7.2f} ms\n"
+        f"  windowed layers    "
+        f"{(full - times['no_win_attn']) * 1e3:7.2f} ms (8 layers)\n"
+        f"  global layers      "
+        f"{(full - times['no_glob_attn']) * 1e3:7.2f} ms (4 layers)\n"
+        f"  mlp total          {(full - times['no_mlp']) * 1e3:7.2f} ms\n"
+        f"  residue            "
+        f"{(times['no_attn'] + times['no_mlp'] - full) * 1e3:7.2f} ms"
+    )
+
+
+def time_model_fn(fn, params, x, reps=12):
+    """time_model for an arbitrary (params, x) -> scalar-bearing fn."""
+    import jax.numpy as jnp
+
+    out = fn(params, x)
+    float(jnp.asarray(out).astype(jnp.float32).sum())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(params, x)
+        float(jnp.asarray(out).astype(jnp.float32).sum())
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
 def components_main(batch: int) -> None:
     """Identity-ablation profile of the full SAM ViT-B/16 forward.
 
@@ -192,5 +297,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "components":
         components_main(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "traincomponents":
+        train_components_main(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     else:
         main()

@@ -289,10 +289,27 @@ class WindowedAttention(nn.Module):
         # path only: round() has no useful gradient, so trainable blocks
         # keep the policy's float matmuls
         quant = self.policy.quantized and not self.trainable
+        fused_variant = self._fused_variant(h, w)
+        # Trainable WINDOW layers on the bf16 fast path also take the
+        # fused layout: forward is the same fused window kernel (max
+        # softmax), backward the single-pass window kernel
+        # (ops/attention_grad.py::window_attention_trainable) — the
+        # (b, nh, s, hd) relayouts and fp32 per-head bias einsums of the
+        # generic trainable path cost ~20× the inference window cost,
+        # measured via tools/profile_ablation.py traincomponents.
+        # Parity-precision training and the global trainable layers keep
+        # the generic two-kernel recompute path (exact fp32 scores, and
+        # trajectory stability for the fp32 cross-arm equality tests).
+        fused_trainable = (
+            self.trainable and fused_variant == "window"
+            and self.policy.compute_dtype == jnp.bfloat16
+        )
         use_fused = (
-            self.use_flash and not self.trainable
-            and not self.collect_logit_stats
-            and self._fused_variant(h, w) is not None
+            self.use_flash and not self.collect_logit_stats
+            and (
+                fused_variant is not None if not self.trainable
+                else fused_trainable
+            )
         )
         if use_fused:
             # split projection: q and kv as SEPARATE matmuls (same total
@@ -467,7 +484,7 @@ class WindowedAttention(nn.Module):
             # `window_batch` instead batches windows on the LEADING block
             # dim: the kernel statically loops per window (zero waste),
             # amortising per-grid-step dispatch + one-hot builds.
-            group = self.window_group
+            group = self.window_group if not self.trainable else 1
             while group > 1 and b % group:
                 group //= 2
             if group > 1:
@@ -484,6 +501,19 @@ class WindowedAttention(nn.Module):
                     f"VDR_WINDOW_BATCH must be >= 1, got {gsz}")
             while gsz > 1 and (b // group) % gsz:
                 gsz //= 2
+            if self.trainable:
+                from ..ops.attention_grad import window_attention_trainable
+
+                out = window_attention_trainable(
+                    qkv[0], qkv[1],
+                    bias_h=bias_h.transpose(0, 2, 1, 3),
+                    bias_w=bias_w.transpose(0, 2, 1, 3),
+                    num_heads=nh,
+                    window_tokens=s,
+                    window_batch=gsz,
+                    interpret=interpret,
+                )
+                return out
             out = flash_attention_fused_qkv(
                 qkv,
                 bias_h=bias_h.transpose(0, 2, 1, 3),
@@ -561,9 +591,16 @@ class WindowedAttention(nn.Module):
         interpret = jax.default_backend() != "tpu"
         if bias_h is not None:
             # key tiles stay whole key-grid rows; small (window) grids
-            # take the single-tile path
-            bq = s if s <= 1024 else 512
-            bk = s if s <= 1024 else 1024
+            # take the single-tile path.  Large (global) grids: the
+            # (b·h, s/bq, s/bk) grid is dispatch-bound at SAM scale
+            # (48·8·4 = 1536 steps/kernel at the old 512/1024), so the
+            # defaults are the largest tiles the 64 MB scoped VMEM takes;
+            # VDR_TRAIN_BLOCK_Q/K are the one-shot A/B knobs.
+            bq = s if s <= 1024 else int(
+                os.environ.get("VDR_TRAIN_BLOCK_Q", "1024"))
+            bk = s if s <= 1024 else int(
+                os.environ.get("VDR_TRAIN_BLOCK_K", "2048"))
+            bq, bk = min(bq, s), min(bk, s)
             return flash_attention_trainable(
                 q, k, v, bias_h=bias_h, bias_w=bias_w,
                 block_q=bq, block_k=bk, interpret=interpret,

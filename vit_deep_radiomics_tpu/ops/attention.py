@@ -508,6 +508,37 @@ def _bias_onehot_cols(nrows, kw, block_k, row_of_col, dtype):
     )
 
 
+def _pair_slot_expands(pair, kh, kw, bq, row_of_col, dtype):
+    """Per-pair-slot expand matrices for pair-merged decomposed bias.
+
+    Slot ``hh`` applies rows [hh·kh, (hh+1)·kh) of the pair-merged
+    bias_h block and rows [pair·kh + hh·kw, …) of the bias_w block; all
+    other rows are zero — so the pair-merged ``[bias_h | bias_w]``
+    concat feeds the matmul unsliced (an unaligned kh-offset lane slice
+    would cost a relayout; zero rows are free).  Shared by the fused
+    window forward and the single-pass window backward
+    (ops/attention_grad.py), which uses the TRANSPOSED contraction to
+    group-reduce score gradients back into the same layout.
+    """
+    width = pair * (kh + kw)
+    t_ids = lax.broadcasted_iota(jnp.int32, (width, bq), 0)
+    j_ids = lax.broadcasted_iota(jnp.int32, (width, bq), 1)
+    expands = []
+    for hh in range(pair):
+        h_lo = hh * kh
+        w_lo = pair * kh + hh * kw
+        expands.append(jnp.where(
+            (t_ids >= h_lo) & (t_ids < h_lo + kh),
+            (row_of_col(j_ids) == t_ids - h_lo).astype(dtype),
+            jnp.where(
+                (t_ids >= w_lo) & (t_ids < w_lo + kw),
+                (j_ids % kw == t_ids - w_lo).astype(dtype),
+                jnp.zeros((), dtype),
+            ),
+        ))
+    return expands
+
+
 def _fused_window_kernel(
     qkv_ref, kv_ref, bias_h_ref, bias_w_ref, o_ref,
     *, num_heads: int, head_dim: int, window_tokens: int,
@@ -556,25 +587,8 @@ def _fused_window_kernel(
     expands = None
     if has_bias:
         # per-pair-slot expand matrices, built once and reused across the
-        # head loop: slot hh applies rows [hh·kh, (hh+1)·kh) of the
-        # pair-merged bias_h block and rows [pair·kh + hh·kw, …) of the
-        # bias_w block; all other rows are zero
-        width = pair * (kh + kw)
-        t_ids = lax.broadcasted_iota(jnp.int32, (width, bq), 0)
-        j_ids = lax.broadcasted_iota(jnp.int32, (width, bq), 1)
-        expands = []
-        for hh in range(pair):
-            h_lo = hh * kh
-            w_lo = pair * kh + hh * kw
-            expands.append(jnp.where(
-                (t_ids >= h_lo) & (t_ids < h_lo + kh),
-                (row_of_col(j_ids) == t_ids - h_lo).astype(rdtype),
-                jnp.where(
-                    (t_ids >= w_lo) & (t_ids < w_lo + kw),
-                    (j_ids % kw == t_ids - w_lo).astype(rdtype),
-                    jnp.zeros((), rdtype),
-                ),
-            ))
+        # head loop (see _pair_slot_expands)
+        expands = _pair_slot_expands(pair, kh, kw, bq, row_of_col, rdtype)
     # ones column rides the PV matmul so the softmax denominator comes out
     # of the MXU for free (the out tile is lane-padded anyway) instead of
     # costing a VPU reduction over the full (bq, bq) score tile

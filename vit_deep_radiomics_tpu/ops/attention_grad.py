@@ -27,6 +27,7 @@ reference within fp32 tolerance (see tests/test_attention_grad.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +40,12 @@ from .attention import (
     _LOG2E,
     _bias_expand_matrix,
     _bias_onehot_cols,
+    _head_group,
+    _pair_slot_expands,
+    flash_attention_fused_qkv,
 )
 
-__all__ = ["flash_attention_trainable"]
+__all__ = ["flash_attention_trainable", "window_attention_trainable"]
 
 
 def _fwd_kernel(
@@ -373,6 +377,8 @@ def _fwd_impl(q, k, v, bias_h, bias_w, kv_len, *, scale, block_q, block_k,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "VDR_FLASH_VMEM_LIMIT", str(64 * 1024 * 1024))),
         ),
         interpret=interpret,
     )(*args)
@@ -481,6 +487,8 @@ def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "VDR_FLASH_VMEM_LIMIT", str(64 * 1024 * 1024))),
         ),
         interpret=interpret,
     )(*args)
@@ -558,6 +566,8 @@ def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=int(os.environ.get(
+                "VDR_FLASH_VMEM_LIMIT", str(64 * 1024 * 1024))),
         ),
         interpret=interpret,
     )(*args2)
@@ -622,3 +632,280 @@ def flash_attention_trainable(
 
     _attn.defvjp(_attn_fwd, _attn_bwd)
     return _attn(q, k, v, bias_h, bias_w, kv_len)
+
+
+# ---------------------------------------------------------------------------
+# Window mode: fused-layout differentiable attention.
+#
+# The generic kernels above take (B, H, S, D) per-head arrays — the SAM
+# windowed layers then run B·nwin·H tiny grid steps per kernel and the
+# caller pays per-head relayout transposes plus fp32 per-head bias
+# einsums.  Measured on-chip (tools/profile_ablation.py traincomponents):
+# the 8 windowed layers cost 92.3 ms of the 227.7 ms fwd+bwd step @B4 —
+# ~20× their inference cost — almost entirely dispatch + layout glue.
+#
+# A window's whole attention fits in VMEM, so the trainable window path
+# instead stays in the NATURAL fused layout end to end (zero transposes,
+# pair-merged bf16 bias):
+#   * forward — the inference fused window kernel itself
+#     (ops/attention.py::_fused_window_kernel, max softmax: training
+#     logits are unbounded so the nomax lever stays inference-only),
+#   * backward — ONE single-pass kernel below: attention is
+#     block-diagonal, so dq, dk, dv and both pair-merged bias gradients
+#     come out of one pass with no cross-block accumulation, written
+#     directly in the projection layouts (dq: (G, bq, C), dkv:
+#     (G, bq, 2C), dbias: (G, H/pair, bq, pair·K)).
+# ---------------------------------------------------------------------------
+
+
+def _window_bwd_kernel(
+    q_ref, kv_ref, bias_h_ref, bias_w_ref, do_ref, o_ref,
+    dq_ref, dkv_ref, dbh_ref, dbw_ref,
+    *, num_heads: int, head_dim: int, window_tokens: int,
+    kh: int, kw: int, pair: int, scale: float,
+):
+    """Single-pass backward for block-diagonal window attention.
+
+    grid (B/G, S/bq) with bq == window_tokens (one window per leading-dim
+    row).  Per (window, head): recompute the softmax exactly (max path —
+    matches the forward), then
+        D  = Σ_d dO∘O          (per q row)
+        dP = dO·Vᵀ
+        dS = P∘(dP − D)        (natural units)
+        dq = scale·dS·K        dk = scale·dSᵀ·q        dv = Pᵀ·dO
+    and the decomposed-bias gradients are group reductions of dS — the
+    TRANSPOSED pair-slot expand matmul of the forward, so they land in
+    the same pair-merged layout the bias einsum produced (XLA autodiff
+    outside carries them back onto the rel-pos tables).
+    """
+    gsz = q_ref.shape[0]
+    c = num_heads * head_dim
+    has_bias = bias_h_ref is not None
+    row_of_col = lambda cols: cols // kw  # noqa: E731
+
+    expands = None
+    if has_bias:
+        expands = _pair_slot_expands(
+            pair, kh, kw, window_tokens, row_of_col, q_ref.dtype)
+
+    for g in range(gsz):
+        q_rows = q_ref[g]                   # (bq, C)
+        kv_rows = kv_ref[g]                 # (bq, 2C)
+        do_rows = do_ref[g]
+        o_rows = o_ref[g]
+        dq_outs, dk_outs, dv_outs = [], [], []
+        dcat_pairs = [None] * (num_heads // pair)
+        cat = None
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            q = q_rows[:, sl]
+            kblk = kv_rows[:, sl]
+            vblk = kv_rows[:, c + h * head_dim:c + (h + 1) * head_dim]
+            do_h = do_rows[:, sl]
+            o_h = o_rows[:, sl]
+
+            s = jnp.dot(q * (scale * _LOG2E), kblk.T,
+                        preferred_element_type=jnp.float32)
+            if has_bias:
+                if h % pair == 0:
+                    cat = jnp.concatenate(
+                        [bias_h_ref[g, h // pair],
+                         bias_w_ref[g, h // pair]],
+                        axis=-1,
+                    )                              # (bq, pair·(kh+kw))
+                    cat = (cat.astype(jnp.float32) * _LOG2E).astype(
+                        q.dtype)
+                s = s + jnp.dot(cat, expands[h % pair],
+                                preferred_element_type=jnp.float32)
+            # exact (max) softmax recompute in fp32 — training path
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            pn = p / jnp.sum(p, axis=-1, keepdims=True)   # (bq, bq) fp32
+
+            do32 = do_h.astype(jnp.float32)
+            dcol = jnp.sum(do32 * o_h.astype(jnp.float32),
+                           axis=-1, keepdims=True)        # (bq, 1)
+            dp = jnp.dot(do_h.astype(vblk.dtype), vblk.T,
+                         preferred_element_type=jnp.float32)
+            ds = pn * (dp - dcol)                          # natural units
+
+            ds_c = ds.astype(q.dtype)
+            pn_c = pn.astype(vblk.dtype)
+            dq_outs.append(jnp.dot(
+                ds_c, kblk, preferred_element_type=jnp.float32) * scale)
+            dk_outs.append(jnp.dot(
+                ds_c.T, q, preferred_element_type=jnp.float32) * scale)
+            dv_outs.append(jnp.dot(
+                pn_c.T, do_h.astype(vblk.dtype),
+                preferred_element_type=jnp.float32))
+            if has_bias:
+                # transposed pair-slot expand: (bq, bq) @ (bq, width) —
+                # slot rows for the OTHER head of the pair are zero, so
+                # summing the pair's two contributions fills the merged
+                # layout exactly
+                dcat = jnp.dot(ds_c, expands[h % pair].T,
+                               preferred_element_type=jnp.float32)
+                hp_idx = h // pair
+                dcat_pairs[hp_idx] = dcat if dcat_pairs[hp_idx] is None \
+                    else dcat_pairs[hp_idx] + dcat
+
+        dq_ref[g] = jnp.concatenate(dq_outs, axis=-1).astype(dq_ref.dtype)
+        dkv_ref[g] = jnp.concatenate(
+            dk_outs + dv_outs, axis=-1).astype(dkv_ref.dtype)
+        if has_bias:
+            dcat_all = jnp.stack(dcat_pairs)     # (hp, bq, pair·(kh+kw))
+            dbh_ref[g] = dcat_all[..., :pair * kh].astype(dbh_ref.dtype)
+            dbw_ref[g] = dcat_all[..., pair * kh:].astype(dbw_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "window_tokens", "window_batch", "scale", "interpret",
+    ),
+)
+def window_attention_trainable(
+    q_arr: jax.Array,
+    kv_arr: jax.Array,
+    bias_h: jax.Array | None = None,
+    bias_w: jax.Array | None = None,
+    *,
+    num_heads: int,
+    window_tokens: int,
+    window_batch: int = 1,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable block-diagonal window attention, fused layout.
+
+    Same input contract as :func:`~.attention.flash_attention_fused_qkv`
+    in window mode with split projections: ``q_arr`` (B, S, H·D),
+    ``kv_arr`` (B, S, 2·H·D), optional pair-merged decomposed bias
+    ``(B, H/pair, S, pair·K)``.  Forward IS that kernel (max softmax —
+    the nomax lever is inference-only); backward is the single-pass
+    :func:`_window_bwd_kernel`, emitting gradients in the same layouts
+    (XLA autodiff outside the custom VJP carries the pair-merged bias
+    gradient back onto the rel-pos tables through the bias einsum).
+    """
+    b, s, c = q_arr.shape
+    d = c // num_heads
+    pair = _head_group(num_heads, d)
+    if pair is None:
+        raise ValueError(
+            f"head layout H={num_heads}, D={d} does not tile into "
+            "128-lane blocks")
+    if s % window_tokens:
+        raise ValueError(
+            f"seq {s} must be a multiple of window_tokens {window_tokens}")
+    if window_batch < 1 or b % window_batch:
+        raise ValueError(f"window_batch {window_batch} must divide B={b}")
+    scale_v = (d ** -0.5) if scale is None else scale
+    has_bias = bias_h is not None
+    if has_bias != (bias_w is not None):
+        raise ValueError("bias_h and bias_w must be given together")
+    kh = kw = 0
+    hp = num_heads // pair
+    if has_bias:
+        kh, kw = bias_h.shape[-1] // pair, bias_w.shape[-1] // pair
+        if kh * kw != window_tokens:
+            raise ValueError(
+                f"per-window bias grid {kh}x{kw} != window_tokens "
+                f"{window_tokens}")
+
+    def _fwd_call(q_arr, kv_arr, bias_h, bias_w):
+        return flash_attention_fused_qkv(
+            (q_arr, kv_arr), bias_h=bias_h, bias_w=bias_w,
+            num_heads=num_heads, window_tokens=window_tokens,
+            window_batch=window_batch, scale=scale_v,
+            block_q=window_tokens, block_k=window_tokens,
+            nomax=False, schedule="base", interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def _attn(q_arr, kv_arr, bias_h, bias_w):
+        return _fwd_call(q_arr, kv_arr, bias_h, bias_w)
+
+    def _attn_fwd(q_arr, kv_arr, bias_h, bias_w):
+        out = _fwd_call(q_arr, kv_arr, bias_h, bias_w)
+        return out, (q_arr, kv_arr, bias_h, bias_w, out)
+
+    def _attn_bwd(res, dout):
+        q_arr, kv_arr, bias_h, bias_w, out = res
+        gsz, bq = window_batch, window_tokens
+        grid = (b // gsz, s // bq)
+        in_specs = [
+            pl.BlockSpec((gsz, bq, c), lambda bi, j: (bi, j, 0)),
+            pl.BlockSpec((gsz, bq, 2 * c), lambda bi, j: (bi, j, 0)),
+        ]
+        args = [q_arr, kv_arr]
+        if has_bias:
+            in_specs += [
+                pl.BlockSpec((gsz, hp, bq, pair * kh),
+                             lambda bi, j: (bi, 0, j, 0)),
+                pl.BlockSpec((gsz, hp, bq, pair * kw),
+                             lambda bi, j: (bi, 0, j, 0)),
+            ]
+            args += [bias_h, bias_w]
+        in_specs += [
+            pl.BlockSpec((gsz, bq, c), lambda bi, j: (bi, j, 0)),
+            pl.BlockSpec((gsz, bq, c), lambda bi, j: (bi, j, 0)),
+        ]
+        args += [dout, out]
+
+        kernel = functools.partial(
+            _window_bwd_kernel,
+            num_heads=num_heads, head_dim=d, window_tokens=bq,
+            kh=kh, kw=kw, pair=pair, scale=scale_v,
+        )
+
+        def wrapped(*refs):
+            it = iter(refs)
+            q_ref, kv_ref = next(it), next(it)
+            bh_ref = next(it) if has_bias else None
+            bw_ref = next(it) if has_bias else None
+            do_ref, o_ref = next(it), next(it)
+            dq_ref, dkv_ref = next(it), next(it)
+            dbh_ref = next(it) if has_bias else None
+            dbw_ref = next(it) if has_bias else None
+            kernel(q_ref, kv_ref, bh_ref, bw_ref, do_ref, o_ref,
+                   dq_ref, dkv_ref, dbh_ref, dbw_ref)
+
+        out_specs = [
+            pl.BlockSpec((gsz, bq, c), lambda bi, j: (bi, j, 0)),
+            pl.BlockSpec((gsz, bq, 2 * c), lambda bi, j: (bi, j, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, s, c), q_arr.dtype),
+            jax.ShapeDtypeStruct((b, s, 2 * c), kv_arr.dtype),
+        ]
+        if has_bias:
+            out_specs += [
+                pl.BlockSpec((gsz, hp, bq, pair * kh),
+                             lambda bi, j: (bi, 0, j, 0)),
+                pl.BlockSpec((gsz, hp, bq, pair * kw),
+                             lambda bi, j: (bi, 0, j, 0)),
+            ]
+            out_shape += [
+                jax.ShapeDtypeStruct(bias_h.shape, bias_h.dtype),
+                jax.ShapeDtypeStruct(bias_w.shape, bias_w.dtype),
+            ]
+        outs = pl.pallas_call(
+            wrapped,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=int(os.environ.get(
+                    "VDR_FLASH_VMEM_LIMIT", str(64 * 1024 * 1024))),
+            ),
+            interpret=interpret,
+        )(*args)
+        if has_bias:
+            return tuple(outs)
+        dq, dkv = outs
+        return dq, dkv, None, None
+
+    _attn.defvjp(_attn_fwd, _attn_bwd)
+    return _attn(q_arr, kv_arr, bias_h, bias_w)
