@@ -53,9 +53,14 @@ def _fwd_kernel(
     o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, block_k: int, scale2: float, kh: int, kw: int,
-    has_bias: bool, has_kv_len: bool,
+    has_bias: bool, has_kv_len: bool, heads: int,
 ):
-    """Forward with residual: grid (BH, Sq/bq, Sk/bk), kv innermost."""
+    """Forward with residual: grid (B, Sq/bq, Sk/bk), kv innermost.
+
+    ALL heads ride one grid step (refs carry a leading H dim and the
+    kernel statically loops over them) — at SAM-global scale the old
+    per-(batch·head) grid was 12× more steps and measured
+    dispatch-bound (tools/profile_ablation.py traincomponents)."""
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
 
@@ -65,55 +70,64 @@ def _fwd_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0]
-    bq = q.shape[0]
-    s = jnp.dot(q * scale2, k_ref[0].T, preferred_element_type=jnp.float32)
-
-    if has_bias:
-        rows = block_k // kw
-        bias_h = bias_h_ref[0]
-        if rows != kh:
-            row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
-            col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
-            sel = (row_ids == kv_idx * rows + col_ids).astype(bias_h.dtype)
-            bias_h = jnp.dot(
-                bias_h, sel, preferred_element_type=jnp.float32
-            ).astype(bias_h.dtype)
-        expand = _bias_expand_matrix(
-            rows, kw, block_k, lambda cols: cols // kw, q.dtype
-        )
-        cat = jnp.concatenate(
-            [bias_h, bias_w_ref[0].astype(bias_h.dtype)], axis=1)
-        cat = (cat.astype(jnp.float32) * _LOG2E).astype(q.dtype)
-        s = s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
-
+    kv_mask = None
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
         kidx = kv_idx * block_k + lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)
-        s = jnp.where(kidx < kv_len, s, _NEG_INF)
+        kv_mask = kidx < kv_len
 
-    m_prev = m_scratch[...]
-    l_prev = l_scratch[...]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp2(s - m_new)
-    alpha = jnp.exp2(m_prev - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_scratch[...] = m_new
-    l_scratch[...] = l_new
-    acc_scratch[...] = acc_scratch[...] * alpha + jnp.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    )
+    for hh in range(heads):
+        q = q_ref[0, hh]
+        s = jnp.dot(q * scale2, k_ref[0, hh].T,
+                    preferred_element_type=jnp.float32)
+
+        if has_bias:
+            rows = block_k // kw
+            bias_h = bias_h_ref[0, hh]
+            if rows != kh:
+                row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
+                col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
+                sel = (row_ids == kv_idx * rows + col_ids).astype(
+                    bias_h.dtype)
+                bias_h = jnp.dot(
+                    bias_h, sel, preferred_element_type=jnp.float32
+                ).astype(bias_h.dtype)
+            expand = _bias_expand_matrix(
+                rows, kw, block_k, lambda cols: cols // kw, q.dtype
+            )
+            cat = jnp.concatenate(
+                [bias_h, bias_w_ref[0, hh].astype(bias_h.dtype)], axis=1)
+            cat = (cat.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+            s = s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
+
+        if kv_mask is not None:
+            s = jnp.where(kv_mask, s, _NEG_INF)
+
+        m_prev = m_scratch[hh]
+        l_prev = l_scratch[hh]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[hh] = m_new
+        l_scratch[hh] = l_new
+        acc_scratch[hh] = acc_scratch[hh] * alpha + jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0, hh],
+            preferred_element_type=jnp.float32
+        )
 
     @pl.when(kv_idx == num_kv - 1)
     def _store():
-        l = l_scratch[...]
-        safe_l = jnp.where(l > 0, l, 1.0)
-        o_ref[0] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
-        # log2-units log-sum-exp per q row, stored as a (1, block_q) lane
-        # row (the (…, 1, block_q) residual layout keeps the block's
-        # trailing dims Pallas-legal); one tiny transpose per q block
-        lse_ref[0, 0] = (m_scratch[...] + jnp.log2(safe_l)).T
+        for hh in range(heads):
+            l = l_scratch[hh]
+            safe_l = jnp.where(l > 0, l, 1.0)
+            o_ref[0, hh] = (acc_scratch[hh] / safe_l).astype(o_ref.dtype)
+            # log2-units log-sum-exp per q row, stored as a (1, block_q)
+            # lane row per head (the (…, H, block_q) residual layout
+            # keeps the block's trailing dims Pallas-legal); one tiny
+            # transpose per (head, q block)
+            lse_ref[0, 0, hh:hh + 1] = (m_scratch[hh] + jnp.log2(safe_l)).T
 
 
 def _recompute_p_ds(
@@ -141,10 +155,12 @@ def _recompute_p_ds(
     return p, ds
 
 
-def _bias_tile(bias_h_ref, bias_w_ref, kv_idx, *, block_k, kh, kw, dtype):
+def _bias_tile(bias_h_ref, bias_w_ref, kv_idx, *, block_k, kh, kw, dtype,
+               head=None):
     """(bq, block_k) fp32 bias tile in log2 units (matches the forward)."""
     rows = block_k // kw
-    bias_h = bias_h_ref[0]
+    bias_h = bias_h_ref[0] if head is None else bias_h_ref[0, head]
+    bias_w_row = bias_w_ref[0] if head is None else bias_w_ref[0, head]
     if rows != kh:
         row_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 0)
         col_ids = lax.broadcasted_iota(jnp.int32, (kh, rows), 1)
@@ -156,7 +172,7 @@ def _bias_tile(bias_h_ref, bias_w_ref, kv_idx, *, block_k, kh, kw, dtype):
         rows, kw, block_k, lambda cols: cols // kw, dtype
     )
     cat = jnp.concatenate(
-        [bias_h, bias_w_ref[0].astype(bias_h.dtype)], axis=1)
+        [bias_h, bias_w_row.astype(bias_h.dtype)], axis=1)
     cat = (cat.astype(jnp.float32) * _LOG2E).astype(dtype)
     tile = jnp.dot(cat, expand, preferred_element_type=jnp.float32)
     return (tile,)
@@ -168,11 +184,12 @@ def _bwd_dq_kernel(
     dq_ref, dbh_ref, dbw_ref,
     dq_scratch, dbh_scratch, dbw_scratch,
     *, block_k: int, scale: float, kh: int, kw: int,
-    has_bias: bool, has_kv_len: bool,
+    has_bias: bool, has_kv_len: bool, heads: int,
 ):
     """dq (+ decomposed bias grads — they are q-row-indexed too).
 
-    grid (BH, Sq/bq, Sk/bk); kv innermost, accumulating in scratch.
+    grid (B, Sq/bq, Sk/bk); kv innermost, accumulating in scratch; all
+    heads statically looped per step (see _fwd_kernel).
     """
     kv_idx = pl.program_id(2)
     num_kv = pl.num_programs(2)
@@ -184,12 +201,6 @@ def _bwd_dq_kernel(
             dbh_scratch[...] = jnp.zeros_like(dbh_scratch)
             dbw_scratch[...] = jnp.zeros_like(dbw_scratch)
 
-    q = q_ref[0]
-    kblk = k_ref[0]
-    bias_tile = _bias_tile(
-        bias_h_ref, bias_w_ref, kv_idx,
-        block_k=block_k, kh=kh, kw=kw, dtype=q.dtype,
-    )[0] if has_bias else None
     kv_mask = None
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
@@ -197,37 +208,47 @@ def _bwd_dq_kernel(
             jnp.int32, (1, block_k), 1)
         kv_mask = kidx < kv_len
 
-    p, ds = _recompute_p_ds(
-        q, kblk, do_ref[0], v_ref[0], lse_ref[0, 0], dcol_ref[0, 0],
-        scale2=scale * _LOG2E, bias_tile=bias_tile, kv_mask=kv_mask,
-    )
-    dq_scratch[...] += jnp.dot(
-        ds.astype(kblk.dtype), kblk, preferred_element_type=jnp.float32
-    ) * scale
+    for hh in range(heads):
+        q = q_ref[0, hh]
+        kblk = k_ref[0, hh]
+        bias_tile = _bias_tile(
+            bias_h_ref, bias_w_ref, kv_idx, head=hh,
+            block_k=block_k, kh=kh, kw=kw, dtype=q.dtype,
+        )[0] if has_bias else None
 
-    if has_bias:
-        # group-reduce ds over this tile's key-grid rows / columns:
-        # _bias_onehot_cols builds the (block_k, rows + kw) one-hot
-        # directly in (key, group) orientation — ds @ E = [by-row|by-col]
-        rows = block_k // kw
-        onehot = _bias_onehot_cols(
-            rows, kw, block_k, lambda cols: cols // kw, q.dtype)
-        grouped = jnp.dot(
-            ds.astype(q.dtype), onehot,
-            preferred_element_type=jnp.float32,
-        )                                              # (bq, rows + kw)
-        dbw_scratch[...] += grouped[:, rows:]
-        if rows != kh:
-            # scatter this tile's row sums into their global row slots
-            row_ids = lax.broadcasted_iota(jnp.int32, (rows, kh), 0)
-            col_ids = lax.broadcasted_iota(jnp.int32, (rows, kh), 1)
-            put = (col_ids == kv_idx * rows + row_ids).astype(q.dtype)
-            dbh_scratch[...] += jnp.dot(
-                grouped[:, :rows].astype(q.dtype), put,
+        p, ds = _recompute_p_ds(
+            q, kblk, do_ref[0, hh], v_ref[0, hh],
+            lse_ref[0, 0, hh:hh + 1], dcol_ref[0, 0, hh:hh + 1],
+            scale2=scale * _LOG2E, bias_tile=bias_tile, kv_mask=kv_mask,
+        )
+        dq_scratch[hh] += jnp.dot(
+            ds.astype(kblk.dtype), kblk, preferred_element_type=jnp.float32
+        ) * scale
+
+        if has_bias:
+            # group-reduce ds over this tile's key-grid rows / columns:
+            # _bias_onehot_cols builds the (block_k, rows + kw) one-hot
+            # directly in (key, group) orientation —
+            # ds @ E = [by-row|by-col]
+            rows = block_k // kw
+            onehot = _bias_onehot_cols(
+                rows, kw, block_k, lambda cols: cols // kw, q.dtype)
+            grouped = jnp.dot(
+                ds.astype(q.dtype), onehot,
                 preferred_element_type=jnp.float32,
-            )
-        else:
-            dbh_scratch[...] += grouped[:, :rows]
+            )                                          # (bq, rows + kw)
+            dbw_scratch[hh] += grouped[:, rows:]
+            if rows != kh:
+                # scatter this tile's row sums into their global slots
+                row_ids = lax.broadcasted_iota(jnp.int32, (rows, kh), 0)
+                col_ids = lax.broadcasted_iota(jnp.int32, (rows, kh), 1)
+                put = (col_ids == kv_idx * rows + row_ids).astype(q.dtype)
+                dbh_scratch[hh] += jnp.dot(
+                    grouped[:, :rows].astype(q.dtype), put,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dbh_scratch[hh] += grouped[:, :rows]
 
     @pl.when(kv_idx == num_kv - 1)
     def _store():
@@ -243,9 +264,10 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, block_k: int, scale: float, kh: int, kw: int,
-    has_bias: bool, has_kv_len: bool,
+    has_bias: bool, has_kv_len: bool, heads: int,
 ):
-    """dk/dv: grid (BH, Sk/bk, Sq/bq); q innermost, accumulating."""
+    """dk/dv: grid (B, Sk/bk, Sq/bq); q innermost, accumulating; all
+    heads statically looped per step (see _fwd_kernel)."""
     q_idx = pl.program_id(2)
     num_q = pl.num_programs(2)
     kv_idx = pl.program_id(1)
@@ -255,12 +277,6 @@ def _bwd_dkv_kernel(
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
-    q = q_ref[0]
-    kblk = k_ref[0]
-    bias_tile = _bias_tile(
-        bias_h_ref, bias_w_ref, kv_idx,
-        block_k=block_k, kh=kh, kw=kw, dtype=q.dtype,
-    )[0] if has_bias else None
     kv_mask = None
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]
@@ -268,17 +284,26 @@ def _bwd_dkv_kernel(
             jnp.int32, (1, block_k), 1)
         kv_mask = kidx < kv_len
 
-    p, ds = _recompute_p_ds(
-        q, kblk, do_ref[0], v_ref[0], lse_ref[0, 0], dcol_ref[0, 0],
-        scale2=scale * _LOG2E, bias_tile=bias_tile, kv_mask=kv_mask,
-    )
-    dk_scratch[...] += jnp.dot(
-        ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
-    ) * scale
-    dv_scratch[...] += jnp.dot(
-        p.T.astype(do_ref.dtype), do_ref[0],
-        preferred_element_type=jnp.float32,
-    )
+    for hh in range(heads):
+        q = q_ref[0, hh]
+        kblk = k_ref[0, hh]
+        bias_tile = _bias_tile(
+            bias_h_ref, bias_w_ref, kv_idx, head=hh,
+            block_k=block_k, kh=kh, kw=kw, dtype=q.dtype,
+        )[0] if has_bias else None
+
+        p, ds = _recompute_p_ds(
+            q, kblk, do_ref[0, hh], v_ref[0, hh],
+            lse_ref[0, 0, hh:hh + 1], dcol_ref[0, 0, hh:hh + 1],
+            scale2=scale * _LOG2E, bias_tile=bias_tile, kv_mask=kv_mask,
+        )
+        dk_scratch[hh] += jnp.dot(
+            ds.T.astype(q.dtype), q, preferred_element_type=jnp.float32
+        ) * scale
+        dv_scratch[hh] += jnp.dot(
+            p.T.astype(do_ref.dtype), do_ref[0, hh],
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(q_idx == num_q - 1)
     def _store():
@@ -313,31 +338,26 @@ def _fwd_impl(q, k, v, bias_h, bias_w, kv_len, *, scale, block_q, block_k,
     kh, kw = _validate(q, k, v, bias_h, bias_w, block_q, block_k)
     has_bias = bias_h is not None
     has_kv_len = kv_len is not None
-    bh_flat = b * h
-    qf = q.reshape(bh_flat, sq, d)
-    kf = k.reshape(bh_flat, sk, d)
-    vf = v.reshape(bh_flat, sk, d)
 
-    grid = (bh_flat, sq // block_q, sk // block_k)
+    # grid (B, Sq/bq, Sk/bk) — heads ride the block's leading dim and the
+    # kernel loops them statically: at SAM-global scale the old
+    # (B·H, …) grid was 12× more steps and measured dispatch-bound
+    grid = (b, sq // block_q, sk // block_k)
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
+        pl.BlockSpec((1, h, block_q, d), lambda i, j, t: (i, 0, j, 0)),
+        pl.BlockSpec((1, h, block_k, d), lambda i, j, t: (i, 0, t, 0)),
+        pl.BlockSpec((1, h, block_k, d), lambda i, j, t: (i, 0, t, 0)),
     ]
-    args = [qf, kf, vf]
+    args = [q, k, v]
     if has_bias:
         in_specs += [
-            pl.BlockSpec((1, block_q, kh), lambda i, j, t: (i, j, 0)),
-            pl.BlockSpec((1, block_q, kw), lambda i, j, t: (i, j, 0)),
+            pl.BlockSpec((1, h, block_q, kh), lambda i, j, t: (i, 0, j, 0)),
+            pl.BlockSpec((1, h, block_q, kw), lambda i, j, t: (i, 0, j, 0)),
         ]
-        args += [
-            bias_h.reshape(bh_flat, sq, kh),
-            bias_w.reshape(bh_flat, sq, kw),
-        ]
+        args += [bias_h, bias_w]
     if has_kv_len:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        args.append(
-            jnp.repeat(kv_len.astype(jnp.int32), h).reshape(bh_flat, 1))
+        args.append(kv_len.astype(jnp.int32).reshape(b, 1))
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -346,6 +366,7 @@ def _fwd_impl(q, k, v, bias_h, bias_w, kv_len, *, scale, block_q, block_k,
         kh=kh, kw=kw,
         has_bias=has_bias,
         has_kv_len=has_kv_len,
+        heads=h,
     )
 
     def wrapped(*refs):
@@ -361,19 +382,19 @@ def _fwd_impl(q, k, v, bias_h, bias_w, kv_len, *, scale, block_q, block_k,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
-            # (…, 1, block_q) keeps the trailing block dims Pallas-legal
-            pl.BlockSpec((1, 1, 1, block_q), lambda i, j, t: (i, j, 0, 0)),
+            pl.BlockSpec((1, h, block_q, d), lambda i, j, t: (i, 0, j, 0)),
+            # (…, H, block_q) keeps the trailing block dims Pallas-legal
+            pl.BlockSpec((1, 1, h, block_q), lambda i, j, t: (i, j, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh_flat, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
             jax.ShapeDtypeStruct(
-                (bh_flat, sq // block_q, 1, block_q), jnp.float32),
+                (b, sq // block_q, h, block_q), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((h, block_q, 1), jnp.float32),
+            pltpu.VMEM((h, block_q, 1), jnp.float32),
+            pltpu.VMEM((h, block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -382,7 +403,7 @@ def _fwd_impl(q, k, v, bias_h, bias_w, kv_len, *, scale, block_q, block_k,
         ),
         interpret=interpret,
     )(*args)
-    return out.reshape(b, h, sq, d), lse
+    return out, lse
 
 
 def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
@@ -392,56 +413,47 @@ def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
     kh, kw = _validate(q, k, v, bias_h, bias_w, block_q, block_k)
     has_bias = bias_h is not None
     has_kv_len = kv_len is not None
-    bh_flat = b * h
-    qf = q.reshape(bh_flat, sq, d)
-    kf = k.reshape(bh_flat, sk, d)
-    vf = v.reshape(bh_flat, sk, d)
-    dof = dout.reshape(bh_flat, sq, d)
     # D[i] = Σ_d dO·O — tiny XLA reduce, shared by both kernels; stored
-    # in the same (…, 1, block_q) residual layout as lse
+    # in the same (…, H, block_q) residual layout as lse
     dcol = jnp.sum(
-        dof.astype(jnp.float32) * out.reshape(bh_flat, sq, d).astype(
-            jnp.float32),
+        dout.astype(jnp.float32) * out.astype(jnp.float32),
         axis=-1,
-    ).reshape(bh_flat, sq // block_q, 1, block_q)
+    ).reshape(b, h, sq // block_q, block_q).transpose(0, 2, 1, 3)
     kv_len_f = (
-        jnp.repeat(kv_len.astype(jnp.int32), h).reshape(bh_flat, 1)
-        if has_kv_len else None
+        kv_len.astype(jnp.int32).reshape(b, 1) if has_kv_len else None
     )
 
     # ---- dq (+ bias grads) ----
-    grid = (bh_flat, sq // block_q, sk // block_k)
+    # grids carry ALL heads per step (see _fwd_kernel)
+    grid = (b, sq // block_q, sk // block_k)
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),
-        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),
+        pl.BlockSpec((1, h, block_q, d), lambda i, j, t: (i, 0, j, 0)),
+        pl.BlockSpec((1, h, block_k, d), lambda i, j, t: (i, 0, t, 0)),
     ]
-    args = [qf, kf]
+    args = [q, k]
     if has_bias:
         in_specs += [
-            pl.BlockSpec((1, block_q, kh), lambda i, j, t: (i, j, 0)),
-            pl.BlockSpec((1, block_q, kw), lambda i, j, t: (i, j, 0)),
+            pl.BlockSpec((1, h, block_q, kh), lambda i, j, t: (i, 0, j, 0)),
+            pl.BlockSpec((1, h, block_q, kw), lambda i, j, t: (i, 0, j, 0)),
         ]
-        args += [
-            bias_h.reshape(bh_flat, sq, kh),
-            bias_w.reshape(bh_flat, sq, kw),
-        ]
+        args += [bias_h, bias_w]
     if has_kv_len:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(kv_len_f)
     in_specs += [
-        pl.BlockSpec((1, block_k, d), lambda i, j, t: (i, t, 0)),   # v
-        pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0)),   # dO
-        pl.BlockSpec((1, 1, 1, block_q),
+        pl.BlockSpec((1, h, block_k, d), lambda i, j, t: (i, 0, t, 0)),  # v
+        pl.BlockSpec((1, h, block_q, d), lambda i, j, t: (i, 0, j, 0)),  # dO
+        pl.BlockSpec((1, 1, h, block_q),
                      lambda i, j, t: (i, j, 0, 0)),                 # lse
-        pl.BlockSpec((1, 1, 1, block_q),
+        pl.BlockSpec((1, 1, h, block_q),
                      lambda i, j, t: (i, j, 0, 0)),                 # D
     ]
-    args += [vf, dof, lse, dcol]
+    args += [v, dout, lse, dcol]
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
         block_k=block_k, scale=scale, kh=kh, kw=kw,
-        has_bias=has_bias, has_kv_len=has_kv_len,
+        has_bias=has_bias, has_kv_len=has_kv_len, heads=h,
     )
 
     def wrapped_dq(*refs):
@@ -462,21 +474,22 @@ def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
                   lse_ref, dcol_ref, dq_ref, dbh_ref, dbw_ref,
                   dq_s, dbh_s, dbw_s)
 
-    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j, t: (i, j, 0))]
-    out_shape = [jax.ShapeDtypeStruct((bh_flat, sq, d), q.dtype)]
-    scratch = [pltpu.VMEM((block_q, d), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, h, block_q, d), lambda i, j, t: (i, 0, j, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)]
+    scratch = [pltpu.VMEM((h, block_q, d), jnp.float32)]
     if has_bias:
         out_specs += [
-            pl.BlockSpec((1, block_q, kh), lambda i, j, t: (i, j, 0)),
-            pl.BlockSpec((1, block_q, kw), lambda i, j, t: (i, j, 0)),
+            pl.BlockSpec((1, h, block_q, kh), lambda i, j, t: (i, 0, j, 0)),
+            pl.BlockSpec((1, h, block_q, kw), lambda i, j, t: (i, 0, j, 0)),
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((bh_flat, sq, kh), bias_h.dtype),
-            jax.ShapeDtypeStruct((bh_flat, sq, kw), bias_w.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, kh), bias_h.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, kw), bias_w.dtype),
         ]
         scratch += [
-            pltpu.VMEM((block_q, kh), jnp.float32),
-            pltpu.VMEM((block_q, kw), jnp.float32),
+            pltpu.VMEM((h, block_q, kh), jnp.float32),
+            pltpu.VMEM((h, block_q, kw), jnp.float32),
         ]
     dq_outs = pl.pallas_call(
         wrapped_dq,
@@ -493,48 +506,42 @@ def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
         interpret=interpret,
     )(*args)
     if has_bias:
-        dq_f, dbh_f, dbw_f = dq_outs
-        dbh = dbh_f.reshape(b, h, sq, kh)
-        dbw = dbw_f.reshape(b, h, sq, kw)
+        dq, dbh, dbw = dq_outs
     else:
-        (dq_f,) = dq_outs if isinstance(dq_outs, (tuple, list)) else (
+        (dq,) = dq_outs if isinstance(dq_outs, (tuple, list)) else (
             dq_outs,)
         dbh = dbw = None
-    dq = dq_f.reshape(b, h, sq, d)
 
     # ---- dk / dv ----
-    grid2 = (bh_flat, sk // block_k, sq // block_q)
+    grid2 = (b, sk // block_k, sq // block_q)
     in_specs2 = [
-        pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),   # k
-        pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),   # v
-        pl.BlockSpec((1, block_q, d), lambda i, t, j: (i, j, 0)),   # q
+        pl.BlockSpec((1, h, block_k, d), lambda i, t, j: (i, 0, t, 0)),  # k
+        pl.BlockSpec((1, h, block_k, d), lambda i, t, j: (i, 0, t, 0)),  # v
+        pl.BlockSpec((1, h, block_q, d), lambda i, t, j: (i, 0, j, 0)),  # q
     ]
-    args2 = [kf, vf, qf]
+    args2 = [k, v, q]
     if has_bias:
         in_specs2 += [
-            pl.BlockSpec((1, block_q, kh), lambda i, t, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, kw), lambda i, t, j: (i, j, 0)),
+            pl.BlockSpec((1, h, block_q, kh), lambda i, t, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, h, block_q, kw), lambda i, t, j: (i, 0, j, 0)),
         ]
-        args2 += [
-            bias_h.reshape(bh_flat, sq, kh),
-            bias_w.reshape(bh_flat, sq, kw),
-        ]
+        args2 += [bias_h, bias_w]
     if has_kv_len:
         in_specs2.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args2.append(kv_len_f)
     in_specs2 += [
-        pl.BlockSpec((1, block_q, d), lambda i, t, j: (i, j, 0)),   # dO
-        pl.BlockSpec((1, 1, 1, block_q),
+        pl.BlockSpec((1, h, block_q, d), lambda i, t, j: (i, 0, j, 0)),  # dO
+        pl.BlockSpec((1, 1, h, block_q),
                      lambda i, t, j: (i, j, 0, 0)),                 # lse
-        pl.BlockSpec((1, 1, 1, block_q),
+        pl.BlockSpec((1, 1, h, block_q),
                      lambda i, t, j: (i, j, 0, 0)),                 # D
     ]
-    args2 += [dof, lse, dcol]
+    args2 += [dout, lse, dcol]
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
         block_k=block_k, scale=scale, kh=kh, kw=kw,
-        has_bias=has_bias, has_kv_len=has_kv_len,
+        has_bias=has_bias, has_kv_len=has_kv_len, heads=h,
     )
 
     def wrapped_dkv(*refs):
@@ -548,21 +555,21 @@ def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
         dkv_kernel(k_ref, v_ref, q_ref, bh_ref, bw_ref, kl_ref,
                    do_ref, lse_ref, dcol_ref, dk_ref, dv_ref, *it)
 
-    dk_f, dv_f = pl.pallas_call(
+    dk, dv = pl.pallas_call(
         wrapped_dkv,
         grid=grid2,
         in_specs=in_specs2,
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),
-            pl.BlockSpec((1, block_k, d), lambda i, t, j: (i, t, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, t, j: (i, 0, t, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, t, j: (i, 0, t, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh_flat, sk, d), k.dtype),
-            jax.ShapeDtypeStruct((bh_flat, sk, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((h, block_k, d), jnp.float32),
+            pltpu.VMEM((h, block_k, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -571,8 +578,6 @@ def _bwd_impl(res, dout, *, scale, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(*args2)
-    dk = dk_f.reshape(b, h, sk, d)
-    dv = dv_f.reshape(b, h, sk, d)
     return dq, dk, dv, dbh, dbw
 
 
