@@ -441,7 +441,8 @@ def measure_window_sweep(
 
 
 def measure_finetune(
-    configs=((1, False), (2, False), (4, False), (4, True), (8, True)),
+    configs=((2, False), (4, False), (4, "mlp"), (4, True),
+             (8, False), (8, "mlp"), (16, "mlp")),
     steps: int = 6,
 ) -> dict:
     """Trainable-backbone training throughput curve (batch × remat).
@@ -449,8 +450,10 @@ def measure_finetune(
     Full SAM-B fine-tuning step (fwd + bwd + AdamW update via
     engine/finetune.py) per config; training MFU counts the standard
     3× forward model FLOPs (remat recomputes a 4th forward but that is
-    overhead, not model work).  Beyond-reference capability — the
-    reference freezes its backbone
+    overhead, not model work).  remat ∈ {False, 'mlp', True}: 'mlp' is
+    the selective policy (recompute only the MLP hidden activations —
+    models/vit.py), True recomputes whole blocks.  Beyond-reference
+    capability — the reference freezes its backbone
     (/root/reference/src/tfds_dense_descriptor.py:104).
     """
     import numpy as np

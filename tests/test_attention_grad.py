@@ -265,3 +265,195 @@ class TestWindowTrainable:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4,
                 err_msg=name)
+
+
+class TestGlobalTrainable:
+    """Fused-layout GLOBAL attention VJP (global_attention_trainable)
+    vs a dense per-head reference on the same packed inputs — the
+    trainable twin of the inference fused-global kernel (values + grads
+    for q_arr, kv_arr and both pair-merged bias operands, multi-tile
+    kv loops, kv_len masking)."""
+
+    @staticmethod
+    def _make(rng, b=2, heads=4, d=64, kh=8, kw=16):
+        from vit_deep_radiomics_tpu.ops.attention import _head_group
+
+        pair = _head_group(heads, d)
+        s = kh * kw
+        c = heads * d
+        q_arr = _rand(rng, b, s, c) * 0.5
+        kv_arr = _rand(rng, b, s, 2 * c) * 0.5
+        bias_h = _rand(rng, b, heads // pair, s, pair * kh) * 0.3
+        bias_w = _rand(rng, b, heads // pair, s, pair * kw) * 0.3
+        return q_arr, kv_arr, bias_h, bias_w, heads, d, pair, s, c, kh, kw
+
+    @staticmethod
+    def _dense_ref(q_arr, kv_arr, bias_h, bias_w, heads, d, pair, s, c,
+                   kh, kw, kv_len=None):
+        """Per-head dense softmax attention; bias_h indexes the GLOBAL
+        key-grid row (Kh·Kw == S)."""
+        outs = []
+        scale = d ** -0.5
+        for n in range(heads):
+            q = q_arr[:, :, n * d:(n + 1) * d]
+            k = kv_arr[:, :, n * d:(n + 1) * d]
+            v = kv_arr[:, :, c + n * d:c + (n + 1) * d]
+            logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+            if bias_h is not None:
+                slot = n % pair
+                bh = bias_h[:, n // pair, :, slot * kh:(slot + 1) * kh]
+                bw = bias_w[:, n // pair, :, slot * kw:(slot + 1) * kw]
+                logits = (
+                    logits
+                    + bh[:, :, jnp.arange(s) // kw]
+                    + bw[:, :, jnp.arange(s) % kw]
+                )
+            if kv_len is not None:
+                mask = (jnp.arange(s)[None, :] < kv_len[:, None])[:, None, :]
+                logits = jnp.where(mask, logits, -1e30)
+            p = jax.nn.softmax(logits, axis=-1)
+            outs.append(jnp.einsum("bqk,bkd->bqd", p, v))
+        return jnp.concatenate(outs, axis=-1)
+
+    @pytest.mark.parametrize("block_q,block_k", [
+        (128, 128), (128, 64), (64, 32), (32, 128),
+    ])
+    def test_forward_matches_dense(self, rng, block_q, block_k):
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            global_attention_trainable,
+        )
+
+        made = self._make(rng)
+        q_arr, kv_arr, bh, bw, heads = made[:5]
+        out = global_attention_trainable(
+            q_arr, kv_arr, bias_h=bh, bias_w=bw, num_heads=heads,
+            block_q=block_q, block_k=block_k, interpret=INTERPRET,
+        )
+        ref = self._dense_ref(*made)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_forward_matches_inference_kernel(self, rng):
+        """Bit-identical to the fused inference kernel (max path) — the
+        forward IS that kernel plus the lse residual."""
+        from vit_deep_radiomics_tpu.ops.attention import (
+            flash_attention_fused_qkv,
+        )
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            global_attention_trainable,
+        )
+
+        made = self._make(rng)
+        q_arr, kv_arr, bh, bw, heads = made[:5]
+        out = global_attention_trainable(
+            q_arr, kv_arr, bias_h=bh, bias_w=bw, num_heads=heads,
+            block_q=128, block_k=64, interpret=INTERPRET,
+        )
+        ref = flash_attention_fused_qkv(
+            (q_arr, kv_arr), bias_h=bh, bias_w=bw, num_heads=heads,
+            block_q=128, block_k=64, nomax=False, schedule="base",
+            interpret=INTERPRET,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+    @pytest.mark.parametrize("schedule", ["base", "skew"])
+    def test_grads_match_dense(self, rng, schedule):
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            global_attention_trainable,
+        )
+
+        made = self._make(rng)
+        q_arr, kv_arr, bh, bw, heads = made[:5]
+        cot = jnp.asarray(
+            np.sin(np.arange(q_arr.size)).reshape(q_arr.shape)
+            .astype(np.float32))
+
+        def loss_flash(q_arr, kv_arr, bh, bw):
+            out = global_attention_trainable(
+                q_arr, kv_arr, bias_h=bh, bias_w=bw, num_heads=heads,
+                block_q=128, block_k=64, schedule=schedule,
+                interpret=INTERPRET,
+            )
+            return (out * cot).sum()
+
+        def loss_ref(q_arr, kv_arr, bh, bw):
+            out = self._dense_ref(
+                q_arr, kv_arr, bh, bw, *made[4:])
+            return (out * cot).sum()
+
+        got = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(
+            q_arr, kv_arr, bh, bw)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+            q_arr, kv_arr, bh, bw)
+        for g, w, name in zip(got, want, ("dq", "dkv", "dbh", "dbw")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-4, rtol=2e-4,
+                err_msg=name)
+
+    def test_kv_len_grads(self, rng):
+        """No-bias + padding mask (the DINOv2 trainable configuration)."""
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            global_attention_trainable,
+        )
+
+        made = self._make(rng)
+        q_arr, kv_arr, _, _, heads, d, pair, s, c, kh, kw = made
+        kv_len = jnp.asarray([s - 40, s], jnp.int32)
+        cot = jnp.asarray(
+            np.cos(np.arange(q_arr.size)).reshape(q_arr.shape)
+            .astype(np.float32))
+
+        def loss_flash(q_arr, kv_arr):
+            out = global_attention_trainable(
+                q_arr, kv_arr, kv_len=kv_len, num_heads=heads,
+                block_q=64, block_k=64, interpret=INTERPRET,
+            )
+            return (out * cot).sum()
+
+        def loss_ref(q_arr, kv_arr):
+            out = self._dense_ref(
+                q_arr, kv_arr, None, None, heads, d, pair, s, c, kh, kw,
+                kv_len=kv_len)
+            return (out * cot).sum()
+
+        got = jax.grad(loss_flash, argnums=(0, 1))(q_arr, kv_arr)
+        want = jax.grad(loss_ref, argnums=(0, 1))(q_arr, kv_arr)
+        for g, w, name in zip(got, want, ("dq", "dkv")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-4, rtol=2e-4,
+                err_msg=name)
+        # padded key/value positions must get zero gradient
+        assert np.allclose(np.asarray(got[1])[0, s - 40:, :], 0.0)
+
+    def test_bf16_inputs(self, rng):
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            global_attention_trainable,
+        )
+
+        made = self._make(rng)
+        q_arr, kv_arr, bh, bw, heads = made[:5]
+        q_arr = q_arr.astype(jnp.bfloat16)
+        kv_arr = kv_arr.astype(jnp.bfloat16)
+        bh = bh.astype(jnp.bfloat16)
+        bw = bw.astype(jnp.bfloat16)
+
+        def loss(q_arr):
+            out = global_attention_trainable(
+                q_arr, kv_arr, bias_h=bh, bias_w=bw, num_heads=heads,
+                block_q=128, block_k=64, interpret=INTERPRET,
+            )
+            return out.astype(jnp.float32).sum()
+
+        g = jax.grad(loss)(q_arr)
+        assert g.dtype == jnp.bfloat16
+
+        def loss_ref(q_arr):
+            out = self._dense_ref(
+                q_arr.astype(jnp.float32), kv_arr.astype(jnp.float32),
+                bh.astype(jnp.float32), bw.astype(jnp.float32), *made[4:])
+            return out.sum()
+
+        g_ref = jax.grad(loss_ref)(q_arr.astype(jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(g_ref, np.float32),
+            atol=5e-2, rtol=5e-2)

@@ -58,7 +58,9 @@ class FineTuneConfig:
     focal_gamma: float = 2.0
     focal_alpha: tuple[float, ...] = (0.25, 0.75)
     precision: str = "fast"
-    remat: bool = False                # recompute blocks in the backward
+    # False/'none' | True/'block' (recompute whole blocks) | 'mlp'
+    # (selective: recompute only the MLP hidden activations)
+    remat: bool | str = False
     zero1: bool = False                # shard optimizer state over `data`
     backbone_cfg: ViTDenseConfig | None = None   # override (tests)
 
@@ -81,7 +83,7 @@ class FineTuneModel(nn.Module):
     cfg: ViTDenseConfig
     num_classes: int
     policy: Policy
-    remat: bool = False
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, images, mask):               # (B,H,W,3), (B,h,w)

@@ -290,18 +290,23 @@ class WindowedAttention(nn.Module):
         # keep the policy's float matmuls
         quant = self.policy.quantized and not self.trainable
         fused_variant = self._fused_variant(h, w)
-        # Trainable WINDOW layers on the bf16 fast path also take the
-        # fused layout: forward is the same fused window kernel (max
-        # softmax), backward the single-pass window kernel
-        # (ops/attention_grad.py::window_attention_trainable) — the
-        # (b, nh, s, hd) relayouts and fp32 per-head bias einsums of the
-        # generic trainable path cost ~20× the inference window cost,
-        # measured via tools/profile_ablation.py traincomponents.
-        # Parity-precision training and the global trainable layers keep
-        # the generic two-kernel recompute path (exact fp32 scores, and
-        # trajectory stability for the fp32 cross-arm equality tests).
+        # Trainable layers on the bf16 fast path take the fused layout
+        # end to end: WINDOW layers run the fused window kernel forward
+        # (max softmax) + the single-pass window backward
+        # (ops/attention_grad.py::window_attention_trainable); GLOBAL
+        # and NOBIAS layers run the pair-grouped trainable twin of the
+        # inference kernel (global_attention_trainable: bias folded into
+        # the QK contraction's idle lanes, skew issue order, fp32 score
+        # recompute in the backward).  The generic (b, nh, s, hd) path
+        # costs per-head relayouts + fp32 per-head bias einsums —
+        # measured ~20× the inference window cost — and its 12-head
+        # static loop no longer compiles at SAM-global block sizes on
+        # the current backend (79 MB register spill).  Parity-precision
+        # (fp32) training keeps the generic two-kernel path for the
+        # fp32 cross-arm trajectory-equality tests.
         fused_trainable = (
-            self.trainable and fused_variant == "window"
+            self.trainable
+            and fused_variant in ("window", "global", "nobias")
             and self.policy.compute_dtype == jnp.bfloat16
         )
         use_fused = (
@@ -528,6 +533,22 @@ class WindowedAttention(nn.Module):
             return out.reshape(b, s, nh * hd)
 
         if variant == "global":
+            if self.trainable:
+                from ..ops.attention_grad import global_attention_trainable
+
+                # 1024² tiles: the backward's fp32 score/p/dp/ds
+                # transients (4 × 4 MB per head slot, 2 slots in flight
+                # under skew) fit the 64 MB scoped VMEM; bigger kv tiles
+                # spill (VDR_FGT_BLOCK_Q/K are the one-shot A/B knobs)
+                return global_attention_trainable(
+                    qkv[0], qkv[1],
+                    bias_h=bias_h.transpose(0, 2, 1, 3),
+                    bias_w=bias_w.transpose(0, 2, 1, 3),
+                    num_heads=nh,
+                    block_q=int(os.environ.get("VDR_FGT_BLOCK_Q", "1024")),
+                    block_k=int(os.environ.get("VDR_FGT_BLOCK_K", "1024")),
+                    interpret=interpret,
+                )
             bk_cap = int(os.environ.get("VDR_FLASH_BLOCK_K", "2048"))
             block_k = next(
                 (blk for blk in (bk_cap, 2048, 1024, 512, 256, 128)
@@ -570,6 +591,16 @@ class WindowedAttention(nn.Module):
                 jnp.pad(a, ((0, 0), (0, sq_pad - s), (0, 0))) for a in qkv
             )
             kv_len = jnp.full((b,), s, jnp.int32)
+        if self.trainable:
+            from ..ops.attention_grad import global_attention_trainable
+
+            out = global_attention_trainable(
+                qkv[0], qkv[1], kv_len=kv_len, num_heads=nh,
+                block_q=min(bq, 512),
+                block_k=_pick_block_k(sq_pad, 1024),
+                interpret=interpret,
+            )
+            return out[:, :s]
         # kv tiles as wide as VMEM allows (the (block_q, block_k) fp32
         # score transient is the limit): fewer grid steps per q block —
         # measured 2x on ViT-L@518's 1536-padded tokens vs square 512
@@ -591,15 +622,17 @@ class WindowedAttention(nn.Module):
         interpret = jax.default_backend() != "tpu"
         if bias_h is not None:
             # key tiles stay whole key-grid rows; small (window) grids
-            # take the single-tile path.  Large (global) grids: the
-            # (b·h, s/bq, s/bk) grid is dispatch-bound at SAM scale
-            # (48·8·4 = 1536 steps/kernel at the old 512/1024), so the
-            # defaults are the largest tiles the 64 MB scoped VMEM takes;
+            # take the single-tile path.  Large (global) grids: 512²
+            # tiles — the current backend's register allocator spills
+            # ~79 MB on the 12-head static loop at the former 1024/2048
+            # defaults and refuses to compile (the bf16 fast path now
+            # runs the pair-grouped global_attention_trainable instead;
+            # this generic path serves fp32 parity training).
             # VDR_TRAIN_BLOCK_Q/K are the one-shot A/B knobs.
             bq = s if s <= 1024 else int(
-                os.environ.get("VDR_TRAIN_BLOCK_Q", "1024"))
+                os.environ.get("VDR_TRAIN_BLOCK_Q", "512"))
             bk = s if s <= 1024 else int(
-                os.environ.get("VDR_TRAIN_BLOCK_K", "2048"))
+                os.environ.get("VDR_TRAIN_BLOCK_K", "512"))
             bq, bk = min(bq, s), min(bk, s)
             return flash_attention_trainable(
                 q, k, v, bias_h=bias_h, bias_w=bias_w,
@@ -818,6 +851,7 @@ class Block(nn.Module):
     use_flash: bool
     trainable: bool = False
     fused_mlp: bool = True
+    remat_mlp: bool = False   # selective remat: recompute only the MLP
     collect_logit_stats: bool = False  # see WindowedAttention
 
     @nn.compact
@@ -846,7 +880,12 @@ class Block(nn.Module):
         shortcut = x
         norm2 = LayerNorm(cfg.ln_eps, self.policy, dim=cfg.width,
                           name="norm2")
-        mlp = Mlp(cfg, self.policy, trainable=self.trainable, name="mlp")
+        # selective remat (remat='mlp' on ViTDense): only the MLP's
+        # (B, S, 4C) hidden activations are recomputed in the backward —
+        # the dominant stored term at a fraction of block-remat's cost
+        mlp_cls = nn.remat(Mlp) if self.remat_mlp else Mlp
+        mlp = mlp_cls(cfg, self.policy, trainable=self.trainable,
+                      name="mlp")
         g2 = None
         if cfg.layerscale_init:
             g2 = self.param(
@@ -942,7 +981,11 @@ class ViTDense(nn.Module):
     policy: Policy = FAST
     use_flash: bool = True
     trainable: bool = False
-    remat: bool = False        # rematerialise blocks in the backward
+    # rematerialisation in the backward: False/'none' keeps everything,
+    # True/'block' recomputes whole blocks (memory ∝ 1 block, ~25% step
+    # cost), 'mlp' recomputes only the MLP hidden activations — the
+    # dominant stored term — at one fc1 matmul + gelu per layer
+    remat: bool | str = False
     patch_embed_only: bool = False
     collect_logit_stats: bool = False  # see WindowedAttention
 
@@ -990,12 +1033,31 @@ class ViTDense(nn.Module):
             )
             x = x + pos.astype(x.dtype)
 
+        remat_mode = {False: "none", True: "block"}.get(
+            self.remat, self.remat)
+        if remat_mode not in ("none", "block", "mlp"):
+            raise ValueError(
+                f"remat must be False/'none', True/'block' or 'mlp', "
+                f"got {self.remat!r}")
         block_cls = Block
-        if self.remat and self.trainable:
-            # recompute each block's activations in the backward instead
-            # of keeping them: memory ∝ depth drops to ∝ 1 block, the
-            # standard trade for fine-tuning at larger batch sizes
-            block_cls = nn.remat(Block)
+        remat_mlp = False
+        if self.trainable:
+            if remat_mode == "block":
+                # recompute each block's activations in the backward
+                # instead of keeping them: memory ∝ depth drops to
+                # ∝ 1 block — but re-runs the attention kernels too
+                # (measured ~25% step cost, docs/ROADMAP.md round 3)
+                block_cls = nn.remat(Block)
+            elif remat_mode == "mlp":
+                # SELECTIVE remat: only the MLP recomputes.  The
+                # (B, S, 4C) hidden/gelu activations are the dominant
+                # stored term (~200 MB/block at SAM-B @1024 B4 — ~2×
+                # everything else combined) while their recompute is one
+                # fc1 matmul + gelu (fc2's recomputed output is dead and
+                # DCE'd); the flash-attention custom VJP already avoids
+                # storing score matrices, so block-level remat mostly
+                # re-buys memory that was never allocated
+                remat_mlp = True
         for i in range(cfg.depth):
             windowed = (
                 cfg.window_size > 0 and i not in tuple(cfg.global_indexes)
@@ -1005,6 +1067,7 @@ class ViTDense(nn.Module):
                 windowed=windowed,
                 use_flash=self.use_flash,
                 trainable=self.trainable,
+                remat_mlp=remat_mlp,
                 collect_logit_stats=self.collect_logit_stats,
                 name=f"block_{i}",
             )(x)

@@ -41,11 +41,16 @@ from .attention import (
     _bias_expand_matrix,
     _bias_onehot_cols,
     _head_group,
+    _mxu_passes,
     _pair_slot_expands,
     flash_attention_fused_qkv,
 )
 
-__all__ = ["flash_attention_trainable", "window_attention_trainable"]
+__all__ = [
+    "flash_attention_trainable",
+    "window_attention_trainable",
+    "global_attention_trainable",
+]
 
 
 def _fwd_kernel(
@@ -914,3 +919,693 @@ def window_attention_trainable(
 
     _attn.defvjp(_attn_fwd, _attn_bwd)
     return _attn(q_arr, kv_arr, bias_h, bias_w)
+
+
+# ---------------------------------------------------------------------------
+# Global mode: fused-layout differentiable attention.
+#
+# The generic (B, H, S, D) kernels above statically loop ALL heads per
+# grid step — at SAM-global scale (12 heads, 1024/2048 blocks) the
+# current backend's register allocator spills ~79 MB and refuses to
+# compile, and even where it compiles the caller pays per-head relayout
+# transposes plus fp32 per-head bias einsums that the INFERENCE path
+# eliminated rounds ago (pair-merged bias, fused-QKV layout — see
+# ops/attention.py::_fused_global_kernel, 53.5% MFU).
+#
+# This section is the trainable twin of that inference kernel: same
+# (B, S, C) fused layout, same pair-grouped grid
+# (B, Sq/bq, H/pair, Sk/bk), same decomposed-bias fold into the QK
+# contraction's idle lanes (d + kh = 128 at SAM scale → the bias rides
+# the SAME MXU pass as QK), same skew issue order (head slot hh+1's
+# score matmul is in flight under slot hh's VPU softmax chain) — plus:
+#
+# * forward emits the per-row log2-units log-sum-exp residual
+#   (max-softmax: training logits are unbounded, the nomax lever stays
+#   inference-only),
+# * backward runs two kernels that recompute fp32 score tiles on the fly
+#   (dq + pair-merged bias grads over the kv loop; dk/dv over the q
+#   loop).  The bias gradient reuses the SAME one-hot key-grid matrix
+#   the forward folds into the contraction: ``ds @ [onehot_rows |
+#   onehot_cols]`` group-reduces the score gradient straight into
+#   global key-grid rows — no per-tile scatter pass.
+#
+# Replaces the reference's torch autograd through external CUDA
+# attention (/root/reference/src/tfds_dense_descriptor.py:110-139 runs
+# inference-only; fine-tuning is beyond-reference capability).
+# ---------------------------------------------------------------------------
+
+
+def _fgt_validate(q_arr, kv_arr, bias_h, bias_w, num_heads):
+    b, s, c = q_arr.shape
+    if kv_arr.shape != (b, s, 2 * c):
+        raise ValueError(f"kv shape {kv_arr.shape} != ({b}, {s}, {2 * c})")
+    if c % num_heads:
+        raise ValueError(f"C={c} not divisible by H={num_heads}")
+    d = c // num_heads
+    pair = _head_group(num_heads, d)
+    if pair is None:
+        raise ValueError(
+            f"head layout H={num_heads}, D={d} does not tile into "
+            "128-lane blocks")
+    has_bias = bias_h is not None
+    if has_bias != (bias_w is not None):
+        raise ValueError("bias_h and bias_w must be given together")
+    hp = num_heads // pair
+    kh = kw = 0
+    if has_bias:
+        if bias_h.shape[-1] % pair or bias_w.shape[-1] % pair:
+            raise ValueError(
+                f"bias trailing dims ({bias_h.shape[-1]}, "
+                f"{bias_w.shape[-1]}) must be pair-merged ({pair}·K)")
+        kh, kw = bias_h.shape[-1] // pair, bias_w.shape[-1] // pair
+        if kh * kw != s:
+            raise ValueError(f"Kh*Kw = {kh}*{kw} != S = {s}")
+        if bias_h.shape[:3] != (b, hp, s):
+            raise ValueError(
+                f"bias_h shape {bias_h.shape} != ({b}, {hp}, {s}, ·)")
+    return b, s, c, d, pair, hp, kh, kw, has_bias
+
+
+def _fgt_blocks(s, kw, has_bias, block_q, block_k):
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    if has_bias and block_k % kw:
+        block_k = kw * max(1, block_k // kw) if block_k > kw else kw
+        if s % block_k:
+            block_k = kw
+    if s % block_q or s % block_k:
+        raise ValueError(
+            f"seq len {s} must divide blocks ({block_q}, {block_k})")
+    return block_q, block_k
+
+
+def _fgt_score(rows_q, rows_k, bh_pair, bw_pair, hh, *, scale2, kh, kw,
+               head_dim, fold, onehot, sel, expand, sub0, sub_k, kv_lo,
+               kv_len, sdtype):
+    """Log2-unit score tile for head slot ``hh``, keys
+    [sub0, sub0+sub_k) of this kernel step's kv tile — shared by the
+    trainable forward and both backward recomputes.  Mirrors the
+    inference kernel's bias application (fold into contraction lanes
+    when d+kh costs no extra MXU pass; expand matmul otherwise)."""
+    d = head_dim
+    sl = slice(hh * d, (hh + 1) * d)
+    q = rows_q[:, sl]
+    kblk = rows_k[sub0:sub0 + sub_k, sl]
+    if fold:
+        bias_h = bh_pair[:, hh * kh:(hh + 1) * kh]
+        bias_h = (bias_h.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+        qa = jnp.concatenate([q * scale2, bias_h], axis=-1)
+        ka = jnp.concatenate([kblk, onehot[sub0:sub0 + sub_k]], axis=-1)
+        s = jnp.dot(qa, ka.T, preferred_element_type=jnp.float32)
+        s = s.astype(sdtype)
+        bias_w = bw_pair[:, hh * kw:(hh + 1) * kw]
+        bias_w = (bias_w.astype(jnp.float32) * _LOG2E).astype(sdtype)
+        s = s + pltpu.repeat(bias_w, sub_k // kw, axis=1)
+    else:
+        s = jnp.dot(q * scale2, kblk.T, preferred_element_type=jnp.float32)
+        if bh_pair is not None:
+            bias_h = bh_pair[:, hh * kh:(hh + 1) * kh]
+            bias_w = bw_pair[:, hh * kw:(hh + 1) * kw]
+            if sel is not None:
+                bias_h = jnp.dot(
+                    bias_h, sel, preferred_element_type=jnp.float32
+                ).astype(bias_h.dtype)
+            cat = jnp.concatenate(
+                [bias_h, bias_w.astype(bias_h.dtype)], axis=1)
+            cat = (cat.astype(jnp.float32) * _LOG2E).astype(q.dtype)
+            s = s + jnp.dot(cat, expand, preferred_element_type=jnp.float32)
+        s = s.astype(sdtype)
+    if kv_len is not None:
+        kidx = kv_lo + sub0 + lax.broadcasted_iota(
+            jnp.int32, (1, sub_k), 1)
+        s = jnp.where(kidx < kv_len, s, jnp.asarray(_NEG_INF, sdtype))
+    return s
+
+
+def _fgt_bias_prep(bh_ref, bw_ref, kv_idx, *, block_k, kh, kw, head_dim,
+                   dtype, has_bias):
+    """Per-grid-step bias machinery: (fold?, onehot, sel, expand,
+    bh_pair, bw_pair)."""
+    if not has_bias:
+        return False, None, None, None, None, None
+    fold = _mxu_passes(head_dim + kh) == _mxu_passes(head_dim)
+    kv_rows = block_k // kw
+    base = kv_idx * kv_rows
+    onehot = sel = expand = None
+    if fold:
+        onehot = _bias_onehot_cols(
+            kh, 0, block_k, lambda cols: base + cols // kw, dtype)
+    else:
+        if kv_rows != kh:
+            row_ids = lax.broadcasted_iota(jnp.int32, (kh, kv_rows), 0)
+            col_ids = lax.broadcasted_iota(jnp.int32, (kh, kv_rows), 1)
+            sel = (row_ids == base + col_ids).astype(dtype)
+        expand = _bias_expand_matrix(
+            kv_rows, kw, block_k, lambda cols: cols // kw, dtype)
+    return fold, onehot, sel, expand, bh_ref[0, 0], bw_ref[0, 0]
+
+
+def _fgt_fwd_kernel(
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, o_ref, lse_ref,
+    m_scratch, acc_scratch,
+    *, block_k: int, scale2: float, kh: int, kw: int, pair: int,
+    head_dim: int, has_bias: bool, has_kv_len: bool, schedule: str,
+):
+    """Trainable forward: inference fused-global kernel + lse residual.
+
+    grid (B, Sq/bq, H/pair, Sk/bk), kv innermost; max-softmax (training
+    logits are unbounded — the nomax lever stays inference-only); the
+    softmax denominator rides the PV matmul as a ones column."""
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+    d = head_dim
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, _NEG_INF)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    rows_q = q_ref[0]
+    rows_k = k_ref[0]
+    rows_v = v_ref[0]
+    sdtype = rows_q.dtype if rows_q.dtype == jnp.bfloat16 else jnp.float32
+    kv_len = kl_ref[pl.program_id(0), 0] if has_kv_len else None
+    fold, onehot, sel, expand, bh_pair, bw_pair = _fgt_bias_prep(
+        bh_ref, bw_ref, kv_idx, block_k=block_k, kh=kh, kw=kw,
+        head_dim=d, dtype=rows_q.dtype, has_bias=has_bias)
+
+    def score(hh):
+        return _fgt_score(
+            rows_q, rows_k, bh_pair, bw_pair, hh, scale2=scale2, kh=kh,
+            kw=kw, head_dim=d, fold=fold, onehot=onehot, sel=sel,
+            expand=expand, sub0=0, sub_k=block_k,
+            kv_lo=kv_idx * block_k, kv_len=kv_len, sdtype=sdtype)
+
+    def update(hh, s):
+        vblk = rows_v[:, hh * d:(hh + 1) * d]
+        m_prev = m_scratch[hh]
+        m_new = jnp.maximum(
+            m_prev, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32))
+        # quantise the running max through the score dtype (see the
+        # inference kernel): the SAME value feeds p, alpha and the store
+        m_new = m_new.astype(sdtype).astype(jnp.float32)
+        p = jnp.exp2((s - m_new.astype(sdtype)).astype(rows_q.dtype))
+        alpha = jnp.exp2(m_prev - m_new)
+        m_scratch[hh] = m_new
+        vaug = jnp.concatenate(
+            [vblk, jnp.ones((block_k, 1), rows_v.dtype)], axis=-1)
+        acc_scratch[hh] = acc_scratch[hh] * alpha + jnp.dot(
+            p.astype(vblk.dtype), vaug, preferred_element_type=jnp.float32)
+
+    if schedule == "base":
+        for hh in range(pair):
+            update(hh, score(hh))
+    else:
+        pending = None
+        for hh in range(pair):
+            s = score(hh)
+            if pending is not None:
+                update(*pending)
+            pending = (hh, s)
+        update(*pending)
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        outs = []
+        for hh in range(pair):
+            acc = acc_scratch[hh]
+            l = acc[:, d:]
+            safe_l = jnp.where(l > 0, l, 1.0)
+            outs.append(acc[:, :d] / safe_l)
+            lse_ref[0, 0, 0, hh:hh + 1] = (
+                m_scratch[hh] + jnp.log2(safe_l)).T
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _fgt_dq_kernel(
+    q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, do_ref, lse_ref, dcol_ref,
+    dq_ref, dbh_ref, dbw_ref, dq_s, db_s,
+    *, block_k: int, scale: float, kh: int, kw: int, pair: int,
+    head_dim: int, has_bias: bool, has_kv_len: bool, schedule: str,
+):
+    """dq + pair-merged decomposed-bias grads; grid (B, Sq/bq, H/pair,
+    Sk/bk), kv innermost, fp32 score recompute.
+
+    The bias gradient is ``ds @ [onehot_rows | onehot_cols]`` with the
+    one-hot selecting each key's GLOBAL grid row — the same matrix the
+    forward fold uses — so row sums accumulate straight into their
+    global slots across kv steps (no per-tile scatter matmul)."""
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+    d = head_dim
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_s[...] = jnp.zeros_like(dq_s)
+        if has_bias:
+            db_s[...] = jnp.zeros_like(db_s)
+
+    rows_q = q_ref[0]
+    rows_k = k_ref[0]
+    rows_v = v_ref[0]
+    rows_do = do_ref[0]
+    cdtype = rows_q.dtype
+    kv_len = kl_ref[pl.program_id(0), 0] if has_kv_len else None
+    fold, onehot, sel, expand, bh_pair, bw_pair = _fgt_bias_prep(
+        bh_ref, bw_ref, kv_idx, block_k=block_k, kh=kh, kw=kw,
+        head_dim=d, dtype=cdtype, has_bias=has_bias)
+    gonehot = None
+    if has_bias:
+        base = kv_idx * (block_k // kw)
+        gonehot = _bias_onehot_cols(
+            kh, kw, block_k, lambda cols: base + cols // kw, cdtype)
+
+    def score_phase(hh):
+        s = _fgt_score(
+            rows_q, rows_k, bh_pair, bw_pair, hh,
+            scale2=scale * _LOG2E, kh=kh, kw=kw, head_dim=d, fold=fold,
+            onehot=onehot, sel=sel, expand=expand, sub0=0, sub_k=block_k,
+            kv_lo=kv_idx * block_k, kv_len=kv_len, sdtype=jnp.float32)
+        sl = slice(hh * d, (hh + 1) * d)
+        dp = jnp.dot(rows_do[:, sl].astype(rows_v.dtype), rows_v[:, sl].T,
+                     preferred_element_type=jnp.float32)
+        return s, dp
+
+    def grad_phase(hh, s, dp):
+        lse_row = lse_ref[0, 0, 0, hh:hh + 1]        # (1, bq)
+        dcol_row = dcol_ref[0, 0, 0, hh:hh + 1]
+        p = jnp.exp2(s - lse_row.T)                  # (bq, bk) fp32
+        ds = p * (dp - dcol_row.T)                   # natural units
+        ds_c = ds.astype(cdtype)
+        dq_s[hh] += jnp.dot(
+            ds_c, rows_k[:, hh * d:(hh + 1) * d],
+            preferred_element_type=jnp.float32) * scale
+        if has_bias:
+            db_s[hh] += jnp.dot(
+                ds_c, gonehot, preferred_element_type=jnp.float32)
+
+    if schedule == "base":
+        for hh in range(pair):
+            grad_phase(hh, *score_phase(hh))
+    else:
+        pending = None
+        for hh in range(pair):
+            s, dp = score_phase(hh)
+            if pending is not None:
+                grad_phase(*pending)
+            pending = (hh, s, dp)
+        grad_phase(*pending)
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        dq_ref[0] = jnp.concatenate(
+            [dq_s[hh] for hh in range(pair)], axis=-1).astype(dq_ref.dtype)
+        if has_bias:
+            dbh_ref[0, 0] = jnp.concatenate(
+                [db_s[hh][:, :kh] for hh in range(pair)], axis=-1
+            ).astype(dbh_ref.dtype)
+            dbw_ref[0, 0] = jnp.concatenate(
+                [db_s[hh][:, kh:kh + kw] for hh in range(pair)], axis=-1
+            ).astype(dbw_ref.dtype)
+
+
+def _fgt_dkv_kernel(
+    k_ref, v_ref, q_ref, bh_ref, bw_ref, kl_ref, do_ref, lse_ref, dcol_ref,
+    dk_ref, dv_ref, dk_s, dv_s,
+    *, block_q: int, block_k: int, scale: float, kh: int, kw: int,
+    pair: int, head_dim: int, has_bias: bool, has_kv_len: bool,
+    schedule: str,
+):
+    """dk/dv; grid (B, Sk/bk, H/pair, Sq/bq), q innermost, fp32 score
+    recompute (this kernel's kv tile is fixed; q/do/lse/dcol stream)."""
+    q_idx = pl.program_id(3)
+    num_q = pl.num_programs(3)
+    kv_idx = pl.program_id(1)
+    d = head_dim
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    rows_q = q_ref[0]
+    rows_k = k_ref[0]
+    rows_v = v_ref[0]
+    rows_do = do_ref[0]
+    cdtype = rows_q.dtype
+    kv_len = kl_ref[pl.program_id(0), 0] if has_kv_len else None
+    fold, onehot, sel, expand, bh_pair, bw_pair = _fgt_bias_prep(
+        bh_ref, bw_ref, kv_idx, block_k=block_k, kh=kh, kw=kw,
+        head_dim=d, dtype=cdtype, has_bias=has_bias)
+
+    def score_phase(hh):
+        s = _fgt_score(
+            rows_q, rows_k, bh_pair, bw_pair, hh,
+            scale2=scale * _LOG2E, kh=kh, kw=kw, head_dim=d, fold=fold,
+            onehot=onehot, sel=sel, expand=expand, sub0=0, sub_k=block_k,
+            kv_lo=kv_idx * block_k, kv_len=kv_len, sdtype=jnp.float32)
+        sl = slice(hh * d, (hh + 1) * d)
+        dp = jnp.dot(rows_do[:, sl].astype(rows_v.dtype), rows_v[:, sl].T,
+                     preferred_element_type=jnp.float32)
+        return s, dp
+
+    def grad_phase(hh, s, dp):
+        sl = slice(hh * d, (hh + 1) * d)
+        lse_row = lse_ref[0, 0, 0, hh:hh + 1]
+        dcol_row = dcol_ref[0, 0, 0, hh:hh + 1]
+        p = jnp.exp2(s - lse_row.T)
+        ds = p * (dp - dcol_row.T)
+        ds_c = ds.astype(cdtype)
+        dk_s[hh] += jnp.dot(
+            ds_c.T, rows_q[:, sl],
+            preferred_element_type=jnp.float32) * scale
+        dv_s[hh] += jnp.dot(
+            p.astype(rows_do.dtype).T, rows_do[:, sl],
+            preferred_element_type=jnp.float32)
+
+    if schedule == "base":
+        for hh in range(pair):
+            grad_phase(hh, *score_phase(hh))
+    else:
+        pending = None
+        for hh in range(pair):
+            s, dp = score_phase(hh)
+            if pending is not None:
+                grad_phase(*pending)
+            pending = (hh, s, dp)
+        grad_phase(*pending)
+
+    @pl.when(q_idx == num_q - 1)
+    def _store():
+        dk_ref[0] = jnp.concatenate(
+            [dk_s[hh] for hh in range(pair)], axis=-1).astype(dk_ref.dtype)
+        dv_ref[0] = jnp.concatenate(
+            [dv_s[hh] for hh in range(pair)], axis=-1).astype(dv_ref.dtype)
+
+
+def _fgt_compiler_params(grid_semantics):
+    return pltpu.CompilerParams(
+        dimension_semantics=grid_semantics,
+        vmem_limit_bytes=int(os.environ.get(
+            "VDR_FLASH_VMEM_LIMIT", str(64 * 1024 * 1024))),
+    )
+
+
+def _fgt_fwd_impl(q_arr, kv_arr, bias_h, bias_w, kv_len, *, num_heads,
+                  scale, block_q, block_k, schedule, interpret):
+    b, s, c, d, pair, hp, kh, kw, has_bias = _fgt_validate(
+        q_arr, kv_arr, bias_h, bias_w, num_heads)
+    block_q, block_k = _fgt_blocks(s, kw, has_bias, block_q, block_k)
+    lane = pair * d
+    has_kv_len = kv_len is not None
+    grid = (b, s // block_q, hp, s // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, lane), lambda bi, j, hh, t: (bi, j, hh)),
+        pl.BlockSpec((1, block_k, lane), lambda bi, j, hh, t: (bi, t, hh)),
+        pl.BlockSpec((1, block_k, lane),
+                     lambda bi, j, hh, t: (bi, t, hp + hh)),
+    ]
+    args = [q_arr, kv_arr, kv_arr]
+    if has_bias:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_q, pair * kh),
+                         lambda bi, j, hh, t: (bi, hh, j, 0)),
+            pl.BlockSpec((1, 1, block_q, pair * kw),
+                         lambda bi, j, hh, t: (bi, hh, j, 0)),
+        ]
+        args += [bias_h, bias_w]
+    if has_kv_len:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(kv_len.astype(jnp.int32).reshape(b, 1))
+
+    kernel = functools.partial(
+        _fgt_fwd_kernel, block_k=block_k, scale2=scale * _LOG2E,
+        kh=kh, kw=kw, pair=pair, head_dim=d, has_bias=has_bias,
+        has_kv_len=has_kv_len, schedule=schedule)
+
+    def wrapped(*refs):
+        it = iter(refs)
+        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, *it)
+
+    out, lse = pl.pallas_call(
+        wrapped,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_q, lane),
+                         lambda bi, j, hh, t: (bi, j, hh)),
+            pl.BlockSpec((1, 1, 1, pair, block_q),
+                         lambda bi, j, hh, t: (bi, hh, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, c), q_arr.dtype),
+            jax.ShapeDtypeStruct(
+                (b, hp, s // block_q, pair, block_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((pair, block_q, 1), jnp.float32),
+            pltpu.VMEM((pair, block_q, d + 1), jnp.float32),
+        ],
+        compiler_params=_fgt_compiler_params(
+            ("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return out, lse
+
+
+def _fgt_bwd_impl(res, dout, *, num_heads, scale, block_q, block_k,
+                  schedule, interpret):
+    q_arr, kv_arr, bias_h, bias_w, kv_len, out, lse = res
+    b, s, c, d, pair, hp, kh, kw, has_bias = _fgt_validate(
+        q_arr, kv_arr, bias_h, bias_w, num_heads)
+    block_q, block_k = _fgt_blocks(s, kw, has_bias, block_q, block_k)
+    lane = pair * d
+    has_kv_len = kv_len is not None
+    nq = s // block_q
+    # D[i] = Σ_d dO∘O per head, stored in the lse residual layout
+    dcol = jnp.sum(
+        (dout.astype(jnp.float32) * out.astype(jnp.float32))
+        .reshape(b, s, hp, pair, d),
+        axis=-1,
+    ).reshape(b, nq, block_q, hp, pair).transpose(0, 3, 1, 4, 2)
+    kv_len_f = (
+        kv_len.astype(jnp.int32).reshape(b, 1) if has_kv_len else None)
+
+    # ---- dq (+ pair-merged bias grads) ----
+    grid = (b, nq, hp, s // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, lane), lambda bi, j, hh, t: (bi, j, hh)),
+        pl.BlockSpec((1, block_k, lane), lambda bi, j, hh, t: (bi, t, hh)),
+        pl.BlockSpec((1, block_k, lane),
+                     lambda bi, j, hh, t: (bi, t, hp + hh)),
+    ]
+    args = [q_arr, kv_arr, kv_arr]
+    if has_bias:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_q, pair * kh),
+                         lambda bi, j, hh, t: (bi, hh, j, 0)),
+            pl.BlockSpec((1, 1, block_q, pair * kw),
+                         lambda bi, j, hh, t: (bi, hh, j, 0)),
+        ]
+        args += [bias_h, bias_w]
+    if has_kv_len:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(kv_len_f)
+    in_specs += [
+        pl.BlockSpec((1, block_q, lane), lambda bi, j, hh, t: (bi, j, hh)),
+        pl.BlockSpec((1, 1, 1, pair, block_q),
+                     lambda bi, j, hh, t: (bi, hh, j, 0, 0)),
+        pl.BlockSpec((1, 1, 1, pair, block_q),
+                     lambda bi, j, hh, t: (bi, hh, j, 0, 0)),
+    ]
+    args += [dout, lse, dcol]
+
+    dq_kernel = functools.partial(
+        _fgt_dq_kernel, block_k=block_k, scale=scale, kh=kh, kw=kw,
+        pair=pair, head_dim=d, has_bias=has_bias, has_kv_len=has_kv_len,
+        schedule=schedule)
+
+    def wrapped_dq(*refs):
+        it = iter(refs)
+        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        do_ref, lse_ref, dcol_ref = next(it), next(it), next(it)
+        dq_ref = next(it)
+        dbh_ref = next(it) if has_bias else None
+        dbw_ref = next(it) if has_bias else None
+        dq_s = next(it)
+        db_s = next(it) if has_bias else None
+        dq_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, kl_ref, do_ref,
+                  lse_ref, dcol_ref, dq_ref, dbh_ref, dbw_ref, dq_s, db_s)
+
+    out_specs = [
+        pl.BlockSpec((1, block_q, lane), lambda bi, j, hh, t: (bi, j, hh))]
+    out_shape = [jax.ShapeDtypeStruct((b, s, c), q_arr.dtype)]
+    scratch = [pltpu.VMEM((pair, block_q, d), jnp.float32)]
+    if has_bias:
+        out_specs += [
+            pl.BlockSpec((1, 1, block_q, pair * kh),
+                         lambda bi, j, hh, t: (bi, hh, j, 0)),
+            pl.BlockSpec((1, 1, block_q, pair * kw),
+                         lambda bi, j, hh, t: (bi, hh, j, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(bias_h.shape, bias_h.dtype),
+            jax.ShapeDtypeStruct(bias_w.shape, bias_w.dtype),
+        ]
+        scratch.append(pltpu.VMEM((pair, block_q, kh + kw), jnp.float32))
+    dq_outs = pl.pallas_call(
+        wrapped_dq,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=_fgt_compiler_params(
+            ("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    if has_bias:
+        dq, dbh, dbw = dq_outs
+    else:
+        (dq,) = dq_outs if isinstance(dq_outs, (tuple, list)) else (dq_outs,)
+        dbh = dbw = None
+
+    # ---- dk / dv ----
+    grid2 = (b, s // block_k, hp, nq)
+    in_specs2 = [
+        pl.BlockSpec((1, block_k, lane), lambda bi, t, hh, j: (bi, t, hh)),
+        pl.BlockSpec((1, block_k, lane),
+                     lambda bi, t, hh, j: (bi, t, hp + hh)),
+        pl.BlockSpec((1, block_q, lane), lambda bi, t, hh, j: (bi, j, hh)),
+    ]
+    args2 = [kv_arr, kv_arr, q_arr]
+    if has_bias:
+        in_specs2 += [
+            pl.BlockSpec((1, 1, block_q, pair * kh),
+                         lambda bi, t, hh, j: (bi, hh, j, 0)),
+            pl.BlockSpec((1, 1, block_q, pair * kw),
+                         lambda bi, t, hh, j: (bi, hh, j, 0)),
+        ]
+        args2 += [bias_h, bias_w]
+    if has_kv_len:
+        in_specs2.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args2.append(kv_len_f)
+    in_specs2 += [
+        pl.BlockSpec((1, block_q, lane), lambda bi, t, hh, j: (bi, j, hh)),
+        pl.BlockSpec((1, 1, 1, pair, block_q),
+                     lambda bi, t, hh, j: (bi, hh, j, 0, 0)),
+        pl.BlockSpec((1, 1, 1, pair, block_q),
+                     lambda bi, t, hh, j: (bi, hh, j, 0, 0)),
+    ]
+    args2 += [dout, lse, dcol]
+
+    dkv_kernel = functools.partial(
+        _fgt_dkv_kernel, block_q=block_q, block_k=block_k, scale=scale,
+        kh=kh, kw=kw, pair=pair, head_dim=d, has_bias=has_bias,
+        has_kv_len=has_kv_len, schedule=schedule)
+
+    def wrapped_dkv(*refs):
+        it = iter(refs)
+        k_ref, v_ref, q_ref = next(it), next(it), next(it)
+        bh_ref = next(it) if has_bias else None
+        bw_ref = next(it) if has_bias else None
+        kl_ref = next(it) if has_kv_len else None
+        do_ref, lse_ref, dcol_ref = next(it), next(it), next(it)
+        dkv_kernel(k_ref, v_ref, q_ref, bh_ref, bw_ref, kl_ref,
+                   do_ref, lse_ref, dcol_ref, *it)
+
+    dk, dv = pl.pallas_call(
+        wrapped_dkv,
+        grid=grid2,
+        in_specs=in_specs2,
+        out_specs=[
+            pl.BlockSpec((1, block_k, lane),
+                         lambda bi, t, hh, j: (bi, t, hh)),
+            pl.BlockSpec((1, block_k, lane),
+                         lambda bi, t, hh, j: (bi, t, hh)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, c), kv_arr.dtype),
+            jax.ShapeDtypeStruct((b, s, c), kv_arr.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((pair, block_k, d), jnp.float32),
+            pltpu.VMEM((pair, block_k, d), jnp.float32),
+        ],
+        compiler_params=_fgt_compiler_params(
+            ("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args2)
+    dkv = jnp.concatenate([dk, dv], axis=-1)
+    return dq, dkv, dbh, dbw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "scale", "block_q", "block_k", "schedule", "interpret",
+    ),
+)
+def global_attention_trainable(
+    q_arr: jax.Array,
+    kv_arr: jax.Array,
+    bias_h: jax.Array | None = None,
+    bias_w: jax.Array | None = None,
+    kv_len: jax.Array | None = None,
+    *,
+    num_heads: int,
+    scale: float | None = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    schedule: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused-layout global attention.
+
+    Same input contract as :func:`~.attention.flash_attention_fused_qkv`
+    in global mode with split projections: ``q_arr`` (B, S, C), ``kv_arr``
+    (B, S, 2C), optional pair-merged decomposed bias ``(B, H/pair, S,
+    pair·K)`` with Kh·Kw == S, optional ``kv_len`` padding mask — plus a
+    memory-efficient custom VJP (score tiles recomputed in fp32; the
+    pair-merged bias gradients come out of one one-hot group-reduce
+    matmul per head slot).  Returns (B, S, H·D); gradients flow to
+    q_arr, kv_arr and the bias factors (``kv_len`` non-differentiable).
+    """
+    b, s, c, d, pair, hp, kh, kw, has_bias = _fgt_validate(
+        q_arr, kv_arr, bias_h, bias_w, num_heads)
+    scale = (d ** -0.5) if scale is None else scale
+    if schedule is None:
+        schedule = os.environ.get("VDR_FGT_SCHEDULE", "skew")
+    if schedule not in ("base", "skew"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+
+    @jax.custom_vjp
+    def _attn(q_arr, kv_arr, bias_h, bias_w, kv_len):
+        out, _ = _fgt_fwd_impl(
+            q_arr, kv_arr, bias_h, bias_w, kv_len, num_heads=num_heads,
+            scale=scale, block_q=block_q, block_k=block_k,
+            schedule=schedule, interpret=interpret)
+        return out
+
+    def _attn_fwd(q_arr, kv_arr, bias_h, bias_w, kv_len):
+        out, lse = _fgt_fwd_impl(
+            q_arr, kv_arr, bias_h, bias_w, kv_len, num_heads=num_heads,
+            scale=scale, block_q=block_q, block_k=block_k,
+            schedule=schedule, interpret=interpret)
+        return out, (q_arr, kv_arr, bias_h, bias_w, kv_len, out, lse)
+
+    def _attn_bwd(res, dout):
+        dq, dkv, dbh, dbw = _fgt_bwd_impl(
+            res, dout, num_heads=num_heads, scale=scale, block_q=block_q,
+            block_k=block_k, schedule=schedule, interpret=interpret)
+        return dq, dkv, dbh, dbw, None
+
+    _attn.defvjp(_attn_fwd, _attn_bwd)
+    return _attn(q_arr, kv_arr, bias_h, bias_w, kv_len)
