@@ -72,6 +72,23 @@ def sam_vitb_flops_per_image() -> float:
     )
 
 
+def vitl14_flops_per_image(image_size: int = 518) -> float:
+    """Analytic useful-math FLOPs of one DINOv2 ViT-L/14 dense forward
+    (real 1370 tokens incl. CLS, not the padded 1536 tile)."""
+    from vit_deep_radiomics_tpu.models.vit import DINOV2_CONFIGS
+
+    cfg = DINOV2_CONFIGS["dinov2_vitl14"]
+    grid = image_size // cfg.patch_size
+    s = grid * grid + 1                          # patch tokens + CLS
+    c = cfg.width
+    h, d = cfg.num_heads, cfg.head_dim
+    mlp = int(cfg.mlp_ratio * c)
+    patch = 2 * (grid * grid) * (cfg.patch_size ** 2 * 3) * c
+    per_block = 2 * s * c * 3 * c + 2 * s * c * c + 2 * (2 * s * c * mlp)
+    attn = 2 * (2 * h * s * s * d)               # scores + AV
+    return float(patch + cfg.depth * (per_block + attn))
+
+
 def measure_vitl14_dense() -> float:
     """Secondary config (BASELINE.json config 3): DINOv2-style ViT-L/14
     full dense tokens @518, bf16 batched inference.  Run via
@@ -593,6 +610,20 @@ def measure_e2e(n_patients: int = 6) -> dict:
         ex = DenseExtractor(ExtractionConfig(
             model_name="medsam", precision="fast", use_flash=use_flash,
         ))
+        # per-stage wall attribution (engine/extract.py::StageTimes) +
+        # a forward counter so device busy time can be estimated from a
+        # warm forward timing after the sweep
+        from vit_deep_radiomics_tpu.engine.extract import StageTimes
+
+        ex.stats = StageTimes()
+        n_fwd = [0]
+        inner_apply = ex._apply
+
+        def counting_apply(p, x):
+            n_fwd[0] += 1
+            return inner_apply(p, x)
+
+        ex._apply = counting_apply
         t0 = time.perf_counter()
         written = extract_isotropic_dataset(
             tmp / "iso.hdf5", tmp / "iso.csv", tmp / "features", ex,
@@ -602,6 +633,24 @@ def measure_e2e(n_patients: int = 6) -> dict:
         n_augs = len(ex.config.flips) * len(ex.config.angles)
         n_images = n_patients * (ct_slices + pet_slices) * n_augs
         assert len(written) == 2 * n_patients
+        # warm per-forward time at the sweep's batch (D2H sum forces the
+        # tunnel sync; block_until_ready is unreliable here)
+        import jax.numpy as jnp
+        import numpy as _np
+
+        dummy = jnp.asarray(_np.random.default_rng(1).uniform(
+            size=(ex.config.slice_batch, ex.image_size, ex.image_size, 3)
+        ).astype(_np.float32))
+        float(inner_apply(ex.params, dummy).astype(jnp.float32).sum())
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = inner_apply(ex.params, dummy)
+        float(out.astype(jnp.float32).sum())
+        fwd_s = (time.perf_counter() - t0) / reps
+        device_busy_s = n_fwd[0] * fwd_s
+        stage_s = {k: round(v, 2) for k, v in ex.stats.items()
+                   if not k.startswith("_")}
 
         df = feature_store.merge_metadata(
             tmp / "features", datasets=("stanford_dataset",))
@@ -625,6 +674,74 @@ def measure_e2e(n_patients: int = 6) -> dict:
         "extract_s": round(extract_s, 2),
         "n_images": n_images,
         "train_s_per_epoch": round(train_s / 3, 2),
+        # per-stage host wall shares (threads overlap — see StageTimes)
+        "stage_s": stage_s,
+        # device compute estimate: counted ViT forwards × warm
+        # per-forward time measured after the sweep on the same claim
+        "device_busy_s_est": round(device_busy_s, 2),
+        "device_idle_frac_est": round(
+            max(0.0, 1.0 - device_busy_s / extract_s), 3),
+        "n_forwards": n_fwd[0],
+        "fwd_s_warm": round(fwd_s, 4),
+    }
+
+
+def measure_wire_ab(h: int = 512, w: int = 512, s: int = 12,
+                    reps: int = 4) -> dict:
+    """Extraction-feed wire-dtype A/B: f32 vs int16 raw-HU upload.
+
+    One real-scale CT volume (default 512²×12 — native CT resolution),
+    full 12-augmentation extract_volume, interleaved reps.  The int16
+    wire halves H2D bytes (the window/normalise already runs in-graph
+    either way — ExtractionConfig.wire_dtype); also reports the feature
+    fidelity delta from rounding fractional resampled HU to integers.
+    """
+    import numpy as np
+
+    import jax
+
+    from vit_deep_radiomics_tpu.engine.extract import (
+        DenseExtractor,
+        ExtractionConfig,
+    )
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(-1000, 1500, size=(h, w, s)).astype(np.float32)
+    mask = np.zeros((h, w, s), bool)
+    mask[h // 2 - 40:h // 2 + 40, w // 2 - 30:w // 2 + 30, :] = True
+
+    ex = DenseExtractor(ExtractionConfig(
+        model_name="medsam", precision="fast",
+        use_flash=jax.default_backend() == "tpu",
+    ))
+
+    def run():
+        feats, _, _ = ex.extract_volume(vol, mask, "ct")
+        return feats
+
+    # fidelity: same crop geometry both ways, so compare flat
+    ex.config.wire_dtype = "float32"
+    f32_feats = run()
+    ex.config.wire_dtype = "int16"
+    i16_feats = run()
+    diffs = [float(np.max(np.abs(a - b)))
+             for a, b in zip(f32_feats, i16_feats)]
+    times = {"float32": [], "int16": []}
+    for _ in range(reps):
+        for wire in ("float32", "int16"):
+            ex.config.wire_dtype = wire
+            t0 = time.perf_counter()
+            run()
+            times[wire].append(time.perf_counter() - t0)
+    best = {k: min(v) for k, v in times.items()}
+    return {
+        "volume": [h, w, s],
+        "f32_s": round(best["float32"], 3),
+        "int16_s": round(best["int16"], 3),
+        "speedup_int16": round(best["float32"] / best["int16"], 3),
+        "wire_mib_f32": round(h * w * s * 4 / 2 ** 20, 1),
+        "wire_mib_int16": round(h * w * s * 2 / 2 ** 20, 1),
+        "max_abs_feature_diff": round(max(diffs), 5),
     }
 
 
@@ -859,6 +976,17 @@ def main(argv=None):
             **stats,
         }))
         return
+    if argv and argv[0] == "wire":
+        _wait_for_backend()
+        stats = measure_wire_ab()
+        print(json.dumps({
+            "metric": "extract_feed_wire_int16_speedup",
+            "value": stats["speedup_int16"],
+            "unit": "x_vs_f32_wire",
+            "vs_baseline": 0.0,
+            **stats,
+        }))
+        return
     if argv and argv[0] == "foldpar":
         _wait_for_backend()
         stats = measure_foldpar()
@@ -981,11 +1109,16 @@ def main(argv=None):
     if argv and argv[0] == "vitl14":
         _wait_for_backend()
         value = measure_vitl14_dense()
+        flops = vitl14_flops_per_image()
         print(json.dumps({
             "metric": "dinov2_vitl14_dense518_throughput",
             "value": round(value, 3),
             "unit": "img/s/chip",
             "vs_baseline": 0.0,  # no reference engine for this config here
+            "model_tflops_per_img": round(flops / 1e12, 4),
+            "achieved_tflops": round(value * flops / 1e12, 2),
+            "mfu_vs_v5e_bf16_peak": round(
+                value * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
         }))
         return
     _wait_for_backend()

@@ -300,6 +300,110 @@ class TestSequenceParallelClassifier:
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+class TestSequenceParallelBimodal:
+    """Whole-volume BIMODAL mode: per-modality ring encoders + CLS-query
+    cross-attention over sequence-sharded K/V — equality with the
+    unsharded bimodal classifier (values + grads)."""
+
+    def _inputs(self, rng, b=2, s_ct=39, s_pet=15, d=32):
+        # +CLS → 40 / 16 tokens: both divisible by the 8-device ring
+        ct = jnp.asarray(rng.normal(size=(b, s_ct, d)).astype(np.float32))
+        pet = jnp.asarray(rng.normal(size=(b, s_pet, d)).astype(np.float32))
+        ct_mask = np.ones((b, s_ct), bool)
+        ct_mask[0, 30:] = False          # ragged CT volume
+        pet_mask = np.ones((b, s_pet), bool)
+        pet_mask[1, 12:] = False
+        return ct, pet, jnp.asarray(ct_mask), jnp.asarray(pet_mask)
+
+    def _kw(self, d=32):
+        from vit_deep_radiomics_tpu.core.precision import PARITY
+
+        return dict(
+            input_dim=d, ffn_dim_ct=2 * d, ffn_dim_pet=2 * d,
+            num_heads_ct=4, num_heads_pet=4, num_layers_ct=1,
+            num_layers_pet=1, num_classes=2, policy=PARITY,
+            dropout_rate=0.0,
+        )
+
+    def test_matches_unsharded(self, mesh8, rng):
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleBimodalClassifier,
+        )
+
+        ct, pet, ct_mask, pet_mask = self._inputs(rng)
+        base = TransformerNoduleBimodalClassifier(**self._kw())
+        params = base.init(
+            jax.random.PRNGKey(0), ct_tokens=ct, pet_tokens=pet,
+            ct_mask=ct_mask, pet_mask=pet_mask)
+        want = base.apply(params, ct_tokens=ct, pet_tokens=pet,
+                          ct_mask=ct_mask, pet_mask=pet_mask)
+        ring = TransformerNoduleBimodalClassifier(
+            **self._kw(), seq_mesh=mesh8)
+        got = ring.apply(params, ct_tokens=ct, pet_tokens=pet,
+                         ct_mask=ct_mask, pet_mask=pet_mask)
+        for g, w, name in zip(got, want, ("logits", "cls", "l_ct",
+                                          "l_pet")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5,
+                err_msg=name)
+
+    def test_non_divisible_lengths_pad(self, mesh8, rng):
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleBimodalClassifier,
+        )
+
+        ct, pet, ct_mask, pet_mask = self._inputs(rng, s_ct=42, s_pet=13)
+        base = TransformerNoduleBimodalClassifier(**self._kw())
+        params = base.init(
+            jax.random.PRNGKey(0), ct_tokens=ct, pet_tokens=pet,
+            ct_mask=ct_mask, pet_mask=pet_mask)
+        want = base.apply(params, ct_tokens=ct, pet_tokens=pet,
+                          ct_mask=ct_mask, pet_mask=pet_mask)
+        got = TransformerNoduleBimodalClassifier(
+            **self._kw(), seq_mesh=mesh8,
+        ).apply(params, ct_tokens=ct, pet_tokens=pet,
+                ct_mask=ct_mask, pet_mask=pet_mask)
+        for g, w, name in zip(got, want, ("logits", "cls", "l_ct",
+                                          "l_pet")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5,
+                err_msg=name)
+
+    def test_grads_match_unsharded(self, mesh8, rng):
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            TransformerNoduleBimodalClassifier,
+        )
+
+        ct, pet, ct_mask, pet_mask = self._inputs(rng)
+        base = TransformerNoduleBimodalClassifier(**self._kw())
+        ring = TransformerNoduleBimodalClassifier(
+            **self._kw(), seq_mesh=mesh8)
+        params = base.init(
+            jax.random.PRNGKey(0), ct_tokens=ct, pet_tokens=pet,
+            ct_mask=ct_mask, pet_mask=pet_mask)
+
+        def loss(model, p):
+            logits, cls, l_ct, l_pet = model.apply(
+                p, ct_tokens=ct, pet_tokens=pet,
+                ct_mask=ct_mask, pet_mask=pet_mask)
+            return (
+                (logits.astype(jnp.float32) ** 2).sum()
+                + (l_ct.astype(jnp.float32) ** 2).sum()
+                + (l_pet.astype(jnp.float32) ** 2).sum()
+            )
+
+        g_ref = jax.grad(lambda p: loss(base, p))(params)
+        g_ring = jax.grad(lambda p: loss(ring, p))(params)
+        ring_flat = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(g_ring))
+        for key, ref in jax.tree_util.tree_leaves_with_path(g_ref):
+            ks = jax.tree_util.keystr(key)
+            np.testing.assert_allclose(
+                np.asarray(ring_flat[ks]), np.asarray(ref),
+                atol=1e-4, rtol=1e-3, err_msg=ks)
+
+
 class TestPipelineViT:
     """GPipe pipeline parallelism over the model axis (parallel/pipeline.py)."""
 

@@ -622,3 +622,100 @@ class TestPipelineExport:
             export_pipeline(
                 {}, TINY, {"params": {}}, bad, "transformer", "ct",
                 tmp_path / "x.vdr", policy="parity", use_flash=False)
+
+
+class TestExecutableCache:
+    """ExportedModel.warm(): AOT compile through the on-disk EXECUTABLE
+    cache — first warm saves the compiled binary, a fresh load of the
+    same artifact warms from disk ('hit') and produces identical
+    outputs; poly artifacts skip AOT (per-shape specialization)."""
+
+    def _cfg(self, d=16):
+        return {"models": {"transformer": {
+            "learning_rate": 5e-4, "feature_dim": d, "batch_size": 2,
+            "virtual_batch_size": 4, "num_epochs": 1, "patience": 5,
+            "ct": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+            "pet": {"num_layers": 1, "num_heads": 2, "mlp_ratio": 2},
+        }}}
+
+    def test_warm_miss_then_hit(self, tmp_path, monkeypatch):
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        monkeypatch.setenv("VDR_EXEC_CACHE", str(tmp_path / "exec"))
+        cfg = self._cfg()
+        rng = np.random.default_rng(0)
+        m = build_classifier(cfg, "transformer", "ct",
+                             policy=get_policy("parity"))
+        toks = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+        mask = jnp.asarray(rng.random((2, 8)) > 0.3)
+        v = m.init(jax.random.PRNGKey(0), toks, mask)
+        p = export_classifier(
+            v, cfg, "transformer", "ct", tmp_path / "t.vdr",
+            batch=2, max_tokens=8, policy="parity")
+
+        em1 = load_exported(p).warm()
+        assert em1.cache_status in ("miss-saved", "miss")
+        want = em1(toks, mask)
+
+        em2 = load_exported(p).warm()
+        # TPU round-trips the executable ('hit'); the CPU backend cannot
+        # re-load its own serialized binaries (validation call fails) —
+        # warm() then falls back to a fresh compile ('miss-saved'),
+        # which is the designed degradation.  The on-chip hit is
+        # measured by the serving bench artifact.
+        assert em2.cache_status in ("hit", "miss-saved")
+        got = em2(toks, mask)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # warm() is idempotent
+        assert em2.warm() is em2
+
+    def test_poly_artifact_skips_aot(self, tmp_path, monkeypatch):
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        monkeypatch.setenv("VDR_EXEC_CACHE", str(tmp_path / "exec"))
+        cfg = self._cfg()
+        rng = np.random.default_rng(1)
+        m = build_classifier(cfg, "transformer", "ct",
+                             policy=get_policy("parity"))
+        toks = jnp.asarray(rng.normal(size=(3, 8, 16)).astype(np.float32))
+        mask = jnp.asarray(rng.random((3, 8)) > 0.3)
+        v = m.init(jax.random.PRNGKey(0), toks, mask)
+        p = export_classifier(
+            v, cfg, "transformer", "ct", tmp_path / "poly.vdr",
+            batch="poly", max_tokens=8, policy="parity")
+        em = load_exported(p).warm()
+        assert em.cache_status == "poly"
+        got = em(toks, mask)      # lazy per-shape path still works
+        assert np.asarray(got[0]).shape == (3, 2)
+
+    def test_cache_off_env(self, tmp_path, monkeypatch):
+        from vit_deep_radiomics_tpu.core.precision import get_policy
+        from vit_deep_radiomics_tpu.engine.serve import export_classifier
+        from vit_deep_radiomics_tpu.models.classifiers import (
+            build_classifier,
+        )
+
+        monkeypatch.setenv("VDR_EXEC_CACHE", "off")
+        cfg = self._cfg()
+        rng = np.random.default_rng(2)
+        m = build_classifier(cfg, "transformer", "ct",
+                             policy=get_policy("parity"))
+        toks = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+        mask = jnp.asarray(rng.random((2, 8)) > 0.3)
+        v = m.init(jax.random.PRNGKey(0), toks, mask)
+        p = export_classifier(
+            v, cfg, "transformer", "ct", tmp_path / "off.vdr",
+            batch=2, max_tokens=8, policy="parity")
+        em = load_exported(p).warm()
+        assert em.cache_status == "miss"   # compiled, nothing persisted
+        got = em(toks, mask)
+        assert np.asarray(got[0]).shape == (2, 2)

@@ -506,6 +506,98 @@ def _run_regime(args, *, signal: float, tag: str) -> dict:
     return result
 
 
+def run_midstrength_sweep(args) -> None:
+    """Mid-strength regime search + assertion (VERDICT r3 item 2).
+
+    The graded regime at signal 1.5 converges onto its designed caps
+    exactly (every asserted diff 0.0 — detects only catastrophic
+    failures); the knife-edge at 0.9 is not self-reproducible (ref
+    intrinsic seed bands to 0.44).  This mode sweeps the GRADED design's
+    signal strength downward between those brackets looking for the
+    regime the round-3 verdict asked for:
+
+    * the reference oracle is self-reproducible — per-fold intrinsic
+      seed half-range ≤ ``--band`` (default 0.02) over ≥4 oracle seeds,
+    * yet lands strictly OFF-CAP on at least one fold (seed-mean at
+      least ``--band`` away from the designed cap) — i.e. the measured
+      AUC is a product of actual training dynamics, not a designed
+      constant.
+
+    At every qualifying signal the parity assertion is per-fold
+    seed-mean |Δ| ≤ ``--tol`` (default 0.02), with the strict 0.005
+    comparison reported alongside.  All swept signals land in the
+    artifact (``PARITY_AUC.json`` gains a ``midstrength`` block) so
+    non-qualifying strengths are characterized, not discarded.
+    """
+    signals = [float(s) for s in args.sweep_signals.split(",")]
+    band, tol = args.band, args.tol
+    sweep_rows = []
+    qualifying = []
+    for sig in signals:
+        print(f"[midstrength] signal {sig} ...", flush=True)
+        res = _run_regime(args, signal=sig, tag="graded")
+        folds = res["folds"]
+        max_half = max(r["ref_intrinsic_halfrange"] for r in folds)
+        off_cap = [
+            {"fold": r["fold"],
+             "cap_distance": round(
+                 abs(r["ref_mean"] - r["designed_cap"]), 6)}
+            for r in folds
+            if abs(r["ref_mean"] - r["designed_cap"]) > band
+        ]
+        diffs = [r["diff_of_means"] for r in folds]
+        row = {
+            "signal": sig,
+            "reproducible": max_half <= band,
+            "max_ref_intrinsic_halfrange": round(max_half, 6),
+            "off_cap_folds": off_cap,
+            "max_abs_diff_of_means": round(max(diffs), 6),
+            "parity_within_tol": max(diffs) <= tol,
+            "parity_within_strict": max(diffs) <= 0.005,
+            "folds": folds,
+        }
+        qualifies = row["reproducible"] and bool(off_cap)
+        row["qualifies"] = qualifies
+        sweep_rows.append(row)
+        if qualifies:
+            qualifying.append(row)
+        print(json.dumps({k: v for k, v in row.items() if k != "folds"},
+                         indent=2), flush=True)
+
+    result = {
+        "regime": "midstrength_sweep",
+        "band": band,
+        "tolerance": tol,
+        "signals": signals,
+        "oracle_seeds": args.oracle_seeds,
+        "seeds": args.seeds,
+        "sweep": sweep_rows,
+        "qualifying_signals": [r["signal"] for r in qualifying],
+        # the assertion: every qualifying regime must satisfy parity
+        "asserted": bool(qualifying),
+        "all_within_tol": bool(qualifying) and all(
+            r["parity_within_tol"] for r in qualifying),
+    }
+    # merge into the existing artifact instead of clobbering the other
+    # regimes' evidence
+    out = Path(args.out)
+    existing = {}
+    if out.exists():
+        try:
+            existing = json.loads(out.read_text())
+        except Exception:  # noqa: BLE001
+            existing = {}
+    existing["midstrength"] = result
+    out.write_text(json.dumps(existing, indent=2))
+    print(json.dumps({k: v for k, v in result.items() if k != "sweep"},
+                     indent=2))
+    if not result["all_within_tol"] and qualifying:
+        sys.exit(1)
+    if not qualifying:
+        print("NOTE: no swept signal met reproducible+off-cap — "
+              "characterized only, nothing asserted", flush=True)
+
+
 def run_stochastic(args) -> None:
     """Non-saturated AUC-parity regimes (VERDICT r2 item 2).
 
@@ -584,11 +676,27 @@ def main() -> None:
                     help="also run + record (not assert) the "
                          "flip_alpha=1.0 / weak-signal knife-edge "
                          "characterization regime")
+    ap.add_argument("--sweep", action="store_true",
+                    help="mid-strength sweep: graded plants at "
+                         "decreasing signal until the reference is "
+                         "self-reproducible yet off-cap; asserts "
+                         "seed-mean |Δ| ≤ --tol there (VERDICT r3 "
+                         "item 2)")
+    ap.add_argument("--sweep-signals", default="1.3,1.15,1.0,0.95",
+                    help="comma-separated signal strengths to sweep")
+    ap.add_argument("--band", type=float, default=0.02,
+                    help="reproducibility half-range bound + off-cap "
+                         "distance threshold (sweep mode)")
+    ap.add_argument("--tol", type=float, default=0.02,
+                    help="asserted seed-mean |Δ| bound in sweep mode")
     ap.add_argument("--feat-dim", type=int, default=64,
                     help="descriptor dim (stochastic regime)")
     ap.add_argument("--out", default=str(REPO / "PARITY_AUC.json"))
     args = ap.parse_args()
 
+    if args.sweep:
+        run_midstrength_sweep(args)
+        return
     if args.stochastic:
         run_stochastic(args)
         return

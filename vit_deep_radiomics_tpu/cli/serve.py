@@ -444,6 +444,7 @@ def _run_classifier(args, model) -> int:
         "items_per_s": round(n / dt, 2) if dt > 0 else None,
         **({"overlap": True} if overlap else {}),
         **_latency_stats(lat),
+        **getattr(args, "_warm_stats", {}),
         "outputs": {k: list(v.shape) for k, v in named.items()},
         "output": args.output,
         **extra,
@@ -512,6 +513,19 @@ def _run(args) -> int:
 
     enable_persistent_compile_cache()
     model = load_exported(args.artifact)
+    # AOT-compile up front through the on-disk EXECUTABLE cache
+    # (engine/serve.py::ExportedModel.warm): the first run of an
+    # artifact on a machine pays the full compile once and saves the
+    # binary; every later `serve run` loads it in seconds instead of
+    # the 2-3-minute on-chip compile (VDR_EXEC_CACHE=off disables).
+    t_warm = time.time()
+    model.warm()
+    warm_stats = {
+        "warm_s": round(time.time() - t_warm, 2),
+        "exec_cache": model.cache_status,
+    }
+    print(json.dumps(warm_stats), file=sys.stderr)
+    args._warm_stats = warm_stats
     if model.meta.get("kind") in ("classifier", "pipeline"):
         # both are named-in_spec artifacts; the pipeline's images/
         # grid_mask/spatial_res route through the same padding/latency/
@@ -550,6 +564,7 @@ def _run(args) -> int:
         "images": n, "batch": batch, "seconds": round(dt, 3),
         "img_per_s": round(n / dt, 2) if dt > 0 else None,
         **_latency_stats(lat),
+        **getattr(args, "_warm_stats", {}),
         "out_shape": list(feats.shape), "output": args.output,
     }))
     return 0

@@ -54,6 +54,47 @@ FLIPS = (None, "horizontal", "vertical")
 ANGLES = (0, 45, 90, 135)
 
 
+class StageTimes(dict):
+    """Thread-safe per-stage wall-clock accumulator (seconds).
+
+    Attach as ``extractor.stats = StageTimes()`` (and pass the same
+    object to :func:`extract_isotropic_dataset`) to attribute the sweep's
+    wall time across host stages: ``read`` (HDF5 volume reads), ``feed``
+    (host-side normalise prep + H2D upload dispatch), ``dispatch``
+    (device graph build incl. the union-mask sync), ``collect``
+    (device→host crop pulls — includes any wait for device compute),
+    ``write`` (LZF HDF5 + parquet finalizers).  Stages run on different
+    threads and overlap, so the shares sum to more than the wall time of
+    a pipelined sweep — they attribute *thread* time, answering "which
+    stage would have to shrink for the device to stop idling".
+    """
+
+    def __init__(self):
+        super().__init__()
+        import threading
+
+        self._lock = threading.Lock()
+
+    def add(self, stage: str, seconds: float) -> None:
+        with self._lock:
+            self[stage] = self.get(stage, 0.0) + seconds
+
+    def timed(self, stage: str):
+        """Context manager accumulating the block's wall time."""
+        import contextlib
+        import time as _time
+
+        @contextlib.contextmanager
+        def _cm():
+            t0 = _time.perf_counter()
+            try:
+                yield
+            finally:
+                self.add(stage, _time.perf_counter() - t0)
+
+        return _cm()
+
+
 @dataclasses.dataclass
 class ExtractionConfig:
     """Extraction run settings (CLI flags of the reference __main__)."""
@@ -77,6 +118,15 @@ class ExtractionConfig:
     volume_bucket: int = 32             # pad H/W to a multiple (compile reuse)
     flips: tuple = FLIPS
     angles: tuple = ANGLES
+    # CT host→device wire dtype: 'float32' (exact) or 'int16' (raw-HU
+    # rounded to nearest integer before upload — halves H2D bytes; the
+    # window/normalise still runs in-graph in f32 either way).  Lossless
+    # when the source is integer HU (native DICOM CT); isotropic
+    # RESAMPLED volumes carry fractional HU, so rounding perturbs inputs
+    # by ≤0.5 HU against the 800-HU window (≤1/1600 of the dynamic
+    # range).  Same lever as serving's raw-HU artifact input mode
+    # (engine/serve.py).  PET stays float (its values are small floats).
+    wire_dtype: str = "float32"
 
 
 def _backbone_for(cfg: ExtractionConfig) -> tuple[ViTDenseConfig, bool]:
@@ -167,6 +217,9 @@ class DenseExtractor:
                 jax.random.PRNGKey(rng_seed), dummy
             )
         self.params = params
+        # optional StageTimes sink: per-stage wall attribution for the
+        # sweep (bench.py e2e sets this; None = zero-overhead no-op)
+        self.stats: StageTimes | None = None
         self._setup_apply(mesh)
 
     def _setup_apply(self, mesh) -> None:
@@ -223,14 +276,19 @@ class DenseExtractor:
     def _normalize(self, vol: np.ndarray, modality: str) -> jax.Array:
         """Reference normalisation (tfds_dense_descriptor.py:441-447):
         medsam CT → HU window (800, 40); dinov2 CT → HU→RGB / 255;
-        PET → /max."""
-        v = jnp.asarray(vol)
+        PET → /max.  Runs IN-GRAPH on device; only the raw volume crosses
+        the host link (f32, or int16 HU with ``wire_dtype='int16'`` —
+        half the upload bytes)."""
         if modality in ("ct", "chest"):
+            if (self.config.wire_dtype == "int16"
+                    and np.issubdtype(np.asarray(vol).dtype, np.floating)):
+                vol = np.rint(vol).astype(np.int16)
+            v = jnp.asarray(vol).astype(jnp.float32)
             if self.config.model_name == "medsam":
                 w, l = self.config.ct_window
                 return pp.apply_window_ct(v, w, l)
             return pp.hu_to_rgb(v).astype(jnp.float32) / 255.0
-        return pp.normalize_pet(v)
+        return pp.normalize_pet(jnp.asarray(vol))
 
     def _pad_volume(self, vol: jax.Array) -> jax.Array:
         b = self.config.volume_bucket
@@ -314,13 +372,19 @@ class DenseExtractor:
         to compute crop boxes — full transformed masks stay on device and
         only bucketed crops are transferred later.
         """
+        import contextlib
+        import time as _time
+
         cfg = self.config
         h, w, s = vol.shape
         if not mask.any():
             raise ValueError("empty nodule mask — nothing to extract")
 
-        vol_dev = self._pad_volume(self._normalize(vol, modality))
-        mask_dev = self._pad_volume(jnp.asarray(mask, jnp.float32))
+        with (self.stats.timed("feed") if self.stats is not None
+                else contextlib.nullcontext()):
+            vol_dev = self._pad_volume(self._normalize(vol, modality))
+            mask_dev = self._pad_volume(jnp.asarray(mask, jnp.float32))
+        t_start = _time.perf_counter()
         valid_hw = (jnp.int32(h), jnp.int32(w))
 
         meta_slices: list[int] = []
@@ -407,6 +471,10 @@ class DenseExtractor:
                 crop_dev = crop_dev.astype(jnp.bfloat16)  # halve transfer
             crop_devs.append((crop_dev, ymin - y0, xmin - x0, ch, cw))
 
+        if self.stats is not None:
+            # graph build + union-mask sync (the feed share is booked
+            # separately above)
+            self.stats.add("dispatch", _time.perf_counter() - t_start)
         return {
             "s": s,
             "aug_entries": aug_entries,
@@ -416,6 +484,14 @@ class DenseExtractor:
 
     def collect_volume(self, state: dict):
         """Materialise a dispatched volume's crops and assemble outputs."""
+        import contextlib
+
+        ctx = (self.stats.timed("collect") if self.stats is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return self._collect_volume(state)
+
+    def _collect_volume(self, state: dict):
         s = state["s"]
         features_list: list[np.ndarray] = []
         masks_list: list[np.ndarray] = []
@@ -542,12 +618,18 @@ def extract_isotropic_dataset(
     )
     read_futs: dict[str, Future] = {}
 
+    stats = getattr(extractor, "stats", None)
+
+    def _timed_read(pid, modality):
+        if stats is None:
+            return read_isotropic_hdf5(hdf5_path, pid, modality)
+        with stats.timed("read"):
+            return read_isotropic_hdf5(hdf5_path, pid, modality)
+
     def _submit_read(key: str) -> None:
         if key not in read_futs:
             _, pid, _, modality, _ = meta[key]
-            read_futs[key] = read_pool.submit(
-                read_isotropic_hdf5, hdf5_path, pid, modality
-            )
+            read_futs[key] = read_pool.submit(_timed_read, pid, modality)
 
     # dispatch-ahead state: key → (collect state, spatial_res) or the
     # exception its dispatch raised (re-raised under its own key)
@@ -561,7 +643,7 @@ def extract_isotropic_dataset(
             fut = read_futs.pop(key, None)
             vol, mask, spatial_res = (
                 fut.result() if fut is not None
-                else read_isotropic_hdf5(hdf5_path, pid, modality)
+                else _timed_read(pid, modality)
             )
             state = extractor.dispatch_volume(vol, mask, modality)
             dispatched[key] = (state, spatial_res)
@@ -607,8 +689,13 @@ def extract_isotropic_dataset(
         )
 
         def finalize() -> None:
-            feature_store.save_features(h5_path, feats, masks, pid)
-            df.to_parquet(df_path)
+            import contextlib
+
+            ctx = (stats.timed("write") if stats is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                feature_store.save_features(h5_path, feats, masks, pid)
+                df.to_parquet(df_path)
             written.append(str(df_path))
 
         return finalize

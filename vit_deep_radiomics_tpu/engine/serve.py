@@ -71,10 +71,12 @@ def export_dense_model(
             "or export the full dense model")
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
+    pol = get_policy(policy)
     model = ViTDense(
-        backbone_cfg, policy=get_policy(policy), use_flash=use_flash,
+        backbone_cfg, policy=pol, use_flash=use_flash,
         patch_embed_only=patch_embed_only)
     size = backbone_cfg.image_size
+    params = _bake_params(params, pol)
 
     def forward(images):
         return model.apply(params, images)
@@ -362,6 +364,8 @@ def export_pipeline(
     vit = ViTDense(backbone_cfg, policy=pol, use_flash=use_flash)
     clf = build_classifier(
         clf_cfg, arch, modality, num_classes=num_classes, policy=pol)
+    backbone_params = _bake_params(backbone_params, pol)
+    clf_variables = _bake_params(clf_variables, pol)
     feature_dim = clf_cfg["models"][arch]["feature_dim"]
     if backbone_cfg.feature_dim != feature_dim:
         raise ValueError(
@@ -548,6 +552,23 @@ _FLASH_ENV_KNOBS = (
 )
 
 
+def _bake_params(params, pol):
+    """Cast baked-in weights to the policy compute dtype for bf16-path
+    exports: every use site casts to the compute dtype at trace time
+    anyway (models/vit.py::_policy_dot), so fp32 constants only double
+    the artifact and — decisive on this stack — the compile request (a
+    SAM-B fp32-constants pipeline module is ~365 MB, which the remote
+    compile helper rejects with HTTP 413).  Parity (fp32) exports keep
+    fp32 weights."""
+    from ..core.precision import cast_params
+
+    import jax.numpy as jnp
+
+    if pol.compute_dtype == jnp.bfloat16 and not pol.quantized:
+        return cast_params(params, jnp.bfloat16)
+    return params
+
+
 def _write_artifact(out_path, header: dict, payload: bytes) -> str:
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -560,6 +581,29 @@ def _write_artifact(out_path, header: dict, payload: bytes) -> str:
     return str(out_path)
 
 
+def _exec_cache_path(payload_sha: str):
+    """Cache file for this artifact's COMPILED executable, or None.
+
+    Keyed on (artifact payload hash, jax version, platform, device kind,
+    device count) — any of these invalidates the binary.  Root dir from
+    ``VDR_EXEC_CACHE`` (default ``~/.cache/vdr_tpu/exec``; ``off``
+    disables)."""
+    import hashlib
+
+    root = os.environ.get(
+        "VDR_EXEC_CACHE", os.path.expanduser("~/.cache/vdr_tpu/exec"))
+    if root.lower() == "off":
+        return None
+    import jax
+
+    dev = jax.devices()[0]
+    key = hashlib.sha256("|".join([
+        payload_sha, jax.__version__, dev.platform,
+        getattr(dev, "device_kind", "?"), str(jax.device_count()),
+    ]).encode()).hexdigest()[:32]
+    return Path(root) / f"{key}.vdrexec"
+
+
 @dataclasses.dataclass
 class ExportedModel:
     """A deserialized serving artifact.
@@ -567,17 +611,105 @@ class ExportedModel:
     Dense artifacts: ``model(images) → features``.  Classifier
     artifacts: positional inputs per ``meta['in_spec']`` order (tokens/
     masks or volume/valid_mask) → tuple per ``meta['out_names']``.
+
+    ``warm()`` AOT-compiles the program up front and caches the
+    serialized EXECUTABLE on disk — the first ``serve run`` of a dense/
+    pipeline artifact otherwise pays a 2-3-minute on-chip compile on
+    every process (measured, artifacts/pipeline_serve_*_r3.json); a
+    cache hit loads in seconds.  Without ``warm()`` the first call
+    compiles lazily, exactly as before.
     """
 
     meta: dict
     _exported: object
+    payload_sha: str = ""
+    cache_status: str = "cold"        # cold | hit | miss-saved | miss | poly
+    _loaded: object = None
+
+    def _input_specs(self):
+        """Static ShapeDtypeStructs for AOT compilation (None = shape-
+        polymorphic artifact; those specialize per call shape)."""
+        import jax
+
+        if self.meta.get("kind", "dense") == "dense":
+            b = int(self.meta["batch"])
+            s = int(self.meta["image_size"])
+            return [jax.ShapeDtypeStruct((b, s, s, 3), np.float32)]
+        if self.meta.get("batch") == "poly":
+            return None
+        specs = []
+        for _name, (shape, dtype) in self.meta["in_spec"].items():
+            specs.append(jax.ShapeDtypeStruct(
+                tuple(int(x) for x in shape),
+                np.bool_ if dtype == "bool" else np.dtype(dtype)))
+        return specs
+
+    def warm(self) -> "ExportedModel":
+        """Compile now, via the on-disk executable cache when possible."""
+        if self._loaded is not None:
+            return self
+        import jax
+
+        specs = self._input_specs()
+        if specs is None:
+            self.cache_status = "poly"
+            return self
+        path = _exec_cache_path(self.payload_sha) if self.payload_sha \
+            else None
+        if path is not None and path.exists():
+            try:
+                import pickle
+
+                from jax.experimental import serialize_executable as se
+
+                blob, in_tree, out_tree = pickle.loads(path.read_bytes())
+                # the exported program is single-device; without an
+                # explicit device list the loader binds ALL addressable
+                # devices (breaks on multi-device hosts)
+                loaded = se.deserialize_and_load(
+                    blob, in_tree, out_tree,
+                    execution_devices=jax.devices()[:1])
+                # validation call: deserialization can "succeed" and
+                # still hand back a broken binary (observed on the CPU
+                # backend: runtime 'Buffer Definition Event not found');
+                # one zero-input execution proves it and doubles as the
+                # warmup a server wants anyway
+                zeros = [np.zeros(s.shape, s.dtype) for s in specs]
+                jax.block_until_ready(loaded(*zeros))
+                self._loaded = loaded
+                self.cache_status = "hit"
+                return self
+            except Exception:  # noqa: BLE001 — stale/incompatible: recompile
+                pass
+        compiled = jax.jit(self._exported.call).lower(*specs).compile()
+        self._loaded = compiled
+        self.cache_status = "miss"
+        if path is not None:
+            try:
+                import pickle
+
+                from jax.experimental import serialize_executable as se
+
+                blob, in_tree, out_tree = se.serialize(compiled)
+                path.parent.mkdir(parents=True, exist_ok=True)
+                tmp = path.with_suffix(".tmp%d" % os.getpid())
+                tmp.write_bytes(pickle.dumps((blob, in_tree, out_tree)))
+                tmp.replace(path)                  # atomic vs readers
+                self.cache_status = "miss-saved"
+            except Exception:  # noqa: BLE001 — cache is best-effort
+                pass
+        return self
 
     def __call__(self, *inputs):
+        if self._loaded is not None:
+            return self._loaded(*inputs)
         return self._exported.call(*inputs)
 
 
 def load_exported(path) -> ExportedModel:
     """Load a ``.vdr`` artifact; no model-building code runs."""
+    import hashlib
+
     from jax import export as jexport
 
     with open(path, "rb") as fh:
@@ -587,4 +719,8 @@ def load_exported(path) -> ExportedModel:
         (hlen,) = struct.unpack("<I", fh.read(4))
         meta = json.loads(fh.read(hlen).decode())
         payload = fh.read()
-    return ExportedModel(meta=meta, _exported=jexport.deserialize(payload))
+    return ExportedModel(
+        meta=meta,
+        _exported=jexport.deserialize(payload),
+        payload_sha=hashlib.sha256(payload).hexdigest(),
+    )

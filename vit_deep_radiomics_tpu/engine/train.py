@@ -143,11 +143,14 @@ class FoldTrainer:
             raise ValueError(
                 "int8 is an inference-only policy (round() kills the "
                 "gradients); train with 'fast' or 'parity'")
+        # whole-volume sequence parallelism covers BOTH transformer
+        # families: the unimodal classifier rings its self-attention,
+        # the bimodal one additionally runs CLS-query cross-attention
+        # over sequence-sharded K/V (models/classifiers.py)
         seq_mesh = None
         if (
             tcfg.whole_volume and mesh is not None
             and tcfg.arch == "transformer"
-            and tcfg.modality not in ("petct", "petchest")
             and np.prod(list(mesh.shape.values())) > 1
         ):
             seq_mesh = mesh

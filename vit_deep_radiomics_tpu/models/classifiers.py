@@ -104,6 +104,18 @@ class MultiHeadAttention(nn.Module):
                 split(q), split(k), split(v), self.seq_mesh,
                 token_mask=key_padding_mask,
             )
+        elif self.seq_mesh is not None:
+            # cross-attention with sequence-sharded K/V and replicated
+            # (few-row, e.g. CLS-only) queries — the whole-volume
+            # bimodal path (parallel/ring_attention.py)
+            from ..parallel.ring_attention import (
+                cross_attention_kv_sharded,
+            )
+
+            o = cross_attention_kv_sharded(
+                split(q), split(k), split(v), self.seq_mesh,
+                token_mask=key_padding_mask,
+            )
         else:
             bias = _mask_bias(key_padding_mask)
             o = attention_reference(
@@ -275,6 +287,30 @@ class TransformerNoduleBimodalClassifier(nn.Module):
     num_classes: int
     policy: Policy = FAST
     dropout_rate: float = 0.5
+    # whole-volume sequence parallelism: each modality's encoder runs
+    # ring attention over the mesh's data axis; the bidirectional
+    # cross-attention runs CLS-query-only against the other modality's
+    # sequence-sharded K/V (exact — only position 0 of the cross output
+    # is ever read, models_archs.py:100-104 semantics)
+    seq_mesh: object = None
+
+    def _ring_pad(self, x, mask):
+        """Pad the token axis to a ring-size multiple (masked pads)."""
+        from ..core.mesh import DATA_AXIS
+
+        ring = self.seq_mesh.shape[DATA_AXIS]
+        pad = (-x.shape[1]) % ring
+        if not pad:
+            if mask is None:
+                mask = jnp.ones(x.shape[:2], bool)
+            return x, mask
+        orig = x.shape[1]
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        if mask is None:
+            mask = jnp.ones(x.shape[:2], bool).at[:, orig:].set(False)
+        else:
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        return x, mask
 
     @nn.compact
     def __call__(
@@ -307,31 +343,44 @@ class TransformerNoduleBimodalClassifier(nn.Module):
         x_ct = x_pet = None
         if ct_tokens is not None:
             x, m = _prepend_cls(p.cast_input(ct_tokens), ct_mask, cls_ct)
+            if self.seq_mesh is not None:
+                x, m = self._ring_pad(x, m)
             x = nn.LayerNorm(dtype=p.compute_dtype, param_dtype=p.param_dtype,
                              epsilon=1e-5, name="norm_ct")(x)
             x_ct = _Encoder(d, self.num_heads_ct, self.ffn_dim_ct,
                             self.num_layers_ct, p, self.dropout_rate,
+                            seq_mesh=self.seq_mesh,
                             name="encoder_ct")(x, m, deterministic)
             ct_mask_full = m
         if pet_tokens is not None:
             x, m = _prepend_cls(p.cast_input(pet_tokens), pet_mask, cls_pet)
+            if self.seq_mesh is not None:
+                x, m = self._ring_pad(x, m)
             x = nn.LayerNorm(dtype=p.compute_dtype, param_dtype=p.param_dtype,
                              epsilon=1e-5, name="norm_pet")(x)
             x_pet = _Encoder(d, self.num_heads_pet, self.ffn_dim_pet,
                              self.num_layers_pet, p, self.dropout_rate,
+                             seq_mesh=self.seq_mesh,
                              name="encoder_pet")(x, m, deterministic)
             pet_mask_full = m
 
         if x_ct is not None and x_pet is not None:
             # bidirectional cross-attention; CLS read-out from position 0
             # (ref models_archs.py:100-104; note num_heads_ct for both,
-            # matching :72-73)
+            # matching :72-73).  Under seq_mesh only the CLS row queries
+            # (identical math — position 0 is the only output consumed;
+            # K/V stay sequence-sharded, parallel/ring_attention.py::
+            # cross_attention_kv_sharded)
+            q_ct = x_ct[:, :1] if self.seq_mesh is not None else x_ct
+            q_pet = x_pet[:, :1] if self.seq_mesh is not None else x_pet
             x_ct_attn = MultiHeadAttention(
-                d, self.num_heads_ct, p, name="cross_attention_ct"
-            )(x_ct, x_pet, x_pet, key_padding_mask=pet_mask_full)
+                d, self.num_heads_ct, p, seq_mesh=self.seq_mesh,
+                name="cross_attention_ct"
+            )(q_ct, x_pet, x_pet, key_padding_mask=pet_mask_full)
             x_pet_attn = MultiHeadAttention(
-                d, self.num_heads_ct, p, name="cross_attention_pet"
-            )(x_pet, x_ct, x_ct, key_padding_mask=ct_mask_full)
+                d, self.num_heads_ct, p, seq_mesh=self.seq_mesh,
+                name="cross_attention_pet"
+            )(q_pet, x_ct, x_ct, key_padding_mask=ct_mask_full)
             ct_cls = x_ct_attn[:, 0]
             pet_cls = x_pet_attn[:, 0]
 
@@ -454,8 +503,9 @@ def build_classifier(
 
     Mirrors reference ``build_model`` (train_models.py:455-486): bimodal
     for petct/petchest, conv or unimodal transformer otherwise.
-    ``seq_mesh`` (unimodal transformer only) turns on whole-volume
-    sequence parallelism via ring attention.
+    ``seq_mesh`` (transformer archs) turns on whole-volume sequence
+    parallelism: ring attention in the encoders and, for the bimodal
+    family, CLS-query cross-attention over sequence-sharded K/V.
     """
     cfg_model = cfg["models"][arch]
     feature_dim = cfg_model["feature_dim"]
@@ -471,6 +521,7 @@ def build_classifier(
             num_layers_pet=ma["num_layers"],
             num_classes=num_classes,
             policy=policy,
+            seq_mesh=seq_mesh,
         )
     if arch == "conv":
         return ConvNoduleClassifier(

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.mesh import DATA_AXIS
 
-__all__ = ["ring_attention"]
+__all__ = ["ring_attention", "cross_attention_kv_sharded"]
 
 _NEG_INF = -1e30
 
@@ -117,5 +117,79 @@ def ring_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec, mask_spec),
         out_specs=spec,
+    )
+    return fn(q, k, v, token_mask)
+
+
+def _cross_body(q, k_local, v_local, mask_local, axis_name: str,
+                scale: float, has_mask: bool):
+    """Replicated-q attention over a KV shard + global softmax combine.
+
+    Each device scores its local keys, then the partial statistics merge
+    with one pmax + two psums — the distributed-softmax identity, exact
+    (same math as the ring's online accumulation, collapsed to one step
+    because q is tiny and replicated)."""
+    qf = q.astype(jnp.float32) * scale
+    s = jnp.einsum(
+        "...qd,...kd->...qk", qf, k_local.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if has_mask:
+        s = jnp.where(mask_local[:, None, None, :], s, _NEG_INF)
+    m_loc = jnp.max(s, axis=-1, keepdims=True)
+    # stability shift only — softmax is shift-invariant, so the gradient
+    # must not (and mathematically does not) flow through the max.
+    # stop_gradient goes on pmax's INPUT: with a symbolically-zero
+    # tangent the AD machinery never needs pmax's (missing)
+    # differentiation rule
+    m_g = jax.lax.pmax(jax.lax.stop_gradient(m_loc), axis_name)
+    p = jnp.exp(s - m_g)
+    l = jax.lax.psum(jnp.sum(p, axis=-1, keepdims=True), axis_name)
+    acc = jax.lax.psum(
+        jnp.einsum("...qk,...kd->...qd", p, v_local.astype(jnp.float32),
+                   preferred_element_type=jnp.float32),
+        axis_name,
+    )
+    safe_l = jnp.where(l > 0, l, 1.0)
+    return (acc / safe_l).astype(q.dtype)
+
+
+def cross_attention_kv_sharded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    token_mask: jax.Array | None = None,
+    *,
+    axis_name: str = DATA_AXIS,
+    scale: float | None = None,
+):
+    """Cross-attention with replicated queries and KV sharded over
+    *axis_name* — the whole-volume bimodal companion to
+    :func:`ring_attention`.
+
+    The bimodal classifier reads ONLY the CLS position of its
+    cross-attention outputs (models/classifiers.py, mirroring reference
+    models_archs.py:100-104), so its whole-volume cross step is a
+    handful of query rows against a sequence-sharded KV: each device
+    scores its local K/V shard and the partial softmax statistics merge
+    with one ``pmax`` + two ``psum`` collectives (exact — the
+    distributed-softmax identity).  q: (B, H, Sq, D) with small Sq,
+    replicated; k/v: (B, H, Sk, D) sharded on Sk; optional (B, Sk) key
+    validity mask, sharded with the keys.
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    has_mask = token_mask is not None
+    if not has_mask:
+        token_mask = jnp.ones(k.shape[0:1] + k.shape[2:3], bool)
+    body = functools.partial(
+        _cross_body, axis_name=axis_name, scale=scale, has_mask=has_mask)
+    kv_spec = P(None, None, axis_name, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), kv_spec, kv_spec, P(None, axis_name)),
+        out_specs=P(),
     )
     return fn(q, k, v, token_mask)
