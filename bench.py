@@ -274,6 +274,46 @@ def measure_fused_mlp_ab() -> dict:
     return r["img_per_s"]
 
 
+def measure_score_dtype_ab() -> dict:
+    """Interleaved A/B of the bf16 score pipeline (the default in the
+    fused flash kernels) vs fp32 scores (VDR_FLASH_SCORE_F32=1) — the
+    round-3 verdict's "lower-precision exp" experiment, inverted: the
+    nomax path already runs its exp2/accumulate chain in bf16, so the
+    measurable question is what that bf16 chain is WORTH and what
+    fidelity it costs."""
+    import numpy as np
+
+    r = _interleaved_env_ab(
+        "VDR_FLASH_SCORE_F32", (("bf16_scores", "0"), ("f32_scores", "1")))
+    model, params, images = r["model"], r["params"], r["images"]
+    result = dict(r["img_per_s"])
+
+    # fidelity: bf16-score features vs the fp32-score variant (both
+    # bf16 weights/activations — isolates the score-chain precision)
+    import os
+
+    import jax
+
+    saved = os.environ.get("VDR_FLASH_SCORE_F32")
+    try:
+        os.environ["VDR_FLASH_SCORE_F32"] = "0"
+        a = np.asarray(jax.jit(model.apply)(params, images),
+                       dtype=np.float32)
+        os.environ["VDR_FLASH_SCORE_F32"] = "1"
+        b = np.asarray(jax.jit(model.apply)(params, images),
+                       dtype=np.float32)
+    finally:
+        if saved is None:
+            os.environ.pop("VDR_FLASH_SCORE_F32", None)
+        else:
+            os.environ["VDR_FLASH_SCORE_F32"] = saved
+    result["max_abs_feature_diff"] = float(np.max(np.abs(a - b)))
+    denom = np.linalg.norm(a.reshape(a.shape[0], -1), axis=1)
+    num = np.linalg.norm((a - b).reshape(a.shape[0], -1), axis=1)
+    result["rel_l2_feature_diff"] = float(np.max(num / denom))
+    return result
+
+
 def measure_nomax_ab() -> dict:
     """In-process alternating A/B of the nomax flash softmax
     (VDR_FLASH_NOMAX — ops/attention.py) against the default kernels.
@@ -1023,6 +1063,31 @@ def main(argv=None):
             "model_tflops_per_img": round(flops / 1e12, 4),
         }))
         return
+    if argv and argv[0] == "int8kernel":
+        # Pallas s8×s8→s32 kernel rate vs XLA int8 vs bf16 on the five
+        # backbone matmul shapes — does the direct Mosaic path expose
+        # the v5e 2× s8 MXU rate that XLA's lowering leaves on the
+        # table?  (VERDICT r3 item 5)
+        _wait_for_backend()
+        from vit_deep_radiomics_tpu.ops.quant import int8_pallas_rate_ratio
+
+        shapes = [
+            (16384, 768, 768),    # out projection @B4
+            (16384, 768, 1536),   # kv projection
+            (16384, 768, 3072),   # MLP fc1
+            (16384, 3072, 768),   # MLP fc2
+            (16384, 768, 256),    # neck 1x1
+        ]
+        rows = [int8_pallas_rate_ratio(m, k, n) for m, k, n in shapes]
+        best = max(r["pallas_vs_bf16"] for r in rows)
+        print(json.dumps({
+            "metric": "int8_pallas_kernel_vs_bf16",
+            "value": best,
+            "unit": "x_bf16_rate_best_shape",
+            "vs_baseline": 0.0,
+            "shapes": rows,
+        }))
+        return
     if argv and argv[0] == "nomax":
         # interleaved same-process A/B of the unnormalised-exponential
         # flash softmax (drops the running-max VPU work on the score
@@ -1043,6 +1108,28 @@ def main(argv=None):
             # observed max |scaled logit| vs the exp2 overflow bound
             "max_abs_logit": round(r["max_abs_logit"], 3),
             "logit_bound": round(r["logit_bound"], 1),
+        }))
+        return
+    if argv and argv[0] == "scoredtype":
+        # bf16 vs fp32 score-chain A/B (VDR_FLASH_SCORE_F32) — turns the
+        # "irreducible short of lower-precision exp" roadmap claim into
+        # a measured number either way
+        _wait_for_backend()
+        r = measure_score_dtype_ab()
+        flops = sam_vitb_flops_per_image()
+        print(json.dumps({
+            "metric": "sam_vitb16_dense_score_dtype_ab",
+            "value": round(r["bf16_scores"], 3),
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "bf16_img_per_s": round(r["bf16_scores"], 3),
+            "f32_img_per_s": round(r["f32_scores"], 3),
+            "speedup_bf16_vs_f32": round(
+                r["bf16_scores"] / r["f32_scores"], 4),
+            "max_abs_feature_diff": round(r["max_abs_feature_diff"], 6),
+            "rel_l2_feature_diff": round(r["rel_l2_feature_diff"], 6),
+            "mfu_bf16": round(
+                r["bf16_scores"] * flops / 1e12 / PEAK_BF16_TFLOPS, 4),
         }))
         return
     if argv and argv[0] == "mlpfuse":

@@ -328,3 +328,33 @@ class TestInt8FootgunGuard:
 
         r = int8_matmul_rate_ratio(m=256, k=128, n=256, reps=2)
         assert 0 < r < 1000
+
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+class TestPallasS8Matmul:
+    """int8_matmul_pallas: exact s32 accumulation vs the int64 oracle
+    across tilings (the on-chip rate A/B is `bench.py int8kernel`)."""
+
+    def test_exact_vs_oracle(self, rng):
+        from vit_deep_radiomics_tpu.ops.quant import int8_matmul_pallas
+
+        x = jnp.asarray(rng.integers(-127, 128, size=(256, 384)), jnp.int8)
+        w = jnp.asarray(rng.integers(-127, 128, size=(384, 256)), jnp.int8)
+        want = np.asarray(x, np.int64) @ np.asarray(w, np.int64)
+        for bm, bn, bk in ((128, 128, 128), (256, 256, 384),
+                           (128, 256, 192)):
+            got = int8_matmul_pallas(
+                x, w, block_m=bm, block_n=bn, block_k=bk,
+                interpret=not ON_TPU)
+            assert got.dtype == jnp.int32
+            np.testing.assert_array_equal(np.asarray(got, np.int64), want)
+
+    def test_rejects_untiled_shapes(self):
+        from vit_deep_radiomics_tpu.ops.quant import int8_matmul_pallas
+
+        x = jnp.zeros((100, 128), jnp.int8)
+        w = jnp.zeros((128, 128), jnp.int8)
+        with pytest.raises(ValueError):
+            int8_matmul_pallas(x, w, block_m=64, interpret=not ON_TPU)

@@ -571,9 +571,12 @@ def _fused_window_kernel(
     has_bias = bias_h_ref is not None
     # bf16 inputs run the whole score pipeline in bf16 (the (bq, bq)
     # elementwise chain is the VPU hot spot and bf16 halves it); fp32
-    # inputs keep the exact path for parity.
+    # inputs keep the exact path for parity.  VDR_FLASH_SCORE_F32=1
+    # forces fp32 scores (trace-time A/B knob — see the global kernel).
     rdtype = qkv_ref.dtype
     sdtype = rdtype if rdtype == jnp.bfloat16 else jnp.float32
+    if os.environ.get("VDR_FLASH_SCORE_F32", "0") == "1":
+        sdtype = jnp.float32
 
     if window_tokens < bq:
         qidx = lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
@@ -706,8 +709,13 @@ def _fused_global_kernel(
     # bf16 inputs keep scores/max/exp in bf16 — the (bq, block_k)
     # elementwise chain is the VPU hot spot and bf16 halves it; running
     # statistics (m, acc incl. the sum column) stay fp32.  fp32 inputs
-    # keep the exact path for parity.
+    # keep the exact path for parity.  VDR_FLASH_SCORE_F32=1 forces the
+    # fp32 chain on bf16 inputs — the one-shot A/B knob that turns the
+    # "exp2 VPU chain is irreducible short of lower-precision exp" claim
+    # into data (`bench.py scoredtype`); read at TRACE time.
     sdtype = rows_q.dtype if rows_q.dtype == jnp.bfloat16 else jnp.float32
+    if os.environ.get("VDR_FLASH_SCORE_F32", "0") == "1":
+        sdtype = jnp.float32
 
     if has_kv_len:
         kv_len = kv_len_ref[pl.program_id(0), 0]

@@ -159,3 +159,132 @@ def warn_if_int8_emulated(log=None, threshold: float = 0.5) -> float:
             raise RuntimeError(msg)
         (log or print)(f"WARNING: {msg}")
     return ratio
+
+
+# ---------------------------------------------------------------------------
+# Pallas s8×s8→s32 matmul: expose the v5e MXU's native int8 rate.
+#
+# Round 3 measured XLA's int8 lowering at ≈1.0× the bf16 rate on this
+# backend — the hardware's 2× s8 throughput is unexposed through the
+# standard dot lowering (docs/ROADMAP.md).  This kernel hands Mosaic the
+# s8 contraction directly, tiled to the MXU, to test whether the Pallas
+# path reaches the native rate (VERDICT r3 item 5: A/B on chip; if even
+# the direct kernel can't exceed ~1.3×, int8 is demoted to a measured
+# no-benefit note).
+# ---------------------------------------------------------------------------
+
+
+def _s8_matmul_kernel(x_ref, w_ref, o_ref, acc_ref, *, nsteps):
+    """grid (M/bm, N/bn, K/bk): K innermost, s32 accumulation."""
+    from jax.experimental import pallas as pl
+
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += lax.dot_general(
+        x_ref[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k_idx == nsteps - 1)
+    def _store():
+        o_ref[...] = acc_ref[...]
+
+
+def int8_matmul_pallas(
+    x_q: jax.Array,
+    w_q: jax.Array,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 1536,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x_q @ w_q`` (both int8) → int32 via a tiled Pallas kernel.
+
+    Shapes must tile: M % block_m == N % block_n == 0 and K % block_k
+    (block_k is clamped to K).  Callers pad; the five backbone shapes
+    this serves are all 128-multiples.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+
+    m, k = x_q.shape
+    k2, n = w_q.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch {k} vs {k2}")
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    if m % block_m or n % block_n or k % block_k:
+        raise ValueError(
+            f"shape ({m},{k})@({k},{n}) does not tile "
+            f"({block_m},{block_n},{block_k})")
+    nsteps = k // block_k
+    grid = (m // block_m, n // block_n, nsteps)
+    return pl.pallas_call(
+        functools.partial(_s8_matmul_kernel, nsteps=nsteps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, t: (i, t)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, t: (t, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, t: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, block_n), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_q, w_q)
+
+
+def int8_pallas_rate_ratio(
+    m: int = 16384, k: int = 768, n: int = 3072, reps: int = 30,
+) -> dict:
+    """On-chip rate probe: Pallas s8 kernel vs XLA int8 vs XLA bf16.
+
+    Returns TOP/s-style throughputs and ratios for one projection-sized
+    shape; `bench.py int8kernel` runs it for the five backbone shapes.
+    """
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x8 = jnp.asarray(rng.integers(-127, 127, size=(m, k)), jnp.int8)
+    w8 = jnp.asarray(rng.integers(-127, 127, size=(k, n)), jnp.int8)
+    xb, wb = x8.astype(jnp.bfloat16), w8.astype(jnp.bfloat16)
+    fns = {
+        "pallas_s8": jax.jit(lambda a, b: int8_matmul_pallas(a, b).sum()),
+        "xla_s8": jax.jit(lambda a, b: lax.dot(
+            a, b, preferred_element_type=jnp.int32).sum()),
+        "xla_bf16": jax.jit(lambda a, b: lax.dot(
+            a, b, preferred_element_type=jnp.float32).sum()),
+    }
+    args = {"pallas_s8": (x8, w8), "xla_s8": (x8, w8),
+            "xla_bf16": (xb, wb)}
+    tops = {}
+    flops = 2.0 * m * k * n
+    for name, f in fns.items():
+        a, b = args[name]
+        float(np.asarray(f(a, b)))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(a, b)
+        float(np.asarray(out))
+        dt = (time.perf_counter() - t0) / reps
+        tops[name] = flops / dt / 1e12
+    return {
+        "shape": [m, k, n],
+        "tops": {k_: round(v, 1) for k_, v in tops.items()},
+        "pallas_vs_bf16": round(tops["pallas_s8"] / tops["xla_bf16"], 3),
+        "xla_s8_vs_bf16": round(tops["xla_s8"] / tops["xla_bf16"], 3),
+    }
