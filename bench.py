@@ -1028,8 +1028,13 @@ def main(argv=None):
         }))
         return
     if argv and argv[0] == "foldpar":
+        # optional k override: `bench.py foldpar 5` runs the A/B at the
+        # reference's fold count (train_models.py:561) — the round-3
+        # retirement was measured at k=2 only (VERDICT r3 item 7)
         _wait_for_backend()
-        stats = measure_foldpar()
+        k = int(argv[1]) if len(argv) > 1 else 2
+        stats = measure_foldpar(
+            n_patients=max(8, 2 * k), folds=k)
         print(json.dumps({
             "metric": "kfold_train_foldpar_speedup",
             "value": stats["speedup_warm"],

@@ -626,6 +626,23 @@ class ExportedModel:
     cache_status: str = "cold"        # cold | hit | miss-saved | miss | poly
     _loaded: object = None
 
+    @staticmethod
+    def _materialize(fn, specs):
+        """Run *fn* on zeros and pull every output to host.
+
+        A D2H transfer per output is the only reliable execution sync on
+        the tunneled backend — ``block_until_ready`` returns early there
+        (measured: a block_until_ready-"validated" executable still paid
+        its ~40 s first-execution program/weights upload on the first
+        REAL batch).
+        """
+        import jax
+
+        zeros = [np.zeros(s.shape, s.dtype) for s in specs]
+        out = fn(*zeros)
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf)
+
     def _input_specs(self):
         """Static ShapeDtypeStructs for AOT compilation (None = shape-
         polymorphic artifact; those specialize per call shape)."""
@@ -674,14 +691,18 @@ class ExportedModel:
                 # backend: runtime 'Buffer Definition Event not found');
                 # one zero-input execution proves it and doubles as the
                 # warmup a server wants anyway
-                zeros = [np.zeros(s.shape, s.dtype) for s in specs]
-                jax.block_until_ready(loaded(*zeros))
+                self._materialize(loaded, specs)
                 self._loaded = loaded
                 self.cache_status = "hit"
                 return self
             except Exception:  # noqa: BLE001 — stale/incompatible: recompile
                 pass
         compiled = jax.jit(self._exported.call).lower(*specs).compile()
+        # warm the compiled path too: on the tunneled backend the first
+        # EXECUTION uploads the program + baked weights to the device
+        # (~40 s for a SAM-B pipeline) — absorb it here so first-request
+        # latency is steady-state
+        self._materialize(compiled, specs)
         self._loaded = compiled
         self.cache_status = "miss"
         if path is not None:
