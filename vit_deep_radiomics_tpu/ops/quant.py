@@ -218,13 +218,21 @@ def int8_matmul_pallas(
     k2, n = w_q.shape
     if k != k2:
         raise ValueError(f"contraction mismatch {k} vs {k2}")
-    block_m = min(block_m, m)
-    block_n = min(block_n, n)
-    block_k = min(block_k, k)
-    if m % block_m or n % block_n or k % block_k:
+
+    def fit(dim, cap):
+        """Largest divisor of *dim* that is ≤ cap and a 128 multiple
+        (the lane width; int8 sublane tiling is finer than 128 on the
+        second-to-last dim but 128-multiples keep every case safe)."""
+        for cand in range(min(cap, dim) // 128 * 128, 127, -128):
+            if dim % cand == 0:
+                return cand
+        return None
+
+    block_m, block_n, block_k = (
+        fit(m, block_m), fit(n, block_n), fit(k, block_k))
+    if None in (block_m, block_n, block_k):
         raise ValueError(
-            f"shape ({m},{k})@({k},{n}) does not tile "
-            f"({block_m},{block_n},{block_k})")
+            f"shape ({m},{k})@({k},{n}) has no 128-multiple tiling")
     nsteps = k // block_k
     grid = (m // block_m, n // block_n, nsteps)
     return pl.pallas_call(
