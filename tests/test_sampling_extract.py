@@ -175,6 +175,29 @@ class TestExtractVolume:
         with pytest.raises(ValueError, match="empty"):
             small_extractor.extract_volume(vol, np.zeros_like(vol), "ct")
 
+    def test_aug_group_matches_single_program(self, small_extractor):
+        """Bounded augmentation grouping (the large-volume HBM guard)
+        must reproduce the single-group sweep exactly — same features,
+        masks, and metadata order."""
+        import dataclasses
+
+        from vit_deep_radiomics_tpu.engine.extract import DenseExtractor
+
+        rng = np.random.default_rng(7)
+        vol, mask, _ = synthetic.synthetic_volume(rng, 64, 64, 3)
+        ref = small_extractor.extract_volume(vol, mask, "ct")
+        grouped_ex = DenseExtractor(
+            dataclasses.replace(small_extractor.config, aug_group=1),
+            params=small_extractor.params,
+            backbone_cfg=small_extractor.backbone_cfg,
+        )
+        got = grouped_ex.extract_volume(vol, mask, "ct")
+        assert got[2] == ref[2]
+        assert len(got[0]) == len(ref[0])
+        for f, rf, m, rm in zip(got[0], ref[0], got[1], ref[1]):
+            np.testing.assert_allclose(f, rf, atol=1e-6)
+            np.testing.assert_array_equal(m, rm)
+
 
 class TestEndToEndExtraction:
     def test_dataset_sweep_contract(self, small_extractor, tmp_path):

@@ -24,6 +24,7 @@ feature/mask crops align with reference outputs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from pathlib import Path
 from typing import Callable, Iterable
@@ -41,7 +42,7 @@ from ..models import convert as convert_mod
 from ..models.vit import DINOV2_CONFIGS, SAM_VIT_B, ViTDense, ViTDenseConfig
 from ..ops import preprocess as pp
 from ..ops import roi
-from ..ops.sampling import fused_flip_rotate_crop_resize, transform_mask
+from ..ops.sampling import resample_all_augmentations, transform_mask
 
 __all__ = [
     "ExtractionConfig",
@@ -127,6 +128,51 @@ class ExtractionConfig:
     # range).  Same lever as serving's raw-HU artifact input mode
     # (engine/serve.py).  PET stays float (its values are small floats).
     wire_dtype: str = "float32"
+    # augmentations per batched resample program (None = auto: as many
+    # as fit a ~768 MB resample buffer — the whole sweep for typical
+    # volumes; bounded groups for very deep ones)
+    aug_group: int | None = None
+
+
+@functools.partial(jax.jit, static_argnames=("size_h", "size_w"))
+def _crop_masks_batched(m_all, y0s, x0s, size_h: int, size_w: int):
+    """(A, H, W, S) transformed masks → (A, size_h, size_w, S) bucketed
+    crops at per-augmentation traced offsets — one program for the whole
+    augmentation sweep."""
+    def one(m, y0, x0):
+        return lax.dynamic_slice(
+            m, (y0, x0, 0), (size_h, size_w, m.shape[2]))
+
+    return jax.vmap(one)(m_all, y0s, x0s)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_augs", "size", "out_dtype", "s_chunk"))
+def _crop_feats_batched(feats, y0s, x0s, n_augs: int, size: int, out_dtype,
+                        s_chunk: int):
+    """(A*S, g, g, C) dense features → tuple of (≤s_chunk, size, size, C)
+    bucketed ROI crops (augmentations outer, slice chunks inner), all cut
+    by ONE program at per-augmentation traced offsets.
+
+    The tuple structure is deliberate: each output is its own PJRT
+    buffer, so the device→host pull happens in ~s_chunk-slice pieces.
+    The tunnel backend's D2H collapses on large transfers (measured
+    1.9 MB/s at 128 MB vs 20 MB/s at 8 MB) and the crop pull is the e2e
+    sweep's binding cost — chunked buffers keep every transfer in the
+    fast regime; on real PCIe hosts the chunking is neutral (DMA
+    overlaps either way).
+    """
+    f = feats.reshape((n_augs, -1) + feats.shape[1:])
+    s = f.shape[1]
+    outs = []
+    for a in range(n_augs):
+        for c0 in range(0, s, s_chunk):
+            cl = min(s_chunk, s - c0)
+            outs.append(lax.dynamic_slice(
+                f[a], (c0, y0s[a], x0s[a], 0),
+                (cl, size, size, f.shape[4]),
+            ).astype(out_dtype))
+    return tuple(outs)
 
 
 def _backbone_for(cfg: ExtractionConfig) -> tuple[ViTDenseConfig, bool]:
@@ -298,48 +344,6 @@ class DenseExtractor:
         pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (vol.ndim - 2)
         return jnp.pad(vol, pad) if (ph, pw) != (h, w) else vol
 
-    class _SliceStream:
-        """Cross-augmentation ViT batching: accumulates resampled slices
-        from successive augmentations and runs the jitted forward only on
-        FULL slice_batch chunks (one padded partial at flush time instead
-        of one per augmentation).  Outputs stay on DEVICE — the caller
-        ROI-crops there before anything crosses the (slow) host link."""
-
-        def __init__(self, extractor: "DenseExtractor"):
-            self.ex = extractor
-            self.pending: list[jax.Array] = []
-            self.pending_count = 0
-            self.outputs: list[jax.Array] = []
-
-        def add(self, slices: jax.Array) -> None:
-            if slices.ndim == 3:
-                slices = jnp.repeat(slices[..., None], 3, axis=-1)
-            self.pending.append(slices)
-            self.pending_count += slices.shape[0]
-            sb = self.ex.config.slice_batch
-            while self.pending_count >= sb:
-                buf = jnp.concatenate(self.pending, axis=0)
-                chunk, rest = buf[:sb], buf[sb:]
-                self.outputs.append(self.ex._apply(self.ex.params, chunk))
-                self.pending = [rest] if rest.shape[0] else []
-                self.pending_count = int(rest.shape[0])
-
-        def flush(self) -> jax.Array:
-            sb = self.ex.config.slice_batch
-            if self.pending_count:
-                buf = jnp.concatenate(self.pending, axis=0)
-                pad = sb - buf.shape[0]
-                chunk = jnp.concatenate(
-                    [buf, jnp.repeat(buf[-1:], pad, axis=0)], axis=0)
-                self.outputs.append(
-                    self.ex._apply(self.ex.params, chunk)[: self.pending_count]
-                )
-                self.pending, self.pending_count = [], 0
-            return (
-                jnp.concatenate(self.outputs, axis=0)
-                if self.outputs else jnp.empty((0,))
-            )
-
     # -- per-volume extraction ----------------------------------------------
 
     def extract_volume(
@@ -371,6 +375,17 @@ class DenseExtractor:
         The only host sync is the (n_augs, h, w) union-mask pull needed
         to compute crop boxes — full transformed masks stay on device and
         only bucketed crops are transferred later.
+
+        Every per-augmentation device op is BATCHED over the augmentation
+        axis into one program (resample, mask crop, feature crop): the
+        remote-tunnel backend pays a per-program dispatch/executable-load
+        cost that the round-4 e2e attribution measured as ~95% of the
+        sweep's wall time, so the sweep issues a fixed handful of
+        programs per volume — all shape-keyed only on the padded volume
+        shape and the shared crop buckets — instead of ~8 per
+        augmentation.  Empty-union augmentations (possible only for
+        degenerate masks) still run through the batched programs with a
+        whole-image dummy box and are dropped host-side at collect.
         """
         import contextlib
         import time as _time
@@ -390,14 +405,13 @@ class DenseExtractor:
         meta_slices: list[int] = []
         meta_angles: list[int] = []
         meta_flips: list[str | None] = []
-        aug_entries: list[tuple] = []
 
-        stream = self._SliceStream(self)
         # all augmentations' mask transforms in ONE vmapped device call;
         # pull only the slice-union (needed host-side for the boxes)
         combos = [
             (flip, angle) for flip in cfg.flips for angle in cfg.angles
         ]
+        n_augs = len(combos)
         angles_arr = jnp.asarray([a for _, a in combos], jnp.float32)
         fh_arr = jnp.asarray([f == "horizontal" for f, _ in combos])
         fv_arr = jnp.asarray([f == "vertical" for f, _ in combos])
@@ -407,69 +421,136 @@ class DenseExtractor:
         unions = np.asarray(
             m_rot_all[:, :h, :w].sum(axis=-1) > 0
         )                                       # (A, h, w) — small pull
+        if self.stats is not None:
+            # the union pull is the ONE host sync in dispatch: it waits
+            # for the mask transform AND everything queued before it —
+            # book it separately so tunnel-stall pathologies are
+            # attributable (warm e2e runs have measured 81→997 s of
+            # "dispatch" on identical code; this splits sync-wait from
+            # graph build)
+            self.stats.add(
+                "dispatch_union_sync", _time.perf_counter() - t_start)
+            t_start = _time.perf_counter()
         hp_m, wp_m = m_rot_all.shape[1], m_rot_all.shape[2]
 
+        boxes: list[tuple[int, int, int, int]] = []
+        aug_entries: list[tuple | None] = []
         for ci, (flip, angle) in enumerate(combos):
             union = unions[ci]
             if not union.any():
+                boxes.append((0, 0, h, w))      # dummy; dropped at collect
+                aug_entries.append(None)
                 continue
             xmin, ymin, xmax, ymax = roi.square_crop_box(union, margin=2)
             # clamp like reference crop_image (:93-98)
             ymin_c, ymax_c = max(0, ymin), min(h, ymax)
             xmin_c, xmax_c = max(0, xmin), min(w, xmax)
             ch, cw = ymax_c - ymin_c, xmax_c - xmin_c
-            box = (
-                jnp.int32(ymin_c), jnp.int32(xmin_c),
-                jnp.int32(ch), jnp.int32(cw),
-            )
-            resampled = fused_flip_rotate_crop_resize(
-                vol_dev, box, angles_arr[ci], fh_arr[ci], fv_arr[ci],
-                valid_hw, self.image_size,
-                out_dtype=self.policy.compute_dtype,
-            )
-            stream.add(resampled)
-            # bucketed device-side crop of the transformed mask (bool —
-            # 1 byte/voxel on the wire)
-            mbh = min(hp_m, max(8, -(-ch // 8) * 8))
-            mbw = min(wp_m, max(8, -(-cw // 8) * 8))
-            y0m = min(ymin_c, hp_m - mbh)
-            x0m = min(xmin_c, wp_m - mbw)
-            m_crop_dev = lax.dynamic_slice(
-                m_rot_all[ci], (y0m, x0m, 0), (mbh, mbw, s)
-            ) > 0
+            boxes.append((ymin_c, xmin_c, ch, cw))
             aug_entries.append((
                 union[ymin_c:ymax_c, xmin_c:xmax_c],
-                m_crop_dev, ymin_c - y0m, xmin_c - x0m, ch, cw,
+                ymin_c, xmin_c, ch, cw,
             ))
             meta_slices.extend(range(s))
             meta_angles.extend([angle] * s)
             meta_flips.extend([flip] * s)
+        active = [e for e in aug_entries if e is not None]
+        if not active:
+            raise ValueError("empty nodule mask — nothing to extract")
 
-        all_feats = stream.flush()  # (n_augs * s, g, g, C), ON DEVICE
+        # ONE bucketed mask-crop program for all augmentations (bool —
+        # 1 byte/voxel on the wire); shared bucket = the augmentation
+        # maximum rounded up to 16 so the executable is reused across
+        # volumes of similar nodule extent
+        mbh = min(hp_m, max(16, -(-max(e[3] for e in active) // 16) * 16))
+        mbw = min(wp_m, max(16, -(-max(e[4] for e in active) // 16) * 16))
+        m_y0 = [min(e[1] if e else 0, hp_m - mbh) for e in aug_entries]
+        m_x0 = [min(e[2] if e else 0, wp_m - mbw) for e in aug_entries]
+        m_crops_dev = _crop_masks_batched(
+            m_rot_all,
+            jnp.asarray(m_y0, jnp.int32), jnp.asarray(m_x0, jnp.int32),
+            size_h=mbh, size_w=mbw,
+        )                                       # (A, mbh, mbw, S) bool
+
+        # ONE resample program per augmentation GROUP → chunked
+        # frozen-ViT forwards (a single executable reused across chunks
+        # via the traced chunk index).  Groups bound the materialised
+        # (G, S, out², 3) buffer to ~768 MB of HBM so arbitrarily deep
+        # volumes cannot OOM; the bench cohort (S ≤ 8 @1024²) runs as a
+        # single group.
+        # per-aug cost: the (S, out², 3) resampled output plus the
+        # bilinear corner transients (4 × (S, out²) f32 — the
+        # flattened-spatial gather keeps these unpadded; the 2D-indexed
+        # form padded its minor dim 4→128 and OOM'd at 24 GB)
+        itemsize = jnp.dtype(self.policy.compute_dtype).itemsize
+        bytes_per_aug = (
+            s * self.image_size * self.image_size * (3 * itemsize + 16))
+        group = cfg.aug_group or max(
+            1, min(n_augs, (768 << 20) // max(1, bytes_per_aug)))
+        boxes_dev = jnp.asarray(boxes, jnp.int32)
+        feat_parts: list[jax.Array] = []
+        for g0 in range(0, n_augs, group):
+            g1 = min(n_augs, g0 + group)
+            chunks = resample_all_augmentations(
+                vol_dev, boxes_dev[g0:g1],
+                angles_arr[g0:g1], fh_arr[g0:g1], fv_arr[g0:g1],
+                valid_hw, self.image_size,
+                out_dtype=self.policy.compute_dtype,
+                slice_batch=cfg.slice_batch,
+            )                   # (nchunks, slice_batch, o, o, 3)
+            outs = [
+                self._apply(
+                    self.params,
+                    lax.dynamic_index_in_dim(chunks, jnp.int32(i), 0,
+                                             keepdims=False),
+                )
+                for i in range(chunks.shape[0])
+            ]
+            part = (jnp.concatenate(outs, axis=0)
+                    if len(outs) > 1 else outs[0])
+            feat_parts.append(part[: (g1 - g0) * s])
+        all_feats = (jnp.concatenate(feat_parts, axis=0)
+                     if len(feat_parts) > 1 else feat_parts[0])
         grid = all_feats.shape[1]
-        # dispatch every augmentation's device-side feature ROI crop at a
-        # bucketed static size — only the crop is transferred later (the
-        # host link is the bottleneck; in production this still saves
-        # PCIe bandwidth).  Geometry identical to roi.extract_roi via the
-        # shared scaled_roi_box arithmetic.
-        crop_devs: list[tuple] = []
-        for a, entry in enumerate(aug_entries):
-            union_crop = entry[0]
+
+        # ONE feature ROI-crop program for all augmentations at a shared
+        # bucketed static size — only the crops are transferred later
+        # (the host link is the bottleneck; in production this still
+        # saves PCIe bandwidth).  Geometry identical to roi.extract_roi
+        # via the shared scaled_roi_box arithmetic.
+        feat_offsets: list[tuple | None] = []
+        f_boxes: list[tuple[int, int, int, int]] = []
+        for entry in aug_entries:
+            if entry is None:
+                f_boxes.append((0, 0, grid, grid))
+                feat_offsets.append(None)
+                continue
             xmin, ymin, xmax, ymax = roi.scaled_roi_box(
-                (grid, grid), union_crop, margin=1
+                (grid, grid), entry[0], margin=1
             )
-            ch, cw = ymax - ymin, xmax - xmin
-            bucket = min(grid, max(8, -(-max(ch, cw) // 8) * 8))
-            y0 = min(ymin, grid - bucket)
-            x0 = min(xmin, grid - bucket)
-            crop_dev = lax.dynamic_slice(
-                all_feats,
-                (a * s, y0, x0, 0),
-                (s, bucket, bucket, all_feats.shape[-1]),
-            )
-            if self.policy.compute_dtype == jnp.bfloat16:
-                crop_dev = crop_dev.astype(jnp.bfloat16)  # halve transfer
-            crop_devs.append((crop_dev, ymin - y0, xmin - x0, ch, cw))
+            f_boxes.append((ymin, xmin, ymax - ymin, xmax - xmin))
+            feat_offsets.append((ymin, xmin, ymax - ymin, xmax - xmin))
+        fb = min(grid, max(16, -(-max(
+            max(b[2], b[3]) for b, e in zip(f_boxes, aug_entries)
+            if e is not None) // 16) * 16))
+        f_y0 = [min(b[0], grid - fb) for b in f_boxes]
+        f_x0 = [min(b[1], grid - fb) for b in f_boxes]
+        wire_dtype = (jnp.bfloat16                  # halve the transfer
+                      if self.policy.compute_dtype == jnp.bfloat16
+                      else all_feats.dtype)
+        # ~12 MB per pulled buffer: the tunnel D2H rate curve peaks at
+        # 4–16 MB (~30 MB/s vs 1.9 MB/s at 128 MB) and each buffer pays
+        # ~150 ms of fixed RPC cost, so bigger-within-the-fast-regime
+        # wins (see _crop_feats_batched)
+        slice_bytes = fb * fb * all_feats.shape[-1] * jnp.dtype(
+            wire_dtype).itemsize
+        s_chunk = max(1, min(s, (12 << 20) // max(1, slice_bytes)))
+        crops_dev = _crop_feats_batched(
+            all_feats,
+            jnp.asarray(f_y0, jnp.int32), jnp.asarray(f_x0, jnp.int32),
+            n_augs=n_augs, size=fb, out_dtype=wire_dtype,
+            s_chunk=s_chunk,
+        )               # tuple: augs outer, ≤s_chunk-slice chunks inner
 
         if self.stats is not None:
             # graph build + union-mask sync (the feed share is booked
@@ -478,7 +559,11 @@ class DenseExtractor:
         return {
             "s": s,
             "aug_entries": aug_entries,
-            "crop_devs": crop_devs,
+            "m_crops_dev": m_crops_dev,
+            "m_y0": m_y0, "m_x0": m_x0,
+            "crops_dev": crops_dev,
+            "f_y0": f_y0, "f_x0": f_x0,
+            "feat_offsets": feat_offsets,
             "meta": (meta_slices, meta_angles, meta_flips),
         }
 
@@ -495,16 +580,28 @@ class DenseExtractor:
         s = state["s"]
         features_list: list[np.ndarray] = []
         masks_list: list[np.ndarray] = []
-        for (crop_dev, oy, ox, ch, cw), entry in zip(
-            state["crop_devs"], state["aug_entries"]
-        ):
-            union_crop, m_crop_dev, oym, oxm, mch, mcw = entry
-            crop = np.asarray(crop_dev).astype(np.float32)
-            m_crop = np.asarray(m_crop_dev)[
-                oym:oym + mch, oxm:oxm + mcw
-            ]
+        # the crop chunks pull as independent ≤6 MB buffers (augs outer,
+        # slice chunks inner — see _crop_feats_batched); the mask crops
+        # are one small bool pull
+        n_chunks = len(state["crops_dev"]) // len(state["aug_entries"])
+        m_crops = np.asarray(state["m_crops_dev"])
+        for ci, entry in enumerate(state["aug_entries"]):
+            if entry is None:
+                continue
+            union_crop, ymin_c, xmin_c, ch, cw = entry
+            oym = ymin_c - state["m_y0"][ci]
+            oxm = xmin_c - state["m_x0"][ci]
+            m_crop = m_crops[ci][oym:oym + ch, oxm:oxm + cw]
+            fy, fx, fh, fw = state["feat_offsets"][ci]
+            oy = fy - state["f_y0"][ci]
+            ox = fx - state["f_x0"][ci]
+            crop = np.concatenate([
+                np.asarray(c, dtype=np.float32)
+                for c in state["crops_dev"][
+                    ci * n_chunks:(ci + 1) * n_chunks]
+            ], axis=0)                          # (S, fb, fb, C)
             for i in range(s):
-                features_list.append(crop[i, oy:oy + ch, ox:ox + cw])
+                features_list.append(crop[i, oy:oy + fh, ox:ox + fw])
                 masks_list.append(
                     roi.extract_roi(m_crop[:, :, i], union_crop)
                 )
@@ -667,10 +764,9 @@ def extract_isotropic_dataset(
         # start this volume's device→host copies without blocking…
         got = dispatched.get(key)
         if not isinstance(got, Exception) and got is not None:
-            for crop_dev, *_ in got[0]["crop_devs"]:
-                crop_dev.copy_to_host_async()
-            for entry in got[0]["aug_entries"]:
-                entry[1].copy_to_host_async()
+            for chunk in got[0]["crops_dev"]:
+                chunk.copy_to_host_async()
+            got[0]["m_crops_dev"].copy_to_host_async()
         # …then queue the NEXT volume's device work before materialising
         # this one: its transforms/forwards run behind this patient's
         # ops, so the crop pulls + host-side mask/metadata assembly below

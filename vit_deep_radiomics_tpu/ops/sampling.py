@@ -33,7 +33,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fused_flip_rotate_crop_resize", "transform_mask"]
+__all__ = [
+    "fused_flip_rotate_crop_resize",
+    "resample_all_augmentations",
+    "transform_mask",
+]
 
 
 def _source_coords(
@@ -77,23 +81,34 @@ def _source_coords(
     return ys, xs
 
 
-def _gather_bilinear(plane: jax.Array, ys, xs, hmax, wmax):
+def _gather_bilinear_planes(planes: jax.Array, ys, xs, hmax, wmax,
+                            width: int):
+    """Bilinear-sample every plane at once: ``planes`` is (P, H·W)
+    flattened slice planes, ``ys``/``xs`` the (out_h, out_w) source
+    fields → (P, out_h, out_w).
+
+    The takes index the FLATTENED spatial axis so the gathered minor
+    dimension is out² (lane-tile friendly).  The per-plane 2D-indexed
+    formulation lowered to gathers whose results carried the slice count
+    in the minor dim — padded 4→128 lanes on TPU, a 32× HBM expansion
+    that OOM'd the compile once the augmentation axis was batched in
+    (round-4 measurement: 4 × 6 GB transients for an unpadded 192 MB
+    of corners at A=12, out=1024).
+    """
     y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, hmax)
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, wmax)
     y1 = jnp.clip(y0 + 1, 0, hmax)
     x1 = jnp.clip(x0 + 1, 0, wmax)
-    wy = ys - y0.astype(jnp.float32)
-    wx = xs - x0.astype(jnp.float32)
-    if plane.ndim == 3:  # trailing channel axis
-        wy = wy[..., None]
-        wx = wx[..., None]
-    v00 = plane[y0, x0]
-    v01 = plane[y0, x1]
-    v10 = plane[y1, x0]
-    v11 = plane[y1, x1]
+    wy = (ys - y0.astype(jnp.float32)).reshape(-1)      # (out²,)
+    wx = (xs - x0.astype(jnp.float32)).reshape(-1)
+    v00 = planes[:, (y0 * width + x0).reshape(-1)]      # (P, out²)
+    v01 = planes[:, (y0 * width + x1).reshape(-1)]
+    v10 = planes[:, (y1 * width + x0).reshape(-1)]
+    v11 = planes[:, (y1 * width + x1).reshape(-1)]
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    out = top * (1 - wy) + bot * wy
+    return out.reshape((planes.shape[0],) + ys.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "out_dtype"))
@@ -117,11 +132,69 @@ def fused_flip_rotate_crop_resize(
         out_size, out_size, box, angle_deg, flip_h, flip_v,
         valid_hw[0], valid_hw[1],
     )
-    hmax = volume.shape[0] - 1
-    wmax = volume.shape[1] - 1
-    vol = jnp.moveaxis(volume.astype(jnp.float32), 2, 0)  # (S, H, W[, C])
-    out = jax.vmap(lambda p: _gather_bilinear(p, ys, xs, hmax, wmax))(vol)
+    h, w = volume.shape[0], volume.shape[1]
+    vol = volume.astype(jnp.float32)
+    if vol.ndim == 4:
+        s, c = vol.shape[2], vol.shape[3]
+        planes = vol.reshape(h * w, s * c).T            # (S·C, H·W)
+        out = _gather_bilinear_planes(planes, ys, xs, h - 1, w - 1, w)
+        out = out.reshape(s, c, out_size, out_size).transpose(0, 2, 3, 1)
+    else:
+        s = vol.shape[2]
+        planes = vol.reshape(h * w, s).T                # (S, H·W)
+        out = _gather_bilinear_planes(planes, ys, xs, h - 1, w - 1, w)
     return jnp.clip(out, 0.0, 1.0).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "out_dtype", "slice_batch")
+)
+def resample_all_augmentations(
+    volume: jax.Array,      # (H, W, S) or (H, W, S, C)
+    boxes: jax.Array,       # (A, 4) int32: (ymin, xmin, crop_h, crop_w)
+    angles: jax.Array,      # (A,) float
+    flips_h: jax.Array,     # (A,) bool
+    flips_v: jax.Array,     # (A,) bool
+    valid_hw,
+    out_size: int,
+    out_dtype=jnp.float32,
+    slice_batch: int | None = None,
+) -> jax.Array:
+    """Every augmentation's fused flip→rotate→crop→resize in ONE program.
+
+    The per-augmentation eager loop costs one device program dispatch per
+    augmentation per op through the remote-backend tunnel — the measured
+    dominant share of the extraction sweep's wall time (bench.py e2e,
+    round-4 attribution).  Batching the whole sweep into one vmapped
+    program collapses that to a single dispatch whose executable is
+    reused across every volume of the same (padded) shape.
+
+    Returns ``(A*S, out, out, 3)`` slices (grayscale broadcast to RGB),
+    or — with ``slice_batch`` — ``(ceil(A*S/slice_batch), slice_batch,
+    out, out, 3)`` where the trailing partial chunk is padded by
+    repeating the last slice (the same padding the per-augmentation
+    stream applied at flush time; callers drop the pad after the ViT
+    forward).
+    """
+    def one(box, angle, fh, fv):
+        return fused_flip_rotate_crop_resize(
+            volume, box, angle, fh, fv, valid_hw,
+            out_size=out_size, out_dtype=out_dtype,
+        )
+
+    out = jax.vmap(one)(boxes, angles, flips_h, flips_v)  # (A,S,o,o[,C])
+    if out.ndim == 4:                       # grayscale → RGB
+        out = jnp.repeat(out[..., None], 3, axis=-1)
+    out = out.reshape((-1,) + out.shape[2:])        # (A*S, o, o, 3)
+    if slice_batch is not None:
+        n = out.shape[0]
+        nchunks = -(-n // slice_batch)
+        pad = nchunks * slice_batch - n
+        if pad:
+            out = jnp.concatenate(
+                [out, jnp.repeat(out[-1:], pad, axis=0)], axis=0)
+        out = out.reshape((nchunks, slice_batch) + out.shape[1:])
+    return out
 
 
 @jax.jit
@@ -140,8 +213,6 @@ def transform_mask(
         h, w, (0, 0, h, w), angle_deg, flip_h, flip_v,
         valid_hw[0], valid_hw[1],
     )
-    m = jnp.moveaxis(mask.astype(jnp.float32), 2, 0)
-    out = jax.vmap(
-        lambda plane: _gather_bilinear(plane, ys, xs, h - 1, w - 1)
-    )(m)
+    planes = mask.astype(jnp.float32).reshape(h * w, -1).T   # (S, H·W)
+    out = _gather_bilinear_planes(planes, ys, xs, h - 1, w - 1, w)
     return jnp.moveaxis(out, 0, 2) > 0
