@@ -296,12 +296,18 @@ def measure_score_dtype_ab() -> dict:
 
     saved = os.environ.get("VDR_FLASH_SCORE_F32")
     try:
+        # fresh lambdas: `jax.jit(model.apply)` twice shares the pjit
+        # cache for the same bound method, so the second call would
+        # reuse the FIRST trace and never re-read the env knob (the
+        # first run of this check measured an artifact 0.0 diff that
+        # a kernel-level probe disproved — max |Δ| 0.031 at random
+        # bias).  A distinct lambda forces a distinct trace.
         os.environ["VDR_FLASH_SCORE_F32"] = "0"
-        a = np.asarray(jax.jit(model.apply)(params, images),
-                       dtype=np.float32)
+        a = np.asarray(jax.jit(lambda p, x: model.apply(p, x))(
+            params, images), dtype=np.float32)
         os.environ["VDR_FLASH_SCORE_F32"] = "1"
-        b = np.asarray(jax.jit(model.apply)(params, images),
-                       dtype=np.float32)
+        b = np.asarray(jax.jit(lambda p, x: model.apply(p, x))(
+            params, images), dtype=np.float32)
     finally:
         if saved is None:
             os.environ.pop("VDR_FLASH_SCORE_F32", None)

@@ -312,13 +312,24 @@ class TestInt8FootgunGuard:
         assert quant.warn_if_int8_emulated(log=logged.append) == 0.04
         assert logged and "0.04x" in logged[0]
 
-    def test_native_rate_passes_silently(self, monkeypatch):
+    def test_parity_rate_warns_no_benefit(self, monkeypatch):
+        # ratio ≈ 1: not emulation (no raise) but no speed benefit
+        # either — the round-4 demotion warning must fire
         from vit_deep_radiomics_tpu.ops import quant
 
         monkeypatch.setattr(quant, "int8_matmul_rate_ratio", lambda: 0.97)
         monkeypatch.delenv("VDR_ALLOW_INT8", raising=False)
         logged = []
         assert quant.warn_if_int8_emulated(log=logged.append) == 0.97
+        assert logged and "no speed benefit" in logged[0]
+
+    def test_genuine_speedup_passes_silently(self, monkeypatch):
+        from vit_deep_radiomics_tpu.ops import quant
+
+        monkeypatch.setattr(quant, "int8_matmul_rate_ratio", lambda: 1.8)
+        monkeypatch.delenv("VDR_ALLOW_INT8", raising=False)
+        logged = []
+        assert quant.warn_if_int8_emulated(log=logged.append) == 1.8
         assert not logged
 
     def test_live_probe_returns_finite_ratio(self):

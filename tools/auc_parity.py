@@ -533,6 +533,38 @@ def run_midstrength_sweep(args) -> None:
     band, tol = args.band, args.tol
     sweep_rows = []
     qualifying = []
+
+    def _bank(partial: bool) -> dict:
+        """Merge the sweep-so-far into the artifact — written after
+        EVERY signal so an interrupted multi-hour sweep keeps its
+        completed measurements (each signal costs oracle_seeds + seeds
+        full k-fold trainings on a 1-core host)."""
+        result = {
+            "regime": "midstrength_sweep",
+            "band": band,
+            "tolerance": tol,
+            "signals": signals,
+            "oracle_seeds": args.oracle_seeds,
+            "seeds": args.seeds,
+            "partial": partial,
+            "sweep": sweep_rows,
+            "qualifying_signals": [r["signal"] for r in qualifying],
+            # the assertion: every qualifying regime must satisfy parity
+            "asserted": bool(qualifying),
+            "all_within_tol": bool(qualifying) and all(
+                r["parity_within_tol"] for r in qualifying),
+        }
+        out = Path(args.out)
+        existing = {}
+        if out.exists():
+            try:
+                existing = json.loads(out.read_text())
+            except Exception:  # noqa: BLE001
+                existing = {}
+        existing["midstrength"] = result
+        out.write_text(json.dumps(existing, indent=2))
+        return result
+
     for sig in signals:
         print(f"[midstrength] signal {sig} ...", flush=True)
         res = _run_regime(args, signal=sig, tag="graded")
@@ -563,32 +595,9 @@ def run_midstrength_sweep(args) -> None:
             qualifying.append(row)
         print(json.dumps({k: v for k, v in row.items() if k != "folds"},
                          indent=2), flush=True)
+        _bank(partial=True)
 
-    result = {
-        "regime": "midstrength_sweep",
-        "band": band,
-        "tolerance": tol,
-        "signals": signals,
-        "oracle_seeds": args.oracle_seeds,
-        "seeds": args.seeds,
-        "sweep": sweep_rows,
-        "qualifying_signals": [r["signal"] for r in qualifying],
-        # the assertion: every qualifying regime must satisfy parity
-        "asserted": bool(qualifying),
-        "all_within_tol": bool(qualifying) and all(
-            r["parity_within_tol"] for r in qualifying),
-    }
-    # merge into the existing artifact instead of clobbering the other
-    # regimes' evidence
-    out = Path(args.out)
-    existing = {}
-    if out.exists():
-        try:
-            existing = json.loads(out.read_text())
-        except Exception:  # noqa: BLE001
-            existing = {}
-    existing["midstrength"] = result
-    out.write_text(json.dumps(existing, indent=2))
+    result = _bank(partial=False)
     print(json.dumps({k: v for k, v in result.items() if k != "sweep"},
                      indent=2))
     if not result["all_within_tol"] and qualifying:

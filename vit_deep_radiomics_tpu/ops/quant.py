@@ -136,14 +136,22 @@ def int8_matmul_rate_ratio(
     return times["bf16"] / times["int8"]
 
 
-def warn_if_int8_emulated(log=None, threshold: float = 0.5) -> float:
+def warn_if_int8_emulated(log=None, threshold: float = 0.5,
+                          benefit_threshold: float = 1.15) -> float:
     """Guard the ``--precision int8`` footgun with a live measurement.
 
     Probes :func:`int8_matmul_rate_ratio`; below *threshold* (int8 less
     than half the bf16 rate ⇒ the backend is emulating) this raises
     unless ``VDR_ALLOW_INT8=1``, so a user cannot silently run an
-    extraction at a fraction of the bf16 throughput.  Returns the
-    measured ratio either way (callers record it in artifacts).
+    extraction at a fraction of the bf16 throughput.  Between
+    *threshold* and *benefit_threshold* it WARNS that int8 buys nothing
+    on this backend while still quantizing (round-4 chained-probe
+    ledger, artifacts/bench_ab_r4.jsonl: XLA s8 ≈1.0× bf16 on every
+    backbone shape and even the direct Pallas s8 kernel peaks at 1.21×,
+    below the 1.3× promotion bar — the v5e 2× s8 MXU rate is not
+    reachable through this stack, so quantization error is paid for no
+    speed).  Returns the measured ratio either way (callers record it
+    in artifacts).
     """
     import os
 
@@ -158,6 +166,14 @@ def warn_if_int8_emulated(log=None, threshold: float = 0.5) -> float:
         if os.environ.get("VDR_ALLOW_INT8", "0") != "1":
             raise RuntimeError(msg)
         (log or print)(f"WARNING: {msg}")
+    elif ratio < benefit_threshold:
+        (log or print)(
+            f"WARNING: measured int8/bf16 matmul rate ratio is "
+            f"{ratio:.2f}x on this backend — no speed benefit; "
+            "--precision int8 still pays its quantization error "
+            "(cosine > 0.995 but not exact).  Prefer --precision fast "
+            "unless memory-bound."
+        )
     return ratio
 
 
@@ -256,8 +272,16 @@ def int8_matmul_pallas(
 
 def int8_pallas_rate_ratio(
     m: int = 16384, k: int = 768, n: int = 3072, reps: int = 30,
+    chain: int = 8,
 ) -> dict:
     """On-chip rate probe: Pallas s8 kernel vs XLA int8 vs XLA bf16.
+
+    Each timed call contracts the activation against ``chain``
+    independent weight matrices inside ONE jitted program — the remote
+    tunnel charges ~1 ms of dispatch per program call, which at these
+    sub-ms matmul sizes would otherwise dominate and flatten every ratio
+    toward 1 (the round-4 first probe measured 13–69 "TOP/s" on a chip
+    whose bf16 rate is ≈139 TFLOP/s for exactly this reason).
 
     Returns TOP/s-style throughputs and ratios for one projection-sized
     shape; `bench.py int8kernel` runs it for the five backbone shapes.
@@ -268,19 +292,29 @@ def int8_pallas_rate_ratio(
 
     rng = np.random.default_rng(0)
     x8 = jnp.asarray(rng.integers(-127, 127, size=(m, k)), jnp.int8)
-    w8 = jnp.asarray(rng.integers(-127, 127, size=(k, n)), jnp.int8)
+    w8 = jnp.asarray(
+        rng.integers(-127, 127, size=(chain, k, n)), jnp.int8)
     xb, wb = x8.astype(jnp.bfloat16), w8.astype(jnp.bfloat16)
+
+    def chained(dot):
+        def f(a, bs):
+            acc = jnp.zeros((), jnp.float32)
+            for t in range(chain):
+                acc += dot(a, bs[t]).sum().astype(jnp.float32)
+            return acc
+        return jax.jit(f)
+
     fns = {
-        "pallas_s8": jax.jit(lambda a, b: int8_matmul_pallas(a, b).sum()),
-        "xla_s8": jax.jit(lambda a, b: lax.dot(
-            a, b, preferred_element_type=jnp.int32).sum()),
-        "xla_bf16": jax.jit(lambda a, b: lax.dot(
-            a, b, preferred_element_type=jnp.float32).sum()),
+        "pallas_s8": chained(int8_matmul_pallas),
+        "xla_s8": chained(lambda a, b: lax.dot(
+            a, b, preferred_element_type=jnp.int32)),
+        "xla_bf16": chained(lambda a, b: lax.dot(
+            a, b, preferred_element_type=jnp.float32)),
     }
     args = {"pallas_s8": (x8, w8), "xla_s8": (x8, w8),
             "xla_bf16": (xb, wb)}
     tops = {}
-    flops = 2.0 * m * k * n
+    flops = 2.0 * m * k * n * chain
     for name, f in fns.items():
         a, b = args[name]
         float(np.asarray(f(a, b)))
@@ -292,6 +326,7 @@ def int8_pallas_rate_ratio(
         tops[name] = flops / dt / 1e12
     return {
         "shape": [m, k, n],
+        "chain": chain,
         "tops": {k_: round(v, 1) for k_, v in tops.items()},
         "pallas_vs_bf16": round(tops["pallas_s8"] / tops["xla_bf16"], 3),
         "xla_s8_vs_bf16": round(tops["xla_s8"] / tops["xla_bf16"], 3),
