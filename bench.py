@@ -970,8 +970,8 @@ def main(argv=None):
         # each; a failing mode prints its error and the rest still run.
         # Usage: python bench.py all [mode ...] (default: the full list)
         modes = argv[1:] or ["", "vitl14", "nomax", "e2e", "foldpar",
-                             "int8", "finetune", "windowsweep",
-                             "batchsweep"]
+                             "int8", "int8kernel", "scoredtype", "wire",
+                             "finetune", "windowsweep", "batchsweep"]
         for mode in modes:
             print(f"# --- bench {mode or 'default'} ---", file=sys.stderr)
             try:
