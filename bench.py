@@ -26,6 +26,15 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 
+def _sync(out):
+    """Tunnel-honest execution fence (scalar pull). See
+    vit_deep_radiomics_tpu.utils.profiling.device_sync for the measured
+    evidence on why block_until_ready cannot be used here."""
+    from vit_deep_radiomics_tpu.utils.profiling import device_sync
+
+    device_sync(out)
+
+
 def _enable_cache():
     from vit_deep_radiomics_tpu.core.mesh import (
         enable_persistent_compile_cache,
@@ -112,13 +121,13 @@ def measure_vitl14_dense() -> float:
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
     apply = jax.jit(model.apply)
-    float(apply(params, images).sum())
+    _sync(apply(params, images))
     best = float("inf")
     for _rep in range(3):  # tunnel latency is noisy; take the best rep
         t0 = time.perf_counter()
         for _ in range(STEPS):
             out = apply(params, images)
-        float(out.sum())
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / STEPS)
     return BATCH / best
 
@@ -184,13 +193,13 @@ def measure_tpu(policy_name: str = "fast") -> float:
     # unreliable through the axon tunnel).  Sync once after the loop —
     # dispatch is async, so per-iteration pulls would add a host round
     # trip per step.
-    float(apply(params, images).sum())
+    _sync(apply(params, images))
     best = float("inf")
     for _rep in range(3):  # tunnel latency is noisy; take the best rep
         t0 = time.perf_counter()
         for _ in range(STEPS):
             out = apply(params, images)
-        float(out.sum())
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / STEPS)
     return BATCH / best
 
@@ -237,7 +246,7 @@ def _interleaved_env_ab(env_key: str, variants) -> dict:
         for name, flag in variants:
             os.environ[env_key] = flag
             fn = jax.jit(lambda p, x: model.apply(p, x))
-            float(fn(params, images).sum())          # trace + warm
+            _sync(fn(params, images))          # trace + warm
             applies[name] = fn
     finally:
         if saved is None:
@@ -254,7 +263,7 @@ def _interleaved_env_ab(env_key: str, variants) -> dict:
             t0 = time.perf_counter()
             for _ in range(STEPS):
                 out = fn(params, images)
-            float(out.sum())
+            _sync(out)
             best[name] = min(best[name],
                              (time.perf_counter() - t0) / STEPS)
     return {
@@ -390,7 +399,7 @@ def measure_batch_sweep(
             rng.uniform(size=(b, 1024, 1024, 3)).astype(np.float32))
         fn = jax.jit(lambda p, im: model.apply(p, im))
         try:
-            float(fn(params, x).sum())              # trace + warm
+            _sync(fn(params, x))              # trace + warm
         except Exception as e:                      # noqa: BLE001
             msg = str(e)
             failed[b] = ("oom" if "memory" in msg.lower()
@@ -411,7 +420,7 @@ def measure_batch_sweep(
             t0 = time.perf_counter()
             for _ in range(steps):
                 out = fn(params, x)
-            float(out.sum())
+            _sync(out)
             best[b] = min(best[b], (time.perf_counter() - t0) / steps)
     curve = {b: round(b / dt, 3) for b, dt in best.items()}
     top = max(curve, key=curve.get)
@@ -466,7 +475,7 @@ def measure_window_sweep(
             os.environ["VDR_WINDOW_BATCH"] = str(g)
             fn = jax.jit(lambda p, x: model.apply(p, x))
             try:
-                float(fn(params, images).sum())      # trace + warm
+                _sync(fn(params, images))      # trace + warm
             except Exception as e:                   # noqa: BLE001
                 # big row batches blow the 64 MB scoped-VMEM stack of
                 # the fused-QKV kernel (measured: g=25 at batch 4 needs
@@ -495,7 +504,7 @@ def measure_window_sweep(
             t0 = time.perf_counter()
             for _ in range(STEPS):
                 out = fn(params, images)
-            float(out.sum())
+            _sync(out)
             best[g] = min(best[g], (time.perf_counter() - t0) / STEPS)
     curve = {g: round(BATCH / dt, 3) for g, dt in best.items()}
     top = max(curve, key=curve.get)
@@ -687,12 +696,12 @@ def measure_e2e(n_patients: int = 6) -> dict:
         dummy = jnp.asarray(_np.random.default_rng(1).uniform(
             size=(ex.config.slice_batch, ex.image_size, ex.image_size, 3)
         ).astype(_np.float32))
-        float(inner_apply(ex.params, dummy).astype(jnp.float32).sum())
+        _sync(inner_apply(ex.params, dummy))
         t0 = time.perf_counter()
         reps = 10
         for _ in range(reps):
             out = inner_apply(ex.params, dummy)
-        float(out.astype(jnp.float32).sum())
+        _sync(out)
         fwd_s = (time.perf_counter() - t0) / reps
         device_busy_s = n_fwd[0] * fwd_s
         stage_s = {k: round(v, 2) for k, v in ex.stats.items()
@@ -941,13 +950,13 @@ def measure_scaling(cpu: int | None = None, steps: int = 8) -> dict:
         images = jax.device_put(
             jnp.asarray(np.tile(base, (k, 1, 1, 1))), data_sharding(mesh, 4)
         )
-        float(apply(p_repl, images).sum())      # warmup / compile
+        _sync(apply(p_repl, images))      # warmup / compile
         best = float("inf")
         for _rep in range(3):
             t0 = time.perf_counter()
             for _ in range(steps):
                 out = apply(p_repl, images)
-            float(out.sum())
+            _sync(out)
             best = min(best, (time.perf_counter() - t0) / steps)
         rows.append({"devices": k, "img_per_s": round(k * batch_per / best, 3)})
     per_chip_1 = rows[0]["img_per_s"]

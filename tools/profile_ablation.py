@@ -136,16 +136,16 @@ def train_components_main(batch: int) -> None:
 
 def time_model_fn(fn, params, x, reps=12):
     """time_model for an arbitrary (params, x) -> scalar-bearing fn."""
-    import jax.numpy as jnp
+    from vit_deep_radiomics_tpu.utils.profiling import device_sync
 
     out = fn(params, x)
-    float(jnp.asarray(out).astype(jnp.float32).sum())
+    device_sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(params, x)
-        float(jnp.asarray(out).astype(jnp.float32).sum())
+        device_sync(out)
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 

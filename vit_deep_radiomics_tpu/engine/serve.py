@@ -630,18 +630,14 @@ class ExportedModel:
     def _materialize(fn, specs):
         """Run *fn* on zeros and pull every output to host.
 
-        A D2H transfer per output is the only reliable execution sync on
-        the tunneled backend — ``block_until_ready`` returns early there
-        (measured: a block_until_ready-"validated" executable still paid
-        its ~40 s first-execution program/weights upload on the first
-        REAL batch).
+        Full-pull :func:`utils.profiling.device_sync` — the measured
+        evidence for why ``block_until_ready`` cannot be trusted here
+        lives in that helper's docstring.
         """
-        import jax
+        from ..utils.profiling import device_sync
 
         zeros = [np.zeros(s.shape, s.dtype) for s in specs]
-        out = fn(*zeros)
-        for leaf in jax.tree_util.tree_leaves(out):
-            np.asarray(leaf)
+        device_sync(fn(*zeros), pull="full")
 
     def _input_specs(self):
         """Static ShapeDtypeStructs for AOT compilation (None = shape-
