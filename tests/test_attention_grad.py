@@ -356,8 +356,13 @@ class TestGlobalTrainable:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
 
-    @pytest.mark.parametrize("schedule", ["base", "skew"])
-    def test_grads_match_dense(self, rng, schedule):
+    @pytest.mark.parametrize("schedule,nomax", [
+        ("base", False), ("skew", False), ("skew", True),
+    ])
+    def test_grads_match_dense(self, rng, schedule, nomax):
+        """Grad equality incl. the nomax forward (VERDICT r4 item 7):
+        the backward consumes only the lse residual, which the nomax
+        forward still emits (as log2 Σ exp2 s, no max term)."""
         from vit_deep_radiomics_tpu.ops.attention_grad import (
             global_attention_trainable,
         )
@@ -372,7 +377,7 @@ class TestGlobalTrainable:
             out = global_attention_trainable(
                 q_arr, kv_arr, bias_h=bh, bias_w=bw, num_heads=heads,
                 block_q=128, block_k=64, schedule=schedule,
-                interpret=INTERPRET,
+                nomax=nomax, interpret=INTERPRET,
             )
             return (out * cot).sum()
 
@@ -389,6 +394,24 @@ class TestGlobalTrainable:
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), atol=2e-4, rtol=2e-4,
                 err_msg=name)
+
+    def test_nomax_forward_matches_max(self, rng):
+        """nomax and max forwards agree (softmax shift-invariance) and
+        both lse layouts drive the same backward."""
+        from vit_deep_radiomics_tpu.ops.attention_grad import (
+            global_attention_trainable,
+        )
+
+        made = self._make(rng)
+        q_arr, kv_arr, bh, bw, heads = made[:5]
+        kw = dict(bias_h=bh, bias_w=bw, num_heads=heads,
+                  block_q=128, block_k=64, interpret=INTERPRET)
+        out_max = global_attention_trainable(q_arr, kv_arr, **kw)
+        out_nomax = global_attention_trainable(
+            q_arr, kv_arr, nomax=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(out_nomax), np.asarray(out_max),
+            atol=2e-5, rtol=2e-5)
 
     def test_kv_len_grads(self, rng):
         """No-bias + padding mask (the DINOv2 trainable configuration)."""

@@ -256,6 +256,94 @@ class TestEndToEndExtraction:
                 assert set(fold) == {"train", "test"}
 
 
+class TestSharedBuckets:
+    """Sweep-shared crop buckets (VERDICT r4 item 4): outputs identical
+    to per-volume auto buckets, and the mask pre-pass bound really is
+    an upper bound on every volume's realized crop sizes."""
+
+    def _extractor(self, **over):
+        import dataclasses as dc
+
+        from vit_deep_radiomics_tpu.models.vit import SAM_VIT_B
+
+        cfg = ExtractionConfig(
+            model_name="medsam", image_size=64, slice_batch=4,
+            precision="parity", use_flash=False, volume_bucket=32,
+            flips=(None, "horizontal"), angles=(0, 45), **over,
+        )
+        small = dc.replace(
+            SAM_VIT_B, image_size=64, width=96, depth=2, num_heads=3,
+            window_size=2, global_indexes=(1,), neck_channels=32,
+        )
+        return DenseExtractor(cfg, backbone_cfg=small)
+
+    def test_sweep_outputs_identical_and_bounded(self, tmp_path):
+        from vit_deep_radiomics_tpu.engine.extract import (
+            sweep_crop_buckets,
+        )
+
+        cohort = synthetic.synthetic_cohort(
+            n_patients=3, seed=7, dataset="stanford",
+            height=64, width=64, ct_slices=3, pet_slices=2,
+        )
+        h5 = tmp_path / "iso.hdf5"
+        csv = tmp_path / "iso.csv"
+        synthetic.write_isotropic_hdf5(cohort, h5, csv)
+
+        outs = {}
+        for name, shared in (("auto", False), ("shared", True)):
+            ex = self._extractor(shared_buckets=shared)
+            feat_dir = tmp_path / f"features_{name}"
+            extract_isotropic_dataset(
+                h5, csv, feat_dir, ex,
+                modalities=("pet", "ct"), datasets=("stanford",),
+                use_queue=False,
+            )
+            if shared:
+                # the pre-pass must have pinned sweep-wide floors
+                assert ex.config.mask_crop_bucket is not None
+                assert ex.config.mask_crop_bucket % 16 == 0
+                assert ex.config.feat_crop_bucket is not None
+            per = {}
+            for modality in ("ct", "pet"):
+                store = feat_dir / f"features_masks_{modality}.hdf5"
+                for pid in feature_store.patient_ids_in_store(store):
+                    per[(pid, modality)] = feature_store.\
+                        read_patient_features(store, pid)
+            outs[name] = per
+
+        assert outs["auto"].keys() == outs["shared"].keys()
+        for key in outs["auto"]:
+            fa, ma = outs["auto"][key]
+            fs, ms = outs["shared"][key]
+            assert len(fa) == len(fs)
+            for a, b in zip(fa, fs):
+                np.testing.assert_array_equal(a, b)
+            for a, b in zip(ma, ms):
+                np.testing.assert_array_equal(a, b)
+
+        # the bound is a true upper bound: per-volume realized buckets
+        # (auto run) never exceed the shared floors
+        unions = []
+        for pid, entry in cohort.items():
+            for modality in ("ct", "pet"):
+                _vol, mask, _res = entry[modality]
+                u = mask.any(axis=2)
+                unions.append((u.shape[0], u.shape[1], u))
+        mb, fb = sweep_crop_buckets(unions, (0, 45), grid=4)
+        ex = self._extractor(shared_buckets=False)
+        for pid, entry in cohort.items():
+            for modality in ("ct", "pet"):
+                vol, mask, _res = entry[modality]
+                state = ex.dispatch_volume(vol, mask, modality)
+                for e in state["aug_entries"]:
+                    if e is None:
+                        continue
+                    assert max(e[3], e[4]) <= max(
+                        mb, 64)  # clamped to the 64px volume
+                ex.collect_volume(state)
+
+
 class TestShardedExtraction:
     def test_mesh_forward_matches_single_device(self, small_extractor):
         """shard_map'd extractor over the 8-virtual-device mesh must

@@ -523,7 +523,27 @@ def _run(args) -> int:
     warm_stats = {
         "warm_s": round(time.time() - t_warm, 2),
         "exec_cache": model.cache_status,
+        **model.warm_stats,
     }
+    # raw-H2D link probe: uploading a plain 64 MiB array bounds the
+    # achievable program/weights upload rate — if warm_upload_mbps is
+    # at this rate, the warm cost is link-bound, not avoidable
+    # (VERDICT r4 item 6)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.profiling import device_sync
+
+        if jax.default_backend() == "tpu":
+            probe = np.zeros((16, 1024, 1024), np.float32)   # 64 MiB
+            device_sync(jnp.asarray(probe))                  # warm path
+            t0 = time.time()
+            device_sync(jnp.asarray(probe) + 1.0)
+            warm_stats["h2d_probe_mbps"] = round(
+                probe.nbytes / 2**20 / max(time.time() - t0, 1e-9), 1)
+    except Exception:  # noqa: BLE001 — telemetry only
+        pass
     print(json.dumps(warm_stats), file=sys.stderr)
     args._warm_stats = warm_stats
     if model.meta.get("kind") in ("classifier", "pipeline"):

@@ -625,6 +625,10 @@ class ExportedModel:
     payload_sha: str = ""
     cache_status: str = "cold"        # cold | hit | miss-saved | miss | poly
     _loaded: object = None
+    #: phase split of the last warm() (read/unpickle vs executable
+    #: deserialize vs first-execution program+weights upload) — the
+    #: warmstart artifact's attribution fields (VERDICT r4 item 6)
+    warm_stats: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def _materialize(fn, specs):
@@ -669,38 +673,62 @@ class ExportedModel:
             return self
         path = _exec_cache_path(self.payload_sha) if self.payload_sha \
             else None
+        import time as _time
+
         if path is not None and path.exists():
             try:
                 import pickle
 
                 from jax.experimental import serialize_executable as se
 
+                t0 = _time.perf_counter()
                 blob, in_tree, out_tree = pickle.loads(path.read_bytes())
+                t1 = _time.perf_counter()
                 # the exported program is single-device; without an
                 # explicit device list the loader binds ALL addressable
                 # devices (breaks on multi-device hosts)
                 loaded = se.deserialize_and_load(
                     blob, in_tree, out_tree,
                     execution_devices=jax.devices()[:1])
+                t2 = _time.perf_counter()
                 # validation call: deserialization can "succeed" and
                 # still hand back a broken binary (observed on the CPU
                 # backend: runtime 'Buffer Definition Event not found');
                 # one zero-input execution proves it and doubles as the
-                # warmup a server wants anyway
+                # warmup a server wants anyway.  On the tunneled backend
+                # THIS phase uploads the program + baked weights, so its
+                # time against exec_bytes bounds the link share of the
+                # warm cost (VERDICT r4 item 6).
                 self._materialize(loaded, specs)
+                t3 = _time.perf_counter()
                 self._loaded = loaded
                 self.cache_status = "hit"
+                self.warm_stats = {
+                    "warm_read_unpickle_s": round(t1 - t0, 2),
+                    "warm_deserialize_s": round(t2 - t1, 2),
+                    "warm_first_exec_s": round(t3 - t2, 2),
+                    "exec_bytes": len(blob),
+                    "warm_upload_mbps": round(
+                        len(blob) / 2**20 / max(t3 - t2, 1e-9), 1),
+                }
                 return self
             except Exception:  # noqa: BLE001 — stale/incompatible: recompile
                 pass
+        t0 = _time.perf_counter()
         compiled = jax.jit(self._exported.call).lower(*specs).compile()
+        t1 = _time.perf_counter()
         # warm the compiled path too: on the tunneled backend the first
         # EXECUTION uploads the program + baked weights to the device
         # (~40 s for a SAM-B pipeline) — absorb it here so first-request
         # latency is steady-state
         self._materialize(compiled, specs)
+        t2 = _time.perf_counter()
         self._loaded = compiled
         self.cache_status = "miss"
+        self.warm_stats = {
+            "warm_compile_s": round(t1 - t0, 2),
+            "warm_first_exec_s": round(t2 - t1, 2),
+        }
         if path is not None:
             try:
                 import pickle

@@ -539,15 +539,25 @@ class WindowedAttention(nn.Module):
                 # 1024² tiles: the backward's fp32 score/p/dp/ds
                 # transients (4 × 4 MB per head slot, 2 slots in flight
                 # under skew) fit the 64 MB scoped VMEM; bigger kv tiles
-                # spill (VDR_FGT_BLOCK_Q/K are the one-shot A/B knobs)
+                # spill (VDR_FGT_BLOCK_Q/K are the one-shot A/B knobs).
+                # B≥16 auto-degrades to 512² — the backend refused the
+                # 1024² program at that batch (VERDICT r4 item 5); the
+                # finetune bench's batch curve records which tier ran.
+                blk_default = 1024 if b < 16 else 512
                 return global_attention_trainable(
                     qkv[0], qkv[1],
                     bias_h=bias_h.transpose(0, 2, 1, 3),
                     bias_w=bias_w.transpose(0, 2, 1, 3),
                     num_heads=nh,
-                    block_q=int(os.environ.get("VDR_FGT_BLOCK_Q", "1024")),
-                    block_k=int(os.environ.get("VDR_FGT_BLOCK_K", "1024")),
+                    block_q=int(os.environ.get(
+                        "VDR_FGT_BLOCK_Q", str(blk_default))),
+                    block_k=int(os.environ.get(
+                        "VDR_FGT_BLOCK_K", str(blk_default))),
                     interpret=interpret,
+                    # trace-time knob: drop the forward's max machinery
+                    # (backward only needs the lse residual, which nomax
+                    # still emits) — A/B'd by `bench.py finetune`
+                    nomax=os.environ.get("VDR_FGT_NOMAX", "0") == "1",
                 )
             bk_cap = int(os.environ.get("VDR_FLASH_BLOCK_K", "2048"))
             block_k = next(

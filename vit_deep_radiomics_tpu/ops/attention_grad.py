@@ -1070,12 +1070,22 @@ def _fgt_fwd_kernel(
     m_scratch, acc_scratch,
     *, block_k: int, scale2: float, kh: int, kw: int, pair: int,
     head_dim: int, has_bias: bool, has_kv_len: bool, schedule: str,
+    nomax: bool = False,
 ):
     """Trainable forward: inference fused-global kernel + lse residual.
 
-    grid (B, Sq/bq, H/pair, Sk/bk), kv innermost; max-softmax (training
-    logits are unbounded — the nomax lever stays inference-only); the
-    softmax denominator rides the PV matmul as a ones column."""
+    grid (B, Sq/bq, H/pair, Sk/bk), kv innermost; the softmax
+    denominator rides the PV matmul as a ones column.
+
+    ``nomax=True`` drops the running-max machinery exactly like the
+    inference nomax kernel (``p = exp2(s)`` directly, no rescale):
+    softmax is shift-invariant and the backward only needs the
+    log2-sum-exp residual, which becomes ``log2(Σ exp2 s)`` with no max
+    term.  Training logits are unbounded in principle, but fine-tuning
+    starts from a converged backbone whose measured |logit| sits ~5
+    nats against the fp32 accumulator's ~120-log2-unit overflow bound
+    (probe_max_abs_logit) — opt-in via VDR_FGT_NOMAX / FineTuneConfig
+    until the A/B banks its verdict (VERDICT r4 item 7)."""
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
     d = head_dim
@@ -1103,6 +1113,17 @@ def _fgt_fwd_kernel(
 
     def update(hh, s):
         vblk = rows_v[:, hh * d:(hh + 1) * d]
+        vaug = jnp.concatenate(
+            [vblk, jnp.ones((block_k, 1), rows_v.dtype)], axis=-1)
+        if nomax:
+            # unnormalised exponentials: no running max, no rescale —
+            # 2 of the 3 VPU ops on every score element (same shape as
+            # the inference nomax win, +5.7% there)
+            p = jnp.exp2(s.astype(rows_q.dtype))
+            acc_scratch[hh] = acc_scratch[hh] + jnp.dot(
+                p.astype(vblk.dtype), vaug,
+                preferred_element_type=jnp.float32)
+            return
         m_prev = m_scratch[hh]
         m_new = jnp.maximum(
             m_prev, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32))
@@ -1112,8 +1133,6 @@ def _fgt_fwd_kernel(
         p = jnp.exp2((s - m_new.astype(sdtype)).astype(rows_q.dtype))
         alpha = jnp.exp2(m_prev - m_new)
         m_scratch[hh] = m_new
-        vaug = jnp.concatenate(
-            [vblk, jnp.ones((block_k, 1), rows_v.dtype)], axis=-1)
         acc_scratch[hh] = acc_scratch[hh] * alpha + jnp.dot(
             p.astype(vblk.dtype), vaug, preferred_element_type=jnp.float32)
 
@@ -1137,8 +1156,11 @@ def _fgt_fwd_kernel(
             l = acc[:, d:]
             safe_l = jnp.where(l > 0, l, 1.0)
             outs.append(acc[:, :d] / safe_l)
-            lse_ref[0, 0, 0, hh:hh + 1] = (
-                m_scratch[hh] + jnp.log2(safe_l)).T
+            if nomax:
+                lse_ref[0, 0, 0, hh:hh + 1] = jnp.log2(safe_l).T
+            else:
+                lse_ref[0, 0, 0, hh:hh + 1] = (
+                    m_scratch[hh] + jnp.log2(safe_l)).T
         o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -1312,7 +1334,8 @@ def _fgt_compiler_params(grid_semantics):
 
 
 def _fgt_fwd_impl(q_arr, kv_arr, bias_h, bias_w, kv_len, *, num_heads,
-                  scale, block_q, block_k, schedule, interpret):
+                  scale, block_q, block_k, schedule, interpret,
+                  nomax=False):
     b, s, c, d, pair, hp, kh, kw, has_bias = _fgt_validate(
         q_arr, kv_arr, bias_h, bias_w, num_heads)
     block_q, block_k = _fgt_blocks(s, kw, has_bias, block_q, block_k)
@@ -1341,7 +1364,7 @@ def _fgt_fwd_impl(q_arr, kv_arr, bias_h, bias_w, kv_len, *, num_heads,
     kernel = functools.partial(
         _fgt_fwd_kernel, block_k=block_k, scale2=scale * _LOG2E,
         kh=kh, kw=kw, pair=pair, head_dim=d, has_bias=has_bias,
-        has_kv_len=has_kv_len, schedule=schedule)
+        has_kv_len=has_kv_len, schedule=schedule, nomax=nomax)
 
     def wrapped(*refs):
         it = iter(refs)
@@ -1551,6 +1574,7 @@ def _fgt_bwd_impl(res, dout, *, num_heads, scale, block_q, block_k,
     jax.jit,
     static_argnames=(
         "num_heads", "scale", "block_q", "block_k", "schedule", "interpret",
+        "nomax",
     ),
 )
 def global_attention_trainable(
@@ -1566,6 +1590,7 @@ def global_attention_trainable(
     block_k: int = 1024,
     schedule: str | None = None,
     interpret: bool = False,
+    nomax: bool = False,
 ) -> jax.Array:
     """Differentiable fused-layout global attention.
 
@@ -1591,14 +1616,14 @@ def global_attention_trainable(
         out, _ = _fgt_fwd_impl(
             q_arr, kv_arr, bias_h, bias_w, kv_len, num_heads=num_heads,
             scale=scale, block_q=block_q, block_k=block_k,
-            schedule=schedule, interpret=interpret)
+            schedule=schedule, interpret=interpret, nomax=nomax)
         return out
 
     def _attn_fwd(q_arr, kv_arr, bias_h, bias_w, kv_len):
         out, lse = _fgt_fwd_impl(
             q_arr, kv_arr, bias_h, bias_w, kv_len, num_heads=num_heads,
             scale=scale, block_q=block_q, block_k=block_k,
-            schedule=schedule, interpret=interpret)
+            schedule=schedule, interpret=interpret, nomax=nomax)
         return out, (q_arr, kv_arr, bias_h, bias_w, kv_len, out, lse)
 
     def _attn_bwd(res, dout):
