@@ -247,6 +247,80 @@ class TestFineTuner:
         assert shard_size * 8 == big.size, (shard_size, big.size)
         assert P(DATA_AXIS) != P()  # sanity on the spec import
 
+    def test_accum_steps_matches_monolithic(self, rng):
+        """Gradient microbatching (accum_steps=2) reproduces the
+        monolithic batch's loss, logits and parameter trajectory —
+        the effective-B16 route past the backend's physical-batch wall
+        (VERDICT r4 item 5)."""
+        cfg = FineTuneConfig(
+            num_classes=2, learning_rate=3e-3, precision="parity",
+            backbone_cfg=TINY_SAM, accum_steps=2,
+        )
+        tuner = FineTuner(cfg)
+        images, mask, labels = self._batch(rng, b=4)
+        state = tuner.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        state, loss_a, logits_a = tuner.step(state, images, mask, labels)
+        state, loss_a2, _ = tuner.step(state, images, mask, labels)
+
+        cfg2 = dataclasses.replace(cfg, accum_steps=1)
+        tuner2 = FineTuner(cfg2)
+        state2 = tuner2.init(jax.random.PRNGKey(0), jnp.asarray(images))
+        state2, loss_m, logits_m = tuner2.step(
+            state2, images, mask, labels)
+        state2, loss_m2, _ = tuner2.step(state2, images, mask, labels)
+
+        np.testing.assert_allclose(float(loss_a), float(loss_m),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(logits_a),
+                                   np.asarray(logits_m),
+                                   atol=1e-5, rtol=1e-5)
+        # second step ran on functionally-equal params
+        np.testing.assert_allclose(float(loss_a2), float(loss_m2),
+                                   rtol=1e-4)
+        # params: AdamW normalizes by sqrt(v), so leaves whose gradient
+        # is at rounding scale take sign-noise steps — bounded by one
+        # lr per step, never a divergence
+        leaves = zip(jax.tree_util.tree_leaves(state["params"]),
+                     jax.tree_util.tree_leaves(state2["params"]))
+        for a, b in leaves:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2 * 3e-3, rtol=1)
+
+        # the accumulation MATH, checked directly: microbatch-averaged
+        # grads == monolithic grads at fp tolerance
+        from vit_deep_radiomics_tpu.models.losses import focal_loss
+
+        imj, mkj, lbj = (jnp.asarray(x) for x in (images, mask, labels))
+
+        def mono_loss(p):
+            logits = tuner.model.apply(p, imj, mkj)
+            return focal_loss(logits, lbj, alpha=jnp.asarray(
+                cfg.focal_alpha, jnp.float32), gamma=cfg.focal_gamma,
+            ) / lbj.shape[0]
+
+        def micro_loss(p):
+            halves = [
+                focal_loss(
+                    tuner.model.apply(p, imj[i:i + 2], mkj[i:i + 2]),
+                    lbj[i:i + 2], alpha=jnp.asarray(
+                        cfg.focal_alpha, jnp.float32),
+                    gamma=cfg.focal_gamma) / 2
+                for i in (0, 2)
+            ]
+            return (halves[0] + halves[1]) / 2
+
+        p0 = tuner2.init(jax.random.PRNGKey(0),
+                         jnp.asarray(images))["params"]
+        g_mono = jax.grad(mono_loss)(p0)
+        g_micro = jax.grad(micro_loss)(p0)
+        for a, b in zip(jax.tree_util.tree_leaves(g_mono),
+                        jax.tree_util.tree_leaves(g_micro)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+        with pytest.raises(ValueError, match="divisible"):
+            tuner.step(state, images[:3], mask[:3], labels[:3])
+
     def test_remat_matches_no_remat(self, rng):
         cfg = FineTuneConfig(
             num_classes=2, learning_rate=3e-3, precision="parity",

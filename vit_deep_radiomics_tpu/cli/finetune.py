@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis "
                         "(ZeRO-1; needs a >1-device mesh)")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient microbatching: split each batch into "
+                        "N microbatches, average grads, one optimizer "
+                        "apply — effective large batches past the "
+                        "backend's physical-batch wall (B>=16)")
     p.add_argument("--remat", nargs="?", const="block", default="none",
                    choices=("none", "block", "mlp"),
                    help="rematerialise in the backward: 'block' recomputes"
@@ -162,6 +167,7 @@ def main(argv=None) -> int:
         backbone=args.backbone, backbone_cfg=bcfg,
         learning_rate=args.lr, freeze_below=args.freeze_below,
         precision=args.precision, remat=args.remat, zero1=args.zero1,
+        accum_steps=args.accum_steps,
     )
     tuner = FineTuner(cfg, mesh=mesh)
     bs = args.batch_size

@@ -61,6 +61,15 @@ class FineTuneConfig:
     # False/'none' | True/'block' (recompute whole blocks) | 'mlp'
     # (selective: recompute only the MLP hidden activations)
     remat: bool | str = False
+    # gradient microbatching: split each step's batch into this many
+    # equal microbatches, average grads, apply the optimizer ONCE —
+    # identical update to the monolithic batch (sample-mean focal
+    # loss), at 1/N the activation memory.  The physical-B16 route is
+    # closed on this backend (no-remat: HBM RESOURCE_EXHAUSTED; any
+    # remat: the remote compile helper crashes, HTTP 500 exit 1 —
+    # artifacts/bench_ab_r5.jsonl curve rows), so effective B16 trains
+    # as accum_steps=2 of B8 (VERDICT r4 item 5).
+    accum_steps: int = 1
     zero1: bool = False                # shard optimizer state over `data`
     backbone_cfg: ViTDenseConfig | None = None   # override (tests)
 
@@ -194,10 +203,42 @@ class FineTuner:
 
         opt_shardings = self._opt_shardings
 
+        def _grads(params, images, mask, labels):
+            if cfg.accum_steps <= 1:
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, images, mask, labels)
+            # gradient microbatching: scan over accum_steps equal
+            # microbatches, average grads/losses — bitwise the same
+            # update semantics as the monolithic batch (sample-mean
+            # focal loss) at 1/accum_steps the activation memory
+            a = cfg.accum_steps
+            b = images.shape[0]
+            if b % a:
+                raise ValueError(
+                    f"batch {b} not divisible by accum_steps {a}")
+            stacked = tuple(
+                x.reshape((a, b // a) + x.shape[1:])
+                for x in (images, mask, labels))
+
+            def micro(carry, xs):
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, *xs)
+                gsum, lsum = carry
+                gsum = jax.tree_util.tree_map(
+                    lambda s, g: s + g.astype(s.dtype), gsum, grads)
+                return (gsum, lsum + loss), logits
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (gsum, lsum), logits = jax.lax.scan(
+                micro, (zeros, jnp.float32(0.0)), stacked)
+            grads = jax.tree_util.tree_map(lambda g: g / a, gsum)
+            return (lsum / a, logits.reshape((b,) + logits.shape[2:])), \
+                grads
+
         def step(state, images, mask, labels):
-            (loss, logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state["params"], images, mask, labels)
+            (loss, logits), grads = _grads(
+                state["params"], images, mask, labels)
             updates, opt_state = tx.update(
                 grads, state["opt_state"], state["params"])
             params = optax.apply_updates(state["params"], updates)
