@@ -273,12 +273,13 @@ def replay_patient_projections(
     stream (default_rng(seed): draw the unit direction ``u``, then per
     patient per modality per slice one ``normal((grid, grid, feat_dim))``
     draw; the class shift is added AFTER drawing, so the noise
-    realization is independent of the ``alphas`` design).  Returns, for
-    each patient, the mean over all masked CT voxels of ``noise·u`` — the
-    quantity that decides every sub-margin ROC ordering for ANY trainer
-    whose converged score is monotone in the projection onto the learned
-    (≈ true) direction.  σ ≈ 1/√(masked voxels · ct_slices) ≈ 0.042 at
-    the defaults.
+    realization is independent of the ``alphas`` design).  Returns
+    ``(proj_ct, proj_pet)`` — for each patient, the mean over all
+    masked CT (resp. PET) voxels of ``noise·u`` — the quantity that
+    decides every sub-margin ROC ordering for ANY trainer whose
+    converged score is monotone in the projection onto the learned
+    (≈ true) direction.  σ ≈ 1/√(masked voxels · n_slices) ≈ 0.042 for
+    CT at the defaults (PET has fewer slices → larger σ).
     """
     rng = np.random.default_rng(seed)
     u = rng.normal(size=(feat_dim,))
@@ -286,16 +287,17 @@ def replay_patient_projections(
     lo = (grid - mask_extent) // 2
     sl = slice(lo, lo + mask_extent)
     proj = np.zeros(n_patients)
+    proj_pet = np.zeros(n_patients)
     for i in range(n_patients):
-        acc, cnt = 0.0, 0
+        accs = {"ct": [0.0, 0], "pet": [0.0, 0]}
         for modality, n_slices in (("ct", ct_slices), ("pet", pet_slices)):
             for _s in range(n_slices):
                 f = rng.normal(size=(grid, grid, feat_dim))
-                if modality == "ct":
-                    acc += float((f[sl, sl] @ u).sum())
-                    cnt += mask_extent * mask_extent
-        proj[i] = acc / cnt
-    return proj
+                accs[modality][0] += float((f[sl, sl] @ u).sum())
+                accs[modality][1] += mask_extent * mask_extent
+        proj[i] = accs["ct"][0] / accs["ct"][1]
+        proj_pet[i] = accs["pet"][0] / accs["pet"][1]
+    return proj, proj_pet
 
 
 def design_lattice_cohort(
@@ -348,7 +350,7 @@ def design_lattice_cohort(
     from sklearn.metrics import roc_auc_score
     from sklearn.model_selection import StratifiedKFold
 
-    proj = replay_patient_projections(
+    proj, proj_pet = replay_patient_projections(
         n_patients, ct_slices=ct_slices, pet_slices=pet_slices,
         feat_dim=feat_dim, seed=data_seed)
     labels = np.arange(n_patients) % 2
@@ -384,6 +386,12 @@ def design_lattice_cohort(
                 "proj_label1": round(float(proj[i1]), 6),
                 "proj_label0": round(float(proj[i0]), 6),
                 "realized_margin_alpha": round(float(margin), 6),
+                # PET-side margin of the same pair (signed; selection is
+                # CT-only) — the bimodal crossmodal family weighs both,
+                # so pairs whose PET margin OPPOSES the CT flip are the
+                # uncertain ones in that family's run
+                "pet_margin_alpha": round(
+                    float((proj_pet[i0] - proj_pet[i1]) / signal), 6),
                 "designed_order": "label1_above",
                 "realized_order": "label0_above",
             })
@@ -437,6 +445,7 @@ def run_lattice(args) -> None:
     def _bank(partial: bool) -> dict:
         block = {
             "regime": "lattice",
+            "family": args.family,
             "band": args.band, "tolerance": args.tol,
             "oracle_seeds": args.oracle_seeds, "seeds": args.seeds,
             "partial": partial,
@@ -489,10 +498,11 @@ def run_lattice(args) -> None:
                 existing = json.loads(out.read_text())
             except Exception:  # noqa: BLE001
                 existing = {}
-        existing["lattice"] = block
+        existing[args.lattice_key] = block
         out.write_text(json.dumps(existing, indent=2))
         return block
 
+    arch, modality, loss = args.family.split(":")
     with tempfile.TemporaryDirectory() as tmp:
         project, df = build_parity_project(Path(tmp) / "proj", **kw)
         # interleave ref/ours seeds so a partially-completed multi-hour
@@ -506,14 +516,18 @@ def run_lattice(args) -> None:
                 plan.append(("ours", s))
         for kind, s in plan:
             if kind == "ref":
-                print(f"[lattice] reference trainer, oracle seed {s}"
-                      "...", flush=True)
+                print(f"[lattice:{args.family}] reference trainer, "
+                      f"oracle seed {s}...", flush=True)
                 refs[s] = run_reference_trainer(
-                    project["root"], experiment=f"lattice_s{s}",
+                    project["root"], arch=arch, modality=modality,
+                    loss=loss, experiment=f"lattice_s{s}",
                     oracle_seed=s)
             else:
-                print(f"[lattice] our trainer, seed {s}...", flush=True)
-                ours[s] = run_our_trainer(project, df, seed=s)
+                print(f"[lattice:{args.family}] our trainer, seed {s}"
+                      "...", flush=True)
+                ours[s] = run_our_trainer(
+                    project, df, arch=arch, modality=modality,
+                    loss=loss, seed=s)
             _bank(partial=True)
     block = _bank(partial=False)
     print(json.dumps({k: v for k, v in block.items()
@@ -982,6 +996,15 @@ def main() -> None:
                          "margin")
     ap.add_argument("--contested", type=int, default=4,
                     help="contested pairs per fold")
+    ap.add_argument("--family", default="transformer:ct:focal",
+                    help="lattice model family as arch:modality:loss — "
+                         "the run_train.sh grid's other families "
+                         "(conv:ct:focal, transformer:petct:crossmodal) "
+                         "assert the same off-cap regime")
+    ap.add_argument("--lattice-key", default="lattice",
+                    help="PARITY_AUC.json key the lattice block banks "
+                         "under (use lattice_conv / lattice_crossmodal "
+                         "for the non-headline families)")
     ap.add_argument("--out", default=str(REPO / "PARITY_AUC.json"))
     args = ap.parse_args()
 
