@@ -322,26 +322,33 @@ class TestSharedBuckets:
             for a, b in zip(ma, ms):
                 np.testing.assert_array_equal(a, b)
 
-        # the bound is a true upper bound: per-volume realized buckets
-        # (auto run) never exceed the shared floors
-        unions = []
-        for pid, entry in cohort.items():
-            for modality in ("ct", "pet"):
-                _vol, mask, _res = entry[modality]
-                u = mask.any(axis=2)
-                unions.append((u.shape[0], u.shape[1], u))
+        # the bound is a true upper bound on the REALIZED buckets: run
+        # each volume through dispatch with per-volume auto buckets and
+        # compare the program shapes against the floors — including a
+        # border nodule whose one-sided clamp shrinks the crop side and
+        # doubles the feature-grid rescale factor
+        rng2 = np.random.default_rng(11)
+        border_vol = rng2.normal(
+            -700, 100, size=(64, 64, 3)).astype(np.float32)
+        border_mask = np.zeros((64, 64, 3), bool)
+        border_mask[0:9, 55:64, :] = True     # corner nodule
+        border_vol[border_mask] = 35.0
+        volumes = [(v, m, mod) for pid, entry in cohort.items()
+                   for mod in ("ct", "pet")
+                   for v, m in [entry[mod][:2]]]
+        volumes.append((border_vol, border_mask, "ct"))
+
+        unions = [(m.shape[0], m.shape[1], m.any(axis=2))
+                  for _v, m, _mod in volumes]
         mb, fb = sweep_crop_buckets(unions, (0, 45), grid=4)
         ex = self._extractor(shared_buckets=False)
-        for pid, entry in cohort.items():
-            for modality in ("ct", "pet"):
-                vol, mask, _res = entry[modality]
-                state = ex.dispatch_volume(vol, mask, modality)
-                for e in state["aug_entries"]:
-                    if e is None:
-                        continue
-                    assert max(e[3], e[4]) <= max(
-                        mb, 64)  # clamped to the 64px volume
-                ex.collect_volume(state)
+        for vol, mask, modality in volumes:
+            state = ex.dispatch_volume(vol, mask, modality)
+            a, mbh, mbw, _s = state["m_crops_dev"].shape
+            assert max(mbh, mbw) <= mb, (mbh, mbw, mb)
+            fb_real = state["crops_dev"][0].shape[1]
+            assert fb_real <= max(fb, 4), (fb_real, fb)  # grid clamp
+            ex.collect_volume(state)
 
 
 class TestShardedExtraction:

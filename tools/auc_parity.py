@@ -266,8 +266,8 @@ def replay_patient_projections(
     mask_extent: int = 6,
     feat_dim: int = 64,
     seed: int = 0,
-) -> np.ndarray:
-    """Per-patient realized CT noise projection onto the signal direction.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-patient realized noise projections onto the signal direction.
 
     Replays data/synthetic.py::write_synthetic_feature_store's EXACT RNG
     stream (default_rng(seed): draw the unit direction ``u``, then per
@@ -957,9 +957,9 @@ def main() -> None:
                     help="our-trainer seeds in the stochastic regime")
     ap.add_argument("--oracle-seeds", type=int, default=2,
                     help="reference-trainer seeds (intrinsic variance)")
-    ap.add_argument("--signal", type=float, default=1.5,
-                    help="planted signal strength (stochastic graded "
-                         "regime)")
+    ap.add_argument("--signal", type=float, default=None,
+                    help="planted signal strength (default: 1.5 for the "
+                         "graded regime, 1.0 for --lattice)")
     ap.add_argument("--knife-edge", action="store_true",
                     help="also run + record (not assert) the "
                          "flip_alpha=1.0 / weak-signal knife-edge "
@@ -1009,13 +1009,14 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.lattice:
-        # --signal defaults to the graded regime's 1.5; the lattice
-        # regime wants 1.0 (larger relative noise → wider realized
-        # contested margins) unless explicitly overridden
-        if args.signal == 1.5:
+        # per-mode default: the lattice regime wants 1.0 (larger
+        # relative noise → wider realized contested margins)
+        if args.signal is None:
             args.signal = 1.0
         run_lattice(args)
         return
+    if args.signal is None:
+        args.signal = 1.5
     if args.sweep:
         run_midstrength_sweep(args)
         return

@@ -101,7 +101,8 @@ def main() -> None:
             [sys.executable, "-m", "vit_deep_radiomics_tpu", "serve",
              "run", str(art), "-i", str(inp), "-o", str(out)],
             cwd=REPO, capture_output=True, text=True, timeout=3600,
-            env=dict(os.environ, VDR_EXEC_CACHE=str(cache)))
+            env=dict(os.environ, VDR_EXEC_CACHE=str(cache),
+                     VDR_WARM_PROBE="1"))
         wall = round(time.time() - t0, 2)
         line = {}
         for ln in r.stdout.splitlines()[::-1]:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -528,22 +529,29 @@ def _run(args) -> int:
     # raw-H2D link probe: uploading a plain 64 MiB array bounds the
     # achievable program/weights upload rate — if warm_upload_mbps is
     # at this rate, the warm cost is link-bound, not avoidable
-    # (VERDICT r4 item 6)
-    try:
-        import jax
-        import jax.numpy as jnp
+    # (VERDICT r4 item 6).  Opt-in (VDR_WARM_PROBE=1, set by
+    # tools/serve_warmstart.py): it costs two 64 MiB uploads + a tiny
+    # compile, which production `serve run` startups should not pay.
+    if os.environ.get("VDR_WARM_PROBE") == "1":
+        try:
+            import jax
+            import jax.numpy as jnp
 
-        from ..utils.profiling import device_sync
+            from ..utils.profiling import device_sync
 
-        if jax.default_backend() == "tpu":
-            probe = np.zeros((16, 1024, 1024), np.float32)   # 64 MiB
-            device_sync(jnp.asarray(probe))                  # warm path
-            t0 = time.time()
-            device_sync(jnp.asarray(probe) + 1.0)
-            warm_stats["h2d_probe_mbps"] = round(
-                probe.nbytes / 2**20 / max(time.time() - t0, 1e-9), 1)
-    except Exception:  # noqa: BLE001 — telemetry only
-        pass
+            if jax.default_backend() == "tpu":
+                probe = np.zeros((16, 1024, 1024), np.float32)  # 64 MiB
+                # warm the EXACT timed expression: the first `+ 1.0`
+                # dispatch pays a remote compile on this backend, which
+                # would otherwise be billed to the link rate
+                device_sync(jnp.asarray(probe) + 1.0)
+                t0 = time.time()
+                device_sync(jnp.asarray(probe) + 1.0)
+                warm_stats["h2d_probe_mbps"] = round(
+                    probe.nbytes / 2**20 / max(time.time() - t0, 1e-9),
+                    1)
+        except Exception:  # noqa: BLE001 — telemetry only
+            pass
     print(json.dumps(warm_stats), file=sys.stderr)
     args._warm_stats = warm_stats
     if model.meta.get("kind") in ("classifier", "pipeline"):

@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import sys
 from pathlib import Path
 from typing import Callable, Iterable
 
@@ -225,8 +226,16 @@ def sweep_crop_buckets(
             continue
         cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
         py, px = ys - cy, xs - cx
-        for angle in set(angles) | {0}:
-            rad = np.deg2rad(float(angle))
+        # flips mirror the volume, so a flipped union rotated by +θ has
+        # the bbox of the unflipped union rotated by −θ: sweeping ±θ
+        # covers every flip×angle combo even for angle sets not closed
+        # under negation mod 180
+        sweep = {0.0}
+        for angle in angles:
+            sweep.add(float(angle))
+            sweep.add(-float(angle))
+        for angle in sweep:
+            rad = np.deg2rad(angle)
             c, s = np.cos(rad), np.sin(rad)
             ry = py * c - px * s + cy
             rx = py * s + px * c + cx
@@ -240,18 +249,24 @@ def sweep_crop_buckets(
             ymax = int(np.ceil(ry.max())) + 1
             xmin = int(np.floor(rx.min())) - 1
             xmax = int(np.ceil(rx.max())) + 1
-            # extract_coords shift margin + extent floor (ops/roi.py)
-            bh = max((ymax - margin) - (ymin - margin), margin)
-            bw = max((xmax + margin) - (xmin + margin), margin)
+            # extract_coords shift margin + extent floor (ops/roi.py);
+            # the shift cancels in the extents
+            bh = max(ymax - ymin, margin)
+            bw = max(xmax - xmin, margin)
             ext = max(bh, bw)
-            side = 2 * 2 * ext                    # square_crop_box: 4×
-            ch = min(side, h) + 2                 # clamp + safety
-            cw = min(side, w) + 2
-            mb = max(mb, -(-max(ch, cw) // 16) * 16)
+            cs = 2 * ext                       # square_crop_box crop_size
+            ymid = (ymin + ymax) // 2
+            xmid = (xmin + xmax) // 2
+            # exact one-sided clamp at the REAL rotated center (±2
+            # safety): a border nodule's clamped crop can be as small
+            # as cs, which doubles the feature-grid rescale factor
+            ch = min(ymid + cs + 2, h) - max(ymid - cs - 2, 0)
+            cw = min(xmid + cs + 2, w) - max(xmid - cs - 2, 0)
+            ch, cw = max(ch, 1), max(cw, 1)
+            mb = max(mb, -(-max(ch + 2, cw + 2) // 16) * 16)
             # scaled_roi_box: union bbox rescaled by grid/crop_side —
-            # conservative: the smaller clamped crop side scales harder
-            denom = max(1, min(min(side, h), min(side, w)))
-            fext = int(np.ceil(max(bh, bw) * grid / denom)) + 4
+            # the smaller clamped side scales harder
+            fext = int(np.ceil(max(bh, bw) * grid / min(ch, cw))) + 4
             fb = max(fb, -(-min(fext, grid) // 16) * 16)
     return mb, fb
 
@@ -797,9 +812,13 @@ def extract_isotropic_dataset(
     key_index = {k: i for i, k in enumerate(work_order)}
 
     cfg = extractor.config
+    buckets_unset = (cfg.mask_crop_bucket is None
+                     and cfg.feat_crop_bucket is None)
+    # floors a PREVIOUS sweep auto-computed are stale for a new cohort:
+    # recompute rather than silently reusing the old bounds
+    auto_set = getattr(extractor, "_auto_buckets", False)
     if (cfg.shared_buckets and len(work_order) > 1
-            and cfg.mask_crop_bucket is None
-            and cfg.feat_crop_bucket is None):
+            and (buckets_unset or auto_set)):
         # sweep-shared crop buckets: a mask-only host pre-pass bounds
         # every volume's worst-case crop sizes so all crop programs of
         # the sweep share one executable each (VERDICT r4 item 4) —
@@ -828,12 +847,16 @@ def extract_isotropic_dataset(
                     unions, cfg.angles, extractor.backbone_cfg.grid)
                 cfg.mask_crop_bucket = mb
                 cfg.feat_crop_bucket = fb
+                extractor._auto_buckets = True
                 stats_pre = getattr(extractor, "stats", None)
                 if stats_pre is not None:  # empty StageTimes is falsy
                     stats_pre["shared_mask_bucket"] = mb
                     stats_pre["shared_feat_bucket"] = fb
-        except Exception:  # noqa: BLE001 — a failed pre-pass only loses
-            pass           # the program-dedup optimisation, never the sweep
+        except Exception as exc:  # noqa: BLE001 — a failed pre-pass only
+            # loses the program-dedup optimisation, never the sweep —
+            # but say so instead of silently shipping a broken pre-pass
+            print(f"# shared-bucket pre-pass skipped: {exc!r}",
+                  file=sys.stderr)
     read_pool = ThreadPoolExecutor(
         max_workers=1, thread_name_prefix="extract-read"
     )

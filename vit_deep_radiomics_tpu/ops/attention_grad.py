@@ -1084,8 +1084,9 @@ def _fgt_fwd_kernel(
     term.  Training logits are unbounded in principle, but fine-tuning
     starts from a converged backbone whose measured |logit| sits ~5
     nats against the fp32 accumulator's ~120-log2-unit overflow bound
-    (probe_max_abs_logit) — opt-in via VDR_FGT_NOMAX / FineTuneConfig
-    until the A/B banks its verdict (VERDICT r4 item 7)."""
+    (probe_max_abs_logit) — opt-in via the trace-time VDR_FGT_NOMAX env
+    knob (read in models/vit.py; measured +0.7% on both interleaved
+    A/B pairs, bench_ab_r5.jsonl)."""
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
     d = head_dim
