@@ -446,6 +446,7 @@ def run_lattice(args) -> None:
         block = {
             "regime": "lattice",
             "family": args.family,
+            "our_batch_size": args.batch_size,
             "band": args.band, "tolerance": args.tol,
             "oracle_seeds": args.oracle_seeds, "seeds": args.seeds,
             "partial": partial,
@@ -524,10 +525,10 @@ def run_lattice(args) -> None:
                     oracle_seed=s)
             else:
                 print(f"[lattice:{args.family}] our trainer, seed {s}"
-                      "...", flush=True)
+                      f" (batch {args.batch_size})...", flush=True)
                 ours[s] = run_our_trainer(
                     project, df, arch=arch, modality=modality,
-                    loss=loss, seed=s)
+                    loss=loss, seed=s, batch_size=args.batch_size)
             _bank(partial=True)
     block = _bank(partial=False)
     print(json.dumps({k: v for k, v in block.items()
@@ -1001,6 +1002,11 @@ def main() -> None:
                          "the run_train.sh grid's other families "
                          "(conv:ct:focal, transformer:petct:crossmodal) "
                          "assert the same off-cap regime")
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="OUR trainer's batch in lattice mode (the "
+                         "reference loop is always batch 1); >1 "
+                         "asserts that the batched trainer tracks the "
+                         "off-cap regime too")
     ap.add_argument("--lattice-key", default="lattice",
                     help="PARITY_AUC.json key the lattice block banks "
                          "under (use lattice_conv / lattice_crossmodal "
