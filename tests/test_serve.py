@@ -719,3 +719,62 @@ class TestExecutableCache:
         assert em.cache_status == "miss"   # compiled, nothing persisted
         got = em(toks, mask)
         assert np.asarray(got[0]).shape == (2, 2)
+
+
+class TestHTTPServer:
+    """`serve server` HTTP endpoint (cli/serve.py::make_server): health
+    + npz-in/npz-out inference equal to the direct artifact call."""
+
+    def test_dense_infer_roundtrip(self, artifact):
+        import io
+        import json as _json
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        from vit_deep_radiomics_tpu.cli.serve import make_server
+
+        path, x, want = artifact
+        model = load_exported(path).warm()
+        handler = make_server(model)
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=30) as r:
+                health = _json.loads(r.read())
+            assert health["status"] == "ok"
+            assert health["kind"] == "dense"
+
+            # 3 images against a batch-2 artifact: pads + trims
+            imgs = np.concatenate([np.asarray(x), np.asarray(x[:1])])
+            buf = io.BytesIO()
+            np.savez(buf, images=imgs)
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer", data=buf.getvalue(),
+                method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = np.load(io.BytesIO(r.read()))
+            got = out["features"]
+            assert got.shape[0] == 3
+            np.testing.assert_array_equal(got[:2], want)
+            np.testing.assert_array_equal(got[2], want[0])
+
+            # malformed body -> structured 400, server stays up
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer", data=b"not-an-npz",
+                method="POST")
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as exc:
+                assert exc.code == 400
+                assert "error" in _json.loads(exc.read())
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=30) as r:
+                assert _json.loads(r.read())["status"] == "ok"
+        finally:
+            httpd.shutdown()
+            httpd.server_close()

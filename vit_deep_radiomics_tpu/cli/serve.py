@@ -35,6 +35,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -178,6 +179,17 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("-o", "--output", required=True,
                      help="dense: output .npy of features; classifier: "
                           "output .npz with one array per out_name")
+
+    srv = sub.add_parser(
+        "server",
+        help="HTTP inference endpoint around a .vdr artifact (the "
+             "reference has no deployment story at all): POST /infer "
+             "with an .npz body -> .npz response; GET /health")
+    srv.add_argument("artifact")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8400)
+    srv.add_argument("--max-body-mb", type=int, default=512)
+    srv.add_argument("--poly-chunk", type=int, default=1024)
     return p
 
 
@@ -598,6 +610,158 @@ def _run(args) -> int:
     return 0
 
 
+def make_server(model, *, poly_chunk: int = 1024,
+                max_body_mb: int = 512):
+    """HTTP request handler class around a warm :class:`ExportedModel`.
+
+    Endpoints (the whole deployment surface the reference lacks):
+
+    * ``GET /health`` → JSON: artifact meta + executable-cache status.
+    * ``POST /infer`` with an ``.npz`` body → ``.npz`` response.
+      Dense artifacts take one array (any name) of (N, size, size, 3)
+      images and answer ``{"features": ...}``; classifier/pipeline
+      artifacts take one array per ``in_spec`` name (masks optional)
+      with the same padding semantics as ``serve run`` — the request
+      round-trips through temp files so the battle-tested CLI
+      validation/padding path serves HTTP verbatim.
+
+    Inference is serialized with a lock (one device).  For bulk
+    offline throughput prefer ``serve run --overlap``; this endpoint
+    is the online story (per-request p50 ≈ the run CLI's steady-state
+    latency once ``warm()`` has absorbed the executable upload).
+    """
+    import tempfile
+    import threading
+    import types
+    from http.server import BaseHTTPRequestHandler
+
+    import numpy as np
+
+    lock = threading.Lock()
+    kind = model.meta.get("kind", "dense")
+
+    def infer_npz(body: bytes) -> bytes:
+        import io
+
+        with tempfile.TemporaryDirectory() as tmp:
+            tmp = Path(tmp)
+            inp = tmp / "in.npz"
+            outp = tmp / ("out.npy" if kind == "dense" else "out.npz")
+            inp.write_bytes(body)
+            if kind == "dense":
+                with np.load(inp) as z:
+                    if len(z.files) != 1:
+                        raise ValueError(
+                            "dense artifacts take exactly one image "
+                            "array")
+                    images = np.asarray(z[z.files[0]], np.float32)
+                batch = int(model.meta["batch"])
+                size = int(model.meta["image_size"])
+                if images.ndim != 4 or images.shape[1:] != (size, size,
+                                                            3):
+                    raise ValueError(
+                        f"need (N, {size}, {size}, 3) f32 images; got "
+                        f"{images.shape}")
+                n = images.shape[0]
+                pad = (-n) % batch
+                if pad:
+                    images = np.concatenate([
+                        images,
+                        np.zeros((pad,) + images.shape[1:],
+                                 images.dtype)])
+                outs = [np.asarray(model(images[i:i + batch]))
+                        for i in range(0, images.shape[0], batch)]
+                buf = io.BytesIO()
+                np.savez(buf, features=np.concatenate(outs)[:n])
+                return buf.getvalue()
+            ns = types.SimpleNamespace(
+                input=str(inp), output=str(outp), labels=None,
+                overlap=False, poly_chunk=poly_chunk)
+            _run_classifier(ns, model)
+            return outp.read_bytes()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *fa):  # stderr, not stdout
+            print("# " + fmt % fa, file=sys.stderr)
+
+        def _reply(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/health":
+                self._reply(404, b'{"error": "unknown path"}',
+                            "application/json")
+                return
+            self._reply(200, json.dumps({
+                "status": "ok", "kind": kind,
+                "exec_cache": model.cache_status,
+                "meta": {k: v for k, v in model.meta.items()
+                         if k != "in_spec"},
+                "in_spec": model.meta.get("in_spec"),
+            }).encode(), "application/json")
+
+        def do_POST(self):
+            if self.path != "/infer":
+                self._reply(404, b'{"error": "unknown path"}',
+                            "application/json")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length > max_body_mb << 20:
+                self._reply(413, json.dumps({
+                    "error": f"body over {max_body_mb} MiB"}).encode(),
+                    "application/json")
+                return
+            body = self.rfile.read(length)
+            try:
+                with lock:
+                    out = infer_npz(body)
+            except SystemExit as exc:      # CLI validation paths raise
+                self._reply(400, json.dumps(
+                    {"error": str(exc)}).encode(), "application/json")
+                return
+            except Exception as exc:  # noqa: BLE001 — surface to caller
+                self._reply(400, json.dumps(
+                    {"error": repr(exc)[:500]}).encode(),
+                    "application/json")
+                return
+            self._reply(200, out, "application/octet-stream")
+
+    return Handler
+
+
+def _server(args) -> int:
+    from http.server import ThreadingHTTPServer
+
+    from ..core.mesh import enable_persistent_compile_cache
+    from ..engine.serve import load_exported
+
+    enable_persistent_compile_cache()
+    model = load_exported(args.artifact)
+    t0 = time.time()
+    model.warm()                 # absorb compile/upload pre-request
+    print(json.dumps({
+        "serving": args.artifact, "host": args.host, "port": args.port,
+        "warm_s": round(time.time() - t0, 2),
+        "exec_cache": model.cache_status, **model.warm_stats,
+    }), flush=True)
+    handler = make_server(model, poly_chunk=args.poly_chunk,
+                          max_body_mb=args.max_body_mb)
+    httpd = ThreadingHTTPServer((args.host, args.port), handler)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..core.distributed import claim_primary_entry
@@ -606,7 +770,7 @@ def main(argv=None) -> int:
         return 0  # multi-process launch: host job runs on the primary
     return {"export": _export, "export-clf": _export_clf,
             "export-pipeline": _export_pipeline, "info": _info,
-            "run": _run}[args.cmd](args)
+            "run": _run, "server": _server}[args.cmd](args)
 
 
 if __name__ == "__main__":
